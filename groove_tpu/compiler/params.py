@@ -1,0 +1,100 @@
+"""Controllable-parameter registry.
+
+The reference generates this metadata with the `Control` derive macro
+(proc-macros/src/control.rs:18-80): every `#[control]` field gets a
+kebab-case name and an index, and incoming ControlValues (Normal 0..1) are
+converted into the field's type. We replace the macro with an explicit
+registry: per device kind, the controllable param names and the
+ControlValue <-> domain conversions.
+
+Conversions mirror the ensnare-core `From<ControlValue>` impls the derive
+relies on:
+  - FrequencyHz   <- percent_to_frequency(v) (hearing-range map)
+  - Normal/f32/f64 <- v unchanged
+  - BipolarNormal <- v*2 - 1
+  - bitcrusher bits <- trunc(v * MAX_BITS_TO_CRUSH=15) (reconstruction)
+
+Aliases: perf-1.json automates limiter `min`/`max` and bitcrusher
+`bits-to-crush`; kitchen-sink configures `minimum`/`maximum`/`bits`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from groove_tpu.core import types as T
+
+Identity = lambda v: v  # noqa: E731
+Bipolar = lambda v: v * 2.0 - 1.0  # noqa: E731
+BipolarInv = lambda x: (x + 1.0) / 2.0  # noqa: E731
+FreqFromPct = T.percent_to_frequency
+PctFromFreq = T.frequency_to_percent
+BitsFromV = lambda v: float(int(v * 15.0))  # noqa: E731
+BitsToV = lambda b: b / 15.0  # noqa: E731
+
+
+class Param:
+    """(to_domain, from_domain) converter pair for one controllable param."""
+
+    def __init__(self, name: str,
+                 to_domain: Callable = Identity,
+                 from_domain: Callable = Identity):
+        self.name = name
+        self.to_domain = to_domain
+        self.from_domain = from_domain
+
+
+_FILTER_COMMON = [Param("cutoff", FreqFromPct, PctFromFreq), Param("q")]
+
+REGISTRY: dict[str, list[Param]] = {
+    # effects
+    "gain": [Param("ceiling")],
+    "limiter": [Param("minimum"), Param("maximum")],
+    "bitcrusher": [Param("bits-to-crush", BitsFromV, BitsToV)],
+    "chorus": [Param("voices"), Param("delay-seconds")],
+    "compressor": [Param("threshold"), Param("ratio"),
+                   Param("attack"), Param("release")],
+    "delay": [Param("delay")],
+    "reverb": [Param("attenuation"), Param("seconds")],
+    "filter-low-pass-12db": _FILTER_COMMON,
+    "filter-high-pass-12db": _FILTER_COMMON,
+    "filter-all-pass-12db": _FILTER_COMMON,
+    "filter-band-pass-12db": [Param("cutoff", FreqFromPct, PctFromFreq),
+                              Param("bandwidth")],
+    "filter-band-stop-12db": [Param("cutoff", FreqFromPct, PctFromFreq),
+                              Param("bandwidth")],
+    "filter-peaking-eq-12db": [Param("cutoff", FreqFromPct, PctFromFreq),
+                               Param("q"), Param("db-gain")],
+    "filter-low-shelf-12db": [Param("cutoff", FreqFromPct, PctFromFreq),
+                              Param("db-gain")],
+    "filter-high-shelf-12db": [Param("cutoff", FreqFromPct, PctFromFreq),
+                               Param("db-gain")],
+    "filter-low-pass-24db": [Param("cutoff", FreqFromPct, PctFromFreq),
+                             Param("passband-ripple")],
+    "mixer": [],
+    "toy": [Param("my-value")],
+    # instruments (DCA params; voice-level controls routed the same way)
+    "welsh": [Param("pan", Bipolar, BipolarInv), Param("gain")],
+    "welsh-raw": [Param("pan", Bipolar, BipolarInv), Param("gain")],
+    "fm-synthesizer": [Param("pan", Bipolar, BipolarInv), Param("gain"),
+                       Param("ratio"), Param("depth"), Param("beta")],
+    "drumkit": [],
+    "sampler": [],
+    "oscillator": [Param("frequency", FreqFromPct, PctFromFreq)],
+    "envelope": [],
+    "toy-instrument": [Param("fake-value")],
+}
+
+ALIASES = {
+    ("limiter", "min"): "minimum",
+    ("limiter", "max"): "maximum",
+    ("bitcrusher", "bits"): "bits-to-crush",
+}
+
+
+def resolve(kind: str, param: str) -> Optional[Param]:
+    param = ALIASES.get((kind, param), param)
+    for p in REGISTRY.get(kind, []):
+        if p.name == param:
+            return p
+    return None

@@ -1,0 +1,85 @@
+"""WAV read/write.
+
+Write spec matches the reference exactly (orchestration/src/helpers.rs:74-97
+and the commented writer in settings/src/patches.rs:806-812): stereo,
+16-bit signed int, each float sample scaled by i16::MAX (32767) and cast —
+Rust's `as i16` saturates and truncates toward zero, reproduced here.
+
+Read: 16/24/32-bit PCM and float WAVs, normalized to float32 in [-1, 1)
+by the type's full scale (hound-compatible: i16 / 32768).
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from pathlib import Path
+
+import numpy as np
+
+
+def write_wav_16bit_stereo(path, samples: np.ndarray, sample_rate: int) -> None:
+    """samples: [n, 2] float; scaled by 32767, truncated toward zero,
+    saturated (Rust `as i16` semantics)."""
+    samples = np.asarray(samples, np.float64)
+    if samples.ndim == 1:
+        samples = np.stack([samples, samples], axis=-1)
+    scaled = np.trunc(samples * 32767.0)
+    scaled = np.clip(scaled, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(scaled.tobytes())
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Returns ([n, channels] float32 in [-1, 1), sample_rate).
+
+    Hand-rolled RIFF parse so 24-bit and float formats work without
+    external deps.
+    """
+    data = Path(path).read_bytes()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1  # assume PCM subtype for our corpus
+    if audio_format == 3 or bits == 32 and audio_format == 3:
+        x = np.frombuffer(raw, "<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float32) / float(
+            1 << 23
+        )
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / float(1 << 31)
+    elif audio_format == 3 and bits == 64:
+        x = np.frombuffer(raw, "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"{path}: unsupported WAV format {audio_format}/{bits}")
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels), rate

@@ -1,0 +1,104 @@
+"""Delay-line effects: delay, chorus, reverb.
+
+Reference DSP bodies are missing at HEAD; param schemas:
+  Delay {delay: seconds}           (projects/demos/effects/delay.json)
+  Chorus {voices, delay-seconds}   (projects/demos/effects/chorus.json)
+  Reverb {attenuation, seconds}    (test-data/kitchen-sink.json:106-115)
+
+Reconstruction decisions (documented per SURVEY.md §2.2):
+  - Delay outputs the delayed signal (100% wet): y[n] = x[n-D].
+  - Chorus sums `voices` taps spaced delay/voices apart (tap 0 = dry),
+    scaled by 1/voices.
+  - Reverb is the classic Schroeder topology the reference's parameter
+    pair implies: four recirculating combs (29.7/37.1/41.1/43.7 ms) whose
+    feedback gain realizes an RT60 of `seconds` (g = 0.001^(D/RT60), i.e.
+    -60 dB after `seconds`), followed by two all-pass diffusers
+    (5.0 ms / 1.7 ms, g = 0.7), output scaled by `attenuation`.
+
+TPU mapping: a feedback delay of D samples is a *first-order* recurrence
+in block space — reshape time to [n/D, D] and the D lanes are independent:
+  comb   y[n] = x[n-D] + g y[n-D]  ->  Y[b] = X[b-1] + g Y[b-1]
+  allpass y[n] = -g x[n] + (1-g^2)(x[n-D] + g y'[n-D]) via the canonical
+    one-multiply form: w[n] = x[n] + g w[n-D]; y[n] = -g x[n] + (1-g^2) w[n-D]
+    (w is the same comb recurrence, so both reuse `one_pole` over blocks).
+All delay lengths are static per song, so shapes stay static under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from groove_tpu.ops.iir import one_pole
+
+COMB_DELAYS_S = (0.0297, 0.0371, 0.0411, 0.0437)
+ALLPASS_DELAYS_S = (0.005, 0.0017)
+ALLPASS_G = 0.7
+
+
+def delay_signal(x, delay_samples: int):
+    """y[n] = x[n - D], zero history. D is a static Python int."""
+    if delay_samples <= 0:
+        return x
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(delay_samples, 0)]
+    return jnp.pad(x, pad)[..., :n]
+
+
+def _block_view(x, d: int):
+    """Pad time axis to a multiple of d and reshape to [..., n/d, d]."""
+    n = x.shape[-1]
+    nb = -(-n // d)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, nb * d - n)]
+    xp = jnp.pad(x, pad)
+    return xp.reshape(x.shape[:-1] + (nb, d)), n
+
+
+def comb_feedback(x, delay_samples: int, g: float):
+    """y[n] = x[n-D] + g*y[n-D] (recirculating delay line), zero history."""
+    xb, n = _block_view(x, delay_samples)
+    # Y[b] = g*Y[b-1] + X[b-1]: shift X one block, first-order scan over b.
+    x_shift = jnp.concatenate([jnp.zeros_like(xb[..., :1, :]), xb[..., :-1, :]], axis=-2)
+    yb = one_pole(x_shift, g, 1.0, axis=-2)
+    return yb.reshape(x.shape[:-1] + (-1,))[..., :n]
+
+
+def allpass(x, delay_samples: int, g: float = ALLPASS_G):
+    """Schroeder all-pass: H(z) = (-g + z^-D) / (1 - g z^-D).
+
+    One-multiply form: w[n] = x[n] + g*w[n-D]; y = -g*x + (1-g^2)*w[n-D].
+    """
+    xb, n = _block_view(x, delay_samples)
+    wb = one_pole(xb, g, 1.0, axis=-2)
+    w_delayed = jnp.concatenate(
+        [jnp.zeros_like(wb[..., :1, :]), wb[..., :-1, :]], axis=-2
+    )
+    yb = -g * xb + (1.0 - g * g) * w_delayed
+    return yb.reshape(x.shape[:-1] + (-1,))[..., :n]
+
+
+def delay(x, delay_seconds: float, sample_rate: float):
+    return delay_signal(x, int(round(delay_seconds * sample_rate)))
+
+
+def chorus(x, voices: int, delay_seconds: float, sample_rate: float):
+    voices = max(1, int(voices))
+    total_d = int(round(delay_seconds * sample_rate))
+    out = jnp.zeros_like(x)
+    for v in range(voices):
+        out = out + delay_signal(x, v * total_d // voices)
+    return out / voices
+
+
+def reverb(x, attenuation: float, seconds: float, sample_rate: float):
+    combs = jnp.zeros_like(x)
+    for d_s in COMB_DELAYS_S:
+        d = max(1, int(round(d_s * sample_rate)))
+        if seconds > 0:
+            g = 0.001 ** (d / (seconds * sample_rate))
+        else:
+            g = 0.0
+        combs = combs + comb_feedback(x, d, g)
+    y = combs
+    for d_s in ALLPASS_DELAYS_S:
+        y = allpass(y, max(1, int(round(d_s * sample_rate))))
+    return attenuation * y

@@ -1,0 +1,138 @@
+"""IIR engine: associative-scan biquads vs sample-serial float64 reference."""
+
+import numpy as np
+import pytest
+
+from groove_tpu.ops import iir
+
+
+def _rms_db(err, ref):
+    denom = np.sqrt(np.mean(ref**2)) + 1e-20
+    return 20 * np.log10(np.sqrt(np.mean(err**2)) / denom + 1e-20)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_biquad_matches_serial_reference_constant_coefs(rng):
+    x = rng.standard_normal(4096).astype(np.float32)
+    coefs = iir.rbj_low_pass(1000.0, 0.707, 44100.0)
+    y = np.asarray(iir.biquad(x, coefs))
+    y_ref = iir.biquad_ref(x.astype(np.float64), [np.float64(c) for c in coefs])
+    assert _rms_db(y - y_ref, y_ref) < -100
+
+
+def test_biquad_time_varying_coefficients(rng):
+    n = 8192
+    x = rng.standard_normal(n).astype(np.float32)
+    cutoff = np.linspace(200.0, 8000.0, n).astype(np.float32)
+    coefs = iir.rbj_low_pass(cutoff, 0.707, 44100.0)
+    y = np.asarray(iir.biquad(x, coefs))
+    y_ref = iir.biquad_ref(
+        x.astype(np.float64), [np.asarray(c, np.float64) for c in coefs]
+    )
+    assert _rms_db(y - y_ref, y_ref) < -80
+
+
+def test_biquad_batched(rng):
+    x = rng.standard_normal((2, 3, 1024)).astype(np.float32)
+    coefs = iir.rbj_high_pass(500.0, 2.0, 44100.0)
+    y = np.asarray(iir.biquad(x, coefs))
+    for i in range(2):
+        for j in range(3):
+            y_ref = iir.biquad_ref(
+                x[i, j].astype(np.float64), [np.float64(c) for c in coefs]
+            )
+            # high-Q highpass accumulates a bit more f32 error
+            assert _rms_db(y[i, j] - y_ref, y_ref) < -85
+
+
+def test_lowpass_dc_gain_is_unity():
+    x = np.ones(8192, dtype=np.float32)
+    y = np.asarray(iir.biquad(x, iir.rbj_low_pass(1000.0, 0.707, 44100.0)))
+    assert abs(y[-1] - 1.0) < 1e-3
+
+
+def test_lowpass_attenuates_high_freq():
+    n = 16384
+    t = np.arange(n) / 44100.0
+    hi = np.sin(2 * np.pi * 10000 * t).astype(np.float32)
+    lo = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    coefs = iir.rbj_low_pass(1000.0, 0.707, 44100.0)
+    y_hi = np.asarray(iir.biquad(hi, coefs))[n // 2:]
+    y_lo = np.asarray(iir.biquad(lo, coefs))[n // 2:]
+    assert np.sqrt(np.mean(y_hi**2)) < 0.02
+    assert np.sqrt(np.mean(y_lo**2)) > 0.6
+
+
+def test_highpass_blocks_dc():
+    x = np.ones(8192, dtype=np.float32)
+    y = np.asarray(iir.biquad(x, iir.rbj_high_pass(1000.0, 0.707, 44100.0)))
+    assert abs(y[-1]) < 1e-3
+
+
+def test_allpass_preserves_magnitude(rng):
+    n = 16384
+    t = np.arange(n) / 44100.0
+    x = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+    y = np.asarray(iir.biquad(x, iir.rbj_all_pass(1000.0, 0.707, 44100.0)))
+    rms_in = np.sqrt(np.mean(x[n // 2:] ** 2))
+    rms_out = np.sqrt(np.mean(y[n // 2:] ** 2))
+    assert abs(rms_out / rms_in - 1.0) < 0.01
+
+
+def test_bandpass_peak_at_center():
+    n = 16384
+    t = np.arange(n) / 44100.0
+    coefs = iir.rbj_band_pass(1000.0, 1.0, 44100.0)
+    at = {}
+    for f in [100.0, 1000.0, 8000.0]:
+        x = np.sin(2 * np.pi * f * t).astype(np.float32)
+        y = np.asarray(iir.biquad(x, coefs))[n // 2:]
+        at[f] = np.sqrt(np.mean(y**2))
+    assert at[1000.0] > 5 * at[100.0]
+    assert at[1000.0] > 5 * at[8000.0]
+    assert abs(at[1000.0] - np.sqrt(0.5)) < 0.02  # 0 dB peak gain
+
+
+def test_lp24_is_steeper_than_lp12():
+    n = 16384
+    t = np.arange(n) / 44100.0
+    x = np.sin(2 * np.pi * 4000 * t).astype(np.float32)
+    y12 = np.asarray(iir.biquad(x, iir.rbj_low_pass(1000.0, 0.707, 44100.0)))
+    y24 = np.asarray(iir.lp24_apply(x, 1000.0, 1.0, 44100.0))
+    r12 = np.sqrt(np.mean(y12[n // 2:] ** 2))
+    r24 = np.sqrt(np.mean(y24[n // 2:] ** 2))
+    assert r24 < r12 / 5  # ~24 vs ~12 dB/oct, 2 octaves above cutoff
+
+
+def test_lp24_dc_gain_unity():
+    x = np.ones(16384, dtype=np.float32)
+    y = np.asarray(iir.lp24_apply(x, 1000.0, 1.0, 44100.0))
+    assert abs(y[-1] - 1.0) < 1e-2
+
+
+def test_lp24_resonance_boosts_cutoff():
+    n = 16384
+    t = np.arange(n) / 44100.0
+    x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    flat = np.asarray(iir.lp24_apply(x, 1000.0, 1.0, 44100.0))
+    resonant = np.asarray(iir.lp24_apply(x, 1000.0, 10.0, 44100.0))
+    assert np.sqrt(np.mean(resonant[n // 2:] ** 2)) > 1.5 * np.sqrt(
+        np.mean(flat[n // 2:] ** 2)
+    )
+
+
+def test_one_pole(rng):
+    n = 4096
+    x = rng.standard_normal(n).astype(np.float32)
+    a, b = 0.99, 0.01
+    y = np.asarray(iir.one_pole(x, a, b))
+    y_ref = np.zeros(n)
+    acc = 0.0
+    for i in range(n):
+        acc = a * acc + b * x[i]
+        y_ref[i] = acc
+    assert _rms_db(y - y_ref, y_ref) < -90
