@@ -1,0 +1,115 @@
+"""groove-tpu CLI: render project files to WAV.
+
+Interface parity with groove-cli (src/bin/groove-cli.rs:26-53):
+  positional inputs, --wav, --mp3 (unimplemented, like the reference),
+  --debug, --perf, --quiet, --version. Output filename: input with its
+  .json/.json5 extension replaced by .wav, next to the source file
+  (groove-cli.rs:143-148; we extend the reference's `.json5$` regex to
+  `.json` too so plain-JSON demos don't collide with their input names).
+
+Extra flags (TPU-native additions): --sample-rate, --out-dir, --xrt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+from pathlib import Path
+
+from groove_tpu import __version__
+from groove_tpu.compiler.song import compile_song
+from groove_tpu.engine.render import Renderer
+from groove_tpu.io.wav import write_wav_16bit_stereo
+from groove_tpu.project.paths import Paths
+from groove_tpu.project.schema import SongSettings
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="groove-tpu",
+        description="Render Groove project files to WAV on TPU.",
+    )
+    p.add_argument("input", nargs="*", help="project files (JSON or JSON5)")
+    p.add_argument("-w", "--wav", action="store_true",
+                   help="render as WAVE file(s) (appears next to source)")
+    p.add_argument("-m", "--mp3", action="store_true",
+                   help="render as MP3 (not yet implemented)")
+    p.add_argument("-d", "--debug", action="store_true", help="debug mode")
+    p.add_argument("-p", "--perf", action="store_true",
+                   help="print perf information")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress status updates")
+    p.add_argument("-v", "--version", action="store_true",
+                   help="print version and exit")
+    p.add_argument("--sample-rate", type=int, default=44100)
+    p.add_argument("--out-dir", type=str, default=None,
+                   help="write WAVs here instead of next to the input")
+    return p
+
+
+def output_path(input_filename: str, out_dir: str | None) -> Path:
+    out = re.sub(r"\.json5?$", ".wav", input_filename)
+    if out == input_filename:
+        raise SystemExit(
+            "would overwrite input file; couldn't generate output filename"
+        )
+    path = Path(out)
+    if out_dir:
+        path = Path(out_dir) / path.name
+    return path
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(f"groove-tpu {__version__}")
+        return 0
+    if args.mp3:
+        print("MP3 output is not yet implemented", file=sys.stderr)
+    paths = Paths()
+    for input_filename in args.input:
+        if input_filename == "-":
+            continue
+        t0 = time.perf_counter()
+        song = SongSettings.from_project_file(Path(input_filename))
+        compiled = compile_song(song, paths, sample_rate=args.sample_rate)
+        renderer = Renderer(compiled)
+        if args.perf:
+            print(f"Orchestrator instantiation time: "
+                  f"{time.perf_counter() - t0:.2f}s")
+        if not args.quiet:
+            print(f"Performing to queue ({compiled.n_frames} frames) ", end="")
+        t1 = time.perf_counter()
+        samples = renderer.render()  # includes compile on first call
+        compile_and_render = time.perf_counter() - t1
+        # steady-state render (program cached) for the honest perf number
+        t2 = time.perf_counter()
+        samples = renderer.render()
+        render_s = time.perf_counter() - t2
+        if not args.quiet:
+            print(".")
+        if args.perf:
+            n = len(samples)
+            audio_s = n / args.sample_rate
+            print(f" Orchestrator performance time: {compile_and_render:.2f}s "
+                  f"(first, incl. compile) / {render_s * 1000:.2f}ms (cached)")
+            print(f" Sample count: {n}")
+            if render_s > 0 and n:
+                per_ms = n / (render_s * 1000.0)
+                print(f" Samples per msec: {per_ms:.2f} "
+                      f"(goal >{args.sample_rate / 1000.0:.2f})")
+                print(f" usec per sample: {render_s * 1e6 / n:.4f} "
+                      f"(goal <{1e6 / args.sample_rate:.2f})")
+                print(f" xRT: {audio_s / render_s:.1f}x realtime")
+        if args.wav:
+            out = output_path(input_filename, args.out_dir)
+            if not args.quiet:
+                print(f"Rendering queue to {out}")
+            write_wav_16bit_stereo(out, samples, args.sample_rate)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,7 +51,7 @@ REGISTRY: dict[str, list[Param]] = {
     "gain": [Param("ceiling")],
     "limiter": [Param("minimum"), Param("maximum")],
     "bitcrusher": [Param("bits-to-crush", BitsFromV, BitsToV)],
-    "chorus": [Param("voices"), Param("delay-seconds")],
+    "chorus": [Param("voices"), Param("delay-seconds"), Param("wet-dry-mix")],
     "compressor": [Param("threshold"), Param("ratio"),
                    Param("attack"), Param("release")],
     "delay": [Param("delay")],

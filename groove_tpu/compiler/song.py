@@ -1,0 +1,323 @@
+"""Song compilation: SongSettings -> CompiledSong (static IR + tensors).
+
+This replaces the reference Orchestrator's dynamic entity store, MIDI bus,
+and control-link dispatch (orchestration/src/orchestrator.rs:34-775) with a
+one-shot compile. Ordering mirrors SongSettings::instantiate: devices ->
+patch cables -> control links -> tracks -> trips (settings/src/songs.rs:
+91-104), with the same warn-and-skip / hard-error policy (§3.4 of
+SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+from typing import Optional
+
+import numpy as np
+
+from groove_tpu.compiler import automation as auto_mod
+from groove_tpu.compiler import events as ev_mod
+from groove_tpu.compiler import params as param_mod
+from groove_tpu.core.time import (
+    SAMPLE_BUFFER_SIZE,
+    MusicalTime,
+    SampleRate,
+    render_length_frames,
+)
+from groove_tpu.models import sampler as sampler_mod
+from groove_tpu.models.voices import apply_mono_policy
+from groove_tpu.project.paths import Paths
+from groove_tpu.project.patches import (
+    FmSynthParams,
+    WelshPatchSettings,
+    WelshVoiceParams,
+)
+from groove_tpu.project.schema import SongSettings, warn
+
+MAIN_MIXER_UVID = "main-mixer"  # reserved (orchestrator.rs:104-107)
+
+
+class PatchError(ValueError):
+    """Invalid patch-cable types abort compilation (orchestrator.rs:263-304;
+    fixture test-data/instruments-have-no-inputs.json5)."""
+
+
+@dataclass
+class NoteTensors:
+    keys: np.ndarray        # [n] int32
+    vels: np.ndarray        # [n] float32
+    on_frames: np.ndarray   # [n] int32
+    off_frames: np.ndarray  # [n] int32
+
+    @property
+    def count(self) -> int:
+        return len(self.keys)
+
+
+@dataclass
+class DeviceIR:
+    uvid: str
+    role: str                  # instrument|controller|effect
+    kind: str
+    midi_in: int = -1
+    midi_out: int = -1
+    params: dict = field(default_factory=dict)      # static config (raw JSON domain)
+    automation: dict = field(default_factory=dict)  # param -> domain f32 [n_blocks]
+    notes: Optional[NoteTensors] = None             # instruments only
+    voice: object = None                            # WelshVoiceParams / FmSynthParams
+    sample_table: object = None                     # SampleTable
+    drum_note_slots: Optional[dict] = None
+    slots: Optional[np.ndarray] = None              # per-note sample slots
+
+
+@dataclass
+class CompiledSong:
+    title: Optional[str]
+    sample_rate: int
+    bpm: float
+    time_signature: tuple
+    n_frames: int
+    n_blocks: int
+    devices: dict                      # uvid -> DeviceIR
+    sinks: dict                        # sink uvid -> [source uvids] (audio)
+    order: list                        # topological eval order (uvids)
+    sidechain: list                    # (passthrough_uvid, target_uvid, param)
+
+
+def _audio_roles(dev: DeviceIR) -> tuple[bool, bool]:
+    """(outputs_audio, accepts_audio) — patch() validation rules
+    (orchestrator.rs:263-304). SignalPassthroughController is a
+    controller+effect hybrid (orchestration/src/entities.rs:114-115)."""
+    is_effect = dev.role == "effect" or dev.kind == "signal-passthrough-controller"
+    is_instrument = dev.role == "instrument"
+    return (is_instrument or is_effect, is_effect)
+
+
+def compile_song(
+    song: SongSettings,
+    paths: Optional[Paths] = None,
+    sample_rate: int = 44100,
+) -> CompiledSong:
+    paths = paths or Paths()
+    sr = SampleRate(sample_rate)
+    tempo = song.clock.tempo
+    ts = song.clock.time_signature
+
+    # ---- devices --------------------------------------------------------
+    devices: dict[str, DeviceIR] = {
+        MAIN_MIXER_UVID: DeviceIR(MAIN_MIXER_UVID, "effect", "mixer")
+    }
+    for d in song.devices:
+        if d.role == "instrument":
+            ir = DeviceIR(d.uvid, "instrument", d.instrument.kind,
+                          midi_in=d.instrument.midi_in,
+                          params=dict(d.instrument.params))
+        elif d.role == "controller":
+            ir = DeviceIR(d.uvid, "controller", d.controller.kind,
+                          midi_in=d.controller.midi_in,
+                          midi_out=d.controller.midi_out,
+                          params=dict(d.controller.params))
+        else:
+            ir = DeviceIR(d.uvid, "effect", d.effect.kind,
+                          params=dict(d.effect.params))
+        if d.uvid in devices:
+            warn(f"duplicate device ID {d.uvid}; keeping the first")
+            continue
+        devices[d.uvid] = ir
+
+    # ---- patch cables ---------------------------------------------------
+    sinks: dict[str, list[str]] = {MAIN_MIXER_UVID: []}
+    for cable in song.patch_cables:
+        if len(cable) < 2:
+            warn("ignoring patch cable with only one ID.")
+            continue
+        prev = None
+        for uvid in cable:
+            if prev is not None:
+                src, dst = devices.get(prev), devices.get(uvid)
+                if src is None:
+                    warn(f"output patch ID '{prev}' not found.")
+                elif dst is None:
+                    warn(f"input patch ID '{uvid}' not found.")
+                else:
+                    outputs_audio, _ = _audio_roles(src)
+                    _, accepts_audio = _audio_roles(dst)
+                    if not accepts_audio:
+                        raise PatchError(
+                            f"Input device {uvid} doesn't transform audio and "
+                            f"can't be patched from output device {prev}"
+                        )
+                    if not outputs_audio:
+                        raise PatchError(
+                            f"Output device {prev} doesn't output audio and "
+                            f"can't be patched into input device {uvid}"
+                        )
+                    sinks.setdefault(uvid, []).append(prev)
+            prev = uvid
+
+    # ---- sequencer events + arpeggiators --------------------------------
+    all_events, end_beats = ev_mod.stamp_patterns(song)
+    for dev in devices.values():
+        if dev.kind == "arpeggiator":
+            arp_in = [e for e in all_events if e.channel == dev.midi_in]
+            arp_bpm = float(dev.params.get("bpm", tempo.bpm))
+            all_events = all_events + ev_mod.arpeggiate(
+                arp_in, arp_bpm, tempo, dev.midi_out
+            )
+
+    n_frames = render_length_frames(tempo, sr, MusicalTime.from_beats(end_beats))
+    n_blocks = n_frames // SAMPLE_BUFFER_SIZE
+
+    frame_notes = ev_mod.quantize_events(all_events, tempo, sr)
+
+    # ---- per-instrument note tensors & voice params ----------------------
+    for dev in devices.values():
+        if dev.role != "instrument":
+            continue
+        mine = [n for n in frame_notes
+                if n.channel == dev.midi_in and n.on_frame < max(n_frames, 1)]
+        keys = np.asarray([n.key for n in mine], np.int32)
+        vels = np.asarray([n.velocity for n in mine], np.float32)
+        on = np.asarray([n.on_frame for n in mine], np.int32)
+        off = np.asarray([n.off_frame for n in mine], np.int32)
+
+        if dev.kind == "welsh":
+            patch = WelshPatchSettings.by_name(paths, dev.params["name"])
+            dev.voice = patch.derive_welsh_voice_params()
+        elif dev.kind == "welsh-raw":
+            # inline WelshSynthParams; reuse the patch derivation on the
+            # raw voice dict when present
+            raw = dev.params.get("voice", dev.params)
+            dev.voice = WelshPatchSettings(name="raw", raw=raw)\
+                .derive_welsh_voice_params() if "oscillator-1" in raw else None
+            if dev.voice is None:
+                warn(f"{dev.uvid}: unsupported welsh-raw payload; silent")
+        elif dev.kind == "fm-synthesizer":
+            dev.voice = FmSynthParams.from_json(dev.params)
+        elif dev.kind == "drumkit":
+            table, note_slots = sampler_mod.load_drumkit(
+                paths, str(dev.params.get("name", "707"))
+            )
+            dev.sample_table = table
+            dev.drum_note_slots = note_slots
+            dev.slots = sampler_mod.assign_drum_slots(keys, note_slots)
+        elif dev.kind == "sampler":
+            dev.sample_table = sampler_mod.load_sample(
+                paths, str(dev.params["filename"])
+            )
+            dev.slots = np.zeros(len(keys), np.int32)
+
+        if isinstance(dev.voice, WelshVoiceParams) and dev.voice.polyphony == "mono":
+            off = apply_mono_policy(on, off)
+
+        dev.notes = NoteTensors(keys, vels, on, off)
+
+    # ---- control links: trips -------------------------------------------
+    initial_values: dict[tuple[str, str], float] = {}
+    resolved: dict[tuple[str, str], param_mod.Param] = {}
+    for trip in song.trips:
+        tgt = devices.get(trip.target.id)
+        if tgt is None:
+            warn(f"trip {trip.id} controls nonexistent entity {trip.target.id}")
+            continue
+        p = param_mod.resolve(tgt.kind, trip.target.param)
+        if p is None:
+            warn(
+                f"trip {trip.id} not added because of error 'target "
+                f"{trip.target.id} does not have a controllable parameter "
+                f"named `{trip.target.param}`'"
+            )
+            continue
+        key = (trip.target.id, trip.target.param)
+        resolved[key] = p
+        configured = tgt.params.get(p.name)
+        initial_values[key] = (
+            float(p.from_domain(float(configured))) if configured is not None else 0.0
+        )
+
+    curves = auto_mod.compile_trips(song, n_blocks, sr, initial_values)
+    for (uvid, pname), curve in curves.items():
+        p = resolved.get((uvid, pname))
+        if p is None:
+            continue
+        dev = devices[uvid]
+        dev.automation[p.name] = np.asarray(
+            [p.to_domain(float(v)) for v in curve], np.float32
+        )
+
+    # ---- control links: `controls` section (LFO + sidechain) -------------
+    sidechain: list[tuple[str, str, str]] = []
+    for ctl in song.controls:
+        src = devices.get(ctl.source)
+        tgt = devices.get(ctl.target.id)
+        if src is None or tgt is None:
+            warn(f"couldn't find control source/target for automation "
+                 f"ID {ctl.id}; skipping")
+            continue
+        p = param_mod.resolve(tgt.kind, ctl.target.param)
+        if p is None:
+            warn(f"skipping automation ID {ctl.id}: target {ctl.target.id} "
+                 f"has no controllable parameter '{ctl.target.param}'")
+            continue
+        if src.kind == "lfo":
+            wf = src.params.get("waveform", "sine")
+            pw = 0.5
+            if isinstance(wf, dict):
+                pw = float(wf.get("pulse-width", 0.5))
+                wf = "pulse-width"
+            curve = auto_mod.lfo_curve(
+                str(wf), float(src.params.get("frequency", 1.0)), pw,
+                n_blocks, tempo, sr,
+            )
+            tgt.automation[p.name] = np.asarray(
+                [p.to_domain(float(v)) for v in curve], np.float32
+            )
+        elif src.kind == "signal-passthrough-controller":
+            sidechain.append((ctl.source, ctl.target.id, p.name))
+        else:
+            warn(f"skipping automation ID {ctl.id}: source kind {src.kind} "
+                 f"does not emit control values")
+
+    # ---- evaluation order -------------------------------------------------
+    order = _topo_order(devices, sinks, sidechain)
+
+    return CompiledSong(
+        title=song.title,
+        sample_rate=sample_rate,
+        bpm=tempo.bpm,
+        time_signature=(ts.top, ts.bottom),
+        n_frames=n_frames,
+        n_blocks=n_blocks,
+        devices=devices,
+        sinks=sinks,
+        order=order,
+        sidechain=sidechain,
+    )
+
+
+def _topo_order(devices, sinks, sidechain) -> list:
+    """Topological order over audio edges (source -> sink) plus sidechain
+    control edges (passthrough -> target)."""
+    deps: dict[str, set] = {u: set() for u in devices}
+    for sink, sources in sinks.items():
+        for s in sources:
+            deps.setdefault(sink, set()).add(s)
+    for src, tgt, _ in sidechain:
+        deps.setdefault(tgt, set()).add(src)
+    order: list[str] = []
+    ready = sorted([u for u, d in deps.items() if not d])
+    deps = {u: set(d) for u, d in deps.items()}
+    while ready:
+        u = ready.pop(0)
+        order.append(u)
+        for v, d in deps.items():
+            if u in d:
+                d.discard(u)
+                if not d and v not in order and v not in ready:
+                    ready.append(v)
+        ready.sort()
+    if len(order) != len(deps):
+        cyc = set(deps) - set(order)
+        raise PatchError(f"audio/control graph has a cycle involving {sorted(cyc)}")
+    return order

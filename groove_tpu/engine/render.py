@@ -1,0 +1,324 @@
+"""Whole-song rendering.
+
+The reference renders with a per-sample explicit-stack DFS over the entity
+graph (orchestration/src/orchestrator.rs:351-470, `gather_audio`) — the
+code even notes it should "snapshot it ... and whiz through the snapshot"
+(:357-359). This module is that snapshot: the compiled song graph is
+traced once into a single XLA program; instruments render as batched note
+tensors, effects as vectorized transforms (IIR via associative scans), and
+the mix bus as sums. Automation is applied per 64-frame block exactly like
+the reference's handle_work cadence, upsampled to per-sample tensors.
+
+Sidechain semantics: the reference's SignalPassthroughController observes
+audio during buffer b's gather and emits its control value in the *next*
+buffer's handle_work — a one-block delay (orchestrator.rs:631-708 ordering).
+Reproduced by shifting the derived per-block curve right by one block.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groove_tpu.compiler.song import CompiledSong, DeviceIR, MAIN_MIXER_UVID
+from groove_tpu.core.time import SAMPLE_BUFFER_SIZE
+from groove_tpu.models import fm as fm_model
+from groove_tpu.models import sampler as sampler_model
+from groove_tpu.models import simple as simple_model
+from groove_tpu.models import welsh as welsh_model
+from groove_tpu.models.voices import scatter_notes, span_for
+from groove_tpu.ops import delayfx, dynamics, effects, iir
+from groove_tpu.ops.dca import pan_gains
+from groove_tpu.project.schema import warn
+
+BLOCK = SAMPLE_BUFFER_SIZE
+
+
+class Renderer:
+    """Builds and runs the jitted render program for one compiled song."""
+
+    def __init__(self, compiled: CompiledSong):
+        self.c = compiled
+        self.inputs: dict[str, np.ndarray] = {}
+        self._spans: dict[str, int] = {}
+        self._collect_inputs()
+        # Pin inputs on-device once; sample tables are tens of MB and must
+        # not be re-shipped per render call.
+        self.inputs = jax.device_put(self.inputs)
+        self._fn = jax.jit(self._render)
+
+    # ---- host-side input collection --------------------------------------
+
+    def _collect_inputs(self) -> None:
+        c = self.c
+        for dev in c.devices.values():
+            if dev.role == "instrument" and dev.notes is not None:
+                self._collect_instrument(dev)
+            for pname, curve in dev.automation.items():
+                self.inputs[f"{dev.uvid}/auto/{pname}"] = curve
+
+    def _collect_instrument(self, dev: DeviceIR) -> None:
+        notes = dev.notes
+        if notes.count == 0:
+            return
+        sr = self.c.sample_rate
+        gate = notes.off_frames - notes.on_frames
+        max_gate = int(gate.max()) if notes.count else 0
+        if dev.kind == "welsh" and dev.voice is not None:
+            tail = welsh_model.tail_seconds(dev.voice)
+        elif dev.kind == "fm-synthesizer":
+            tail = fm_model.tail_seconds(dev.voice)
+        elif dev.kind == "drumkit":
+            # one-shots play to the sample end regardless of gate
+            tail = float(dev.sample_table.lengths.max()) / sr
+        elif dev.kind == "sampler":
+            tail = 0.0
+        elif dev.kind == "envelope":
+            tail = float(dev.params.get("release", 0.0))
+        else:
+            tail = 0.0
+        span = span_for(max_gate, tail, sr)
+        self._spans[dev.uvid] = span
+        u = dev.uvid
+        self.inputs[f"{u}/keys"] = notes.keys
+        self.inputs[f"{u}/vels"] = notes.vels
+        self.inputs[f"{u}/on"] = notes.on_frames
+        self.inputs[f"{u}/gate"] = gate.astype(np.int32)
+        if dev.sample_table is not None:
+            self.inputs[f"{u}/table"] = dev.sample_table.data
+            self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
+            self.inputs[f"{u}/rates"] = dev.sample_table.rates
+            self.inputs[f"{u}/slots"] = dev.slots
+            if dev.kind == "sampler":
+                self.inputs[f"{u}/ratios"] = np.asarray(
+                    sampler_model.sampler_ratios(
+                        notes.keys, float(dev.params.get("root", 440.0))
+                    ),
+                    np.float32,
+                )
+
+    # ---- traced render ----------------------------------------------------
+
+    def _param(self, inputs, dev: DeviceIR, name: str, default: float,
+               n: int, override=None):
+        """Per-sample [n] array if automated/overridden, else a scalar."""
+        if override is not None:
+            return override
+        key = f"{dev.uvid}/auto/{name}"
+        if key in inputs:
+            return jnp.repeat(inputs[key], BLOCK, total_repeat_length=n)
+        return float(dev.params.get(name, default))
+
+    def _render_instrument(self, inputs, dev: DeviceIR, n: int):
+        u = dev.uvid
+        sr = float(self.c.sample_rate)
+        if dev.kind == "oscillator":
+            wf = dev.params.get("waveform", "sine")
+            pw = 0.5
+            if isinstance(wf, dict):
+                pw = float(wf.get("pulse-width", 0.5))
+                wf = "pulse-width"
+            mono = simple_model.oscillator_instrument(
+                str(wf), float(dev.params.get("frequency", 440.0)), n, sr
+            )
+            if wf == "pulse-width":
+                t = jnp.arange(n, dtype=jnp.float32)
+                from groove_tpu.ops import oscillator as osc_ops
+                mono = osc_ops.pulse_width(
+                    float(dev.params.get("frequency", 440.0)) * t / sr, pw
+                )
+            return jnp.stack([mono, mono])
+        if dev.kind == "toy-instrument":
+            mono = simple_model.toy_instrument(
+                float(dev.params.get("fake-value", 0.0)), n
+            )
+            return jnp.stack([mono, mono])
+
+        if dev.notes is None or dev.notes.count == 0:
+            return jnp.zeros((2, n), jnp.float32)
+
+        span = self._spans[u]
+        keys, vels = inputs[f"{u}/keys"], inputs[f"{u}/vels"]
+        on, gate = inputs[f"{u}/on"], inputs[f"{u}/gate"]
+
+        if dev.kind == "welsh" or dev.kind == "welsh-raw":
+            if dev.voice is None:
+                return jnp.zeros((2, n), jnp.float32)
+            mono_notes = welsh_model.render_notes(
+                dev.voice, keys, vels, gate, span, sr
+            )
+            mono = scatter_notes(mono_notes, on, n)
+            # voice DCA (patch-derived gain 1 / pan 0) then synth DCA with
+            # possible pan/gain automation (patches.rs:160-168 has both).
+            lv, rv = pan_gains(0.0)
+            pan = self._param(inputs, dev, "pan", 0.0, n)
+            g = self._param(inputs, dev, "gain", 1.0, n)
+            ls, rs = pan_gains(pan)
+            return jnp.stack([mono * lv * ls * g, mono * rv * rs * g])
+        if dev.kind == "fm-synthesizer":
+            mono_notes = fm_model.render_notes(dev.voice, keys, vels, gate, span, sr)
+            mono = scatter_notes(mono_notes, on, n)
+            pan = self._param(inputs, dev, "pan", dev.voice.pan, n)
+            g = self._param(inputs, dev, "gain", dev.voice.gain, n)
+            left, right = pan_gains(pan)
+            return jnp.stack([mono * left * g, mono * right * g])
+        if dev.kind in ("drumkit", "sampler"):
+            if dev.kind == "drumkit":
+                gate_eff = jnp.full_like(gate, span)  # one-shot
+                ratios = jnp.ones((dev.notes.count,), jnp.float32)
+            else:
+                gate_eff = gate
+                ratios = inputs[f"{u}/ratios"]
+            stereo_notes = sampler_model.render_notes(
+                inputs[f"{u}/table"], inputs[f"{u}/lengths"],
+                inputs[f"{u}/rates"], inputs[f"{u}/slots"],
+                ratios, gate_eff, vels, span, sr,
+            )
+            return scatter_notes(stereo_notes, on, n)
+        if dev.kind == "envelope":
+            adsr = (
+                float(dev.params.get("attack", 0.0)),
+                float(dev.params.get("decay", 0.0)),
+                float(dev.params.get("sustain", 1.0)),
+                float(dev.params.get("release", 0.0)),
+            )
+            mono_notes = simple_model.envelope_instrument(
+                adsr, keys, vels, gate, span, sr
+            )
+            mono = scatter_notes(mono_notes, on, n)
+            return jnp.stack([mono, mono])
+        warn(f"unknown instrument kind {dev.kind}; silent")
+        return jnp.zeros((2, n), jnp.float32)
+
+    def _apply_effect(self, inputs, dev: DeviceIR, x, n: int, overrides):
+        sr = float(self.c.sample_rate)
+        k = dev.kind
+        P = lambda name, default, ov=None: self._param(  # noqa: E731
+            inputs, dev, name, default, n,
+            override=overrides.get((dev.uvid, name)) if ov is None else ov,
+        )
+        if k == "mixer" or k == "signal-passthrough-controller":
+            return x
+        if k == "gain":
+            return effects.gain(x, P("ceiling", 1.0))
+        if k == "limiter":
+            return effects.limiter(x, P("minimum", 0.0), P("maximum", 1.0))
+        if k == "bitcrusher":
+            bits = overrides.get((dev.uvid, "bits-to-crush"))
+            if bits is None:
+                key = f"{dev.uvid}/auto/bits-to-crush"
+                if key in inputs:
+                    bits = jnp.repeat(inputs[key], BLOCK, total_repeat_length=n)
+                else:
+                    bits = float(dev.params.get("bits", 8))
+            return effects.bitcrusher(x, bits)
+        if k == "compressor":
+            thr = P("threshold", 1.0)
+            ratio = P("ratio", 1.0)
+            att = float(dev.params.get("attack", 0.0))
+            rel = float(dev.params.get("release", 0.0))
+            if att <= 0.0 and rel <= 0.0:
+                return dynamics.compressor(x, thr, ratio)
+            return dynamics.compressor_smoothed(x, thr, ratio, att, rel, sr)
+        if k == "delay":
+            return delayfx.delay(x, float(dev.params.get("delay", 0.0)), sr)
+        if k == "chorus":
+            return delayfx.chorus(
+                x, int(dev.params.get("voices", 1)),
+                float(dev.params.get("delay-seconds", 0.0)), sr,
+                wet_dry_mix=P("wet-dry-mix", 1.0),
+            )
+        if k == "reverb":
+            return delayfx.reverb(
+                x, float(dev.params.get("attenuation", 1.0)),
+                float(dev.params.get("seconds", 0.0)), sr,
+            )
+        if k == "toy":
+            return simple_model.toy_effect(x)
+        if k.startswith("filter-"):
+            cutoff = P("cutoff", 1000.0)
+            if k == "filter-low-pass-24db":
+                q = P("passband-ripple", 0.707)
+                return iir.lp24_apply(x, cutoff, jnp.maximum(q, 1e-3), sr)
+            if k == "filter-low-pass-12db":
+                coefs = iir.rbj_low_pass(cutoff, jnp.maximum(P("q", 0.707), 1e-3), sr)
+            elif k == "filter-high-pass-12db":
+                coefs = iir.rbj_high_pass(cutoff, jnp.maximum(P("q", 0.707), 1e-3), sr)
+            elif k == "filter-all-pass-12db":
+                coefs = iir.rbj_all_pass(cutoff, jnp.maximum(P("q", 0.707), 1e-3), sr)
+            elif k == "filter-band-pass-12db":
+                coefs = iir.rbj_band_pass(
+                    cutoff, jnp.maximum(P("bandwidth", 1.0), 1e-3), sr
+                )
+            elif k == "filter-band-stop-12db":
+                coefs = iir.rbj_band_stop(
+                    cutoff, jnp.maximum(P("bandwidth", 1.0), 1e-3), sr
+                )
+            elif k == "filter-peaking-eq-12db":
+                coefs = iir.rbj_peaking_eq(
+                    cutoff, jnp.maximum(P("q", 1.0), 1e-3), P("db-gain", 0.0), sr
+                )
+            elif k == "filter-low-shelf-12db":
+                coefs = iir.rbj_low_shelf(cutoff, P("db-gain", 0.0), sr)
+            elif k == "filter-high-shelf-12db":
+                coefs = iir.rbj_high_shelf(cutoff, P("db-gain", 0.0), sr)
+            else:
+                warn(f"unknown filter kind {k}; passthrough")
+                return x
+            return iir.biquad(x, coefs)
+        warn(f"unknown effect kind {k}; passthrough")
+        return x
+
+    def _render(self, inputs):
+        c = self.c
+        n = c.n_frames
+        outputs: dict[str, jnp.ndarray] = {}
+        node_input: dict[str, jnp.ndarray] = {}
+        overrides: dict[tuple, jnp.ndarray] = {}
+        sidechain_by_src = {}
+        for src, tgt, pname in c.sidechain:
+            sidechain_by_src.setdefault(src, []).append((tgt, pname))
+
+        for uvid in c.order:
+            dev = c.devices[uvid]
+            if dev.role == "instrument":
+                outputs[uvid] = self._render_instrument(inputs, dev, n)
+                continue
+            sources = c.sinks.get(uvid, [])
+            acc = jnp.zeros((2, n), jnp.float32)
+            for s in sources:
+                if s in outputs:
+                    acc = acc + outputs[s]
+            node_input[uvid] = acc
+            if dev.role == "controller" and dev.kind != "signal-passthrough-controller":
+                continue  # non-audio controllers have no audio output
+            outputs[uvid] = self._apply_effect(inputs, dev, acc, n, overrides)
+            if uvid in sidechain_by_src:
+                # last sample of block b-1 -> control value for block b
+                last = acc[:, BLOCK - 1::BLOCK]           # [2, n_blocks]
+                val = jnp.abs(jnp.mean(last, axis=0))
+                val = jnp.concatenate([jnp.zeros(1, val.dtype), val[:-1]])
+                per_sample = jnp.repeat(val, BLOCK, total_repeat_length=n)
+                for tgt, pname in sidechain_by_src[uvid]:
+                    overrides[(tgt, pname)] = per_sample
+
+        out = outputs.get(MAIN_MIXER_UVID, jnp.zeros((2, n), jnp.float32))
+        return out.T  # [n, 2]
+
+    # ---- public -----------------------------------------------------------
+
+    def render(self) -> np.ndarray:
+        if self.c.n_frames == 0:
+            return np.zeros((0, 2), np.float32)
+        return np.asarray(self._fn(self.inputs))
+
+    def render_device(self) -> jnp.ndarray:
+        """Device-resident render (no host copy), for benchmarking."""
+        return self._fn(self.inputs)
+
+
+def render_song(compiled: CompiledSong) -> np.ndarray:
+    return Renderer(compiled).render()

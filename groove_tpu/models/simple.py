@@ -1,0 +1,79 @@
+"""Simple instruments: always-on oscillator, envelope demo instrument,
+metronome, and the toy test doubles.
+
+- `oscillator` / `envelope` instrument kinds appear in demo projects but
+  not in the reference's InstrumentSettings (SURVEY §7 data quirks;
+  projects/demos/instruments/oscillator-sine-a4.json:13-21,
+  envelope-adsr-linear.json:14-27). The oscillator instrument plays its
+  configured frequency continuously for the whole render; the envelope
+  instrument is a fixed-frequency tone shaped by the configured ADSR per
+  note.
+- Metronome: square-wave clicks, 440 Hz per beat / 880 Hz per measure,
+  10 ms long (full source in entities/src/instruments/metronome.rs:43-96;
+  disabled in the reference Orchestrator pending its issue #127, so the
+  engine only instantiates it on request).
+- Toys (groove-toys, missing; contracts from orchestrator tests):
+  ToyAudioSource emits a constant `level`; ToyInstrument emits `fake_value`
+  with its sign flipping each sample (tests only use the magnitude);
+  ToyEffect negates; DebugSynth emits a constant 0.32767.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from groove_tpu.ops import envelope as env_ops
+from groove_tpu.ops import oscillator as osc_ops
+from groove_tpu.models.voices import note_freqs
+
+
+def oscillator_instrument(kind: str, frequency: float, n_frames: int,
+                          sample_rate: float, noise_seed: int = 0) -> jnp.ndarray:
+    """Always-on oscillator -> mono [n]."""
+    t = jnp.arange(n_frames, dtype=jnp.float32)
+    phase = frequency * t / sample_rate
+    if kind == "noise":
+        import jax
+        return osc_ops.noise(jax.random.PRNGKey(noise_seed), (n_frames,))
+    return osc_ops.evaluate(kind, phase)
+
+
+def envelope_instrument(adsr_seconds, keys, vels, gate_frames, span: int,
+                        sample_rate: float) -> jnp.ndarray:
+    """Sine at note pitch shaped by the configured ADSR -> [n_notes, span]."""
+    a, d, s, r = adsr_seconds
+    keys = jnp.asarray(keys, jnp.float32)
+    t = jnp.arange(span, dtype=jnp.float32)[None, :] / sample_rate
+    gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
+    env = env_ops.adsr(t, gate_s, a, d, s, r)
+    tone = jnp.sin(2.0 * jnp.pi * note_freqs(keys)[:, None] * t)
+    return tone * env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
+
+
+def metronome(n_frames: int, sample_rate: float, bpm: float,
+              beats_per_measure: int = 4) -> jnp.ndarray:
+    """Square clicks: 880 Hz at measure starts, 440 Hz other beats, 10 ms."""
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    beat_len = 60.0 / bpm
+    beat_idx = np.floor(t / beat_len).astype(np.int64)
+    in_click = (t - beat_idx * beat_len) < 0.01
+    is_measure = (beat_idx % beats_per_measure) == 0
+    freq = np.where(is_measure, 880.0, 440.0)
+    phase = (t - beat_idx * beat_len) * freq
+    sq = np.where((phase - np.floor(phase)) < 0.5, 1.0, -1.0)
+    return jnp.asarray((sq * in_click).astype(np.float32))
+
+
+def toy_audio_source(level: float, n_frames: int) -> jnp.ndarray:
+    return jnp.full((n_frames,), level, jnp.float32)
+
+
+def toy_instrument(fake_value: float, n_frames: int) -> jnp.ndarray:
+    return jnp.full((n_frames,), fake_value, jnp.float32)
+
+
+def toy_effect(x: jnp.ndarray) -> jnp.ndarray:
+    """Negator: signal + its toy-effected copy must cancel
+    (orchestration/src/util.rs tests :52-78)."""
+    return -x

@@ -1,0 +1,56 @@
+"""Shared voice-batch utilities."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from groove_tpu.core.types import note_to_frequency
+
+
+def note_freqs(keys) -> jnp.ndarray:
+    """MIDI keys [n] -> Hz [n] (A4=440; patches.rs:8 note_to_frequency)."""
+    keys = jnp.asarray(keys, jnp.float32)
+    return 440.0 * jnp.exp2((keys - 69.0) / 12.0)
+
+
+def span_for(max_gate_frames: int, tail_seconds: float, sample_rate: int,
+             minimum: int = 256, multiple: int = 128) -> int:
+    """Static per-instrument note window length."""
+    span = int(max_gate_frames) + int(np.ceil(tail_seconds * sample_rate)) + 1
+    span = max(span, minimum)
+    return -(-span // multiple) * multiple
+
+
+def scatter_notes(note_audio: jnp.ndarray, on_frames, n_frames: int) -> jnp.ndarray:
+    """Sum per-note windows into the song timeline.
+
+    note_audio: [n_notes, span] (mono) or [n_notes, 2, span] (stereo);
+    on_frames: [n_notes] int32 start frames. Returns [n] or [2, n].
+    """
+    span = note_audio.shape[-1]
+    on = jnp.asarray(on_frames, jnp.int32)
+    idx = on[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :]
+    if note_audio.ndim == 2:
+        out = jnp.zeros((n_frames + span,), note_audio.dtype)
+        out = out.at[idx].add(note_audio)
+        return out[:n_frames]
+    out = jnp.zeros((2, n_frames + span), note_audio.dtype)
+    vals = jnp.moveaxis(note_audio, 1, 0)  # [2, n_notes, span]
+    out = out.at[:, idx].add(vals)
+    return out[:, :n_frames]
+
+
+def apply_mono_policy(on: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Monophonic voice policy: a new note-on gates off the previous note.
+
+    Host-side event transform (PolyphonySettings::Mono,
+    settings/src/patches.rs:193-200; stealing policy is a documented
+    reconstruction — the reference implementation is missing at HEAD).
+    Events must be sorted by on_frame. Returns adjusted off frames.
+    """
+    off = off.copy()
+    for i in range(len(on) - 1):
+        if off[i] > on[i + 1]:
+            off[i] = on[i + 1]
+    return off

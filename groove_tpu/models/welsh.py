@@ -1,0 +1,177 @@
+"""Welsh dual-oscillator subtractive voice — the flagship kernel.
+
+The reference WelshVoice (groove-entities, missing at HEAD; parameters
+assembled at settings/src/patches.rs:110-169, described in README.md:72-79
+as "dual oscillators with a low-pass filter and LFO") renders per sample:
+
+    osc1/osc2 (optional hard sync) -> mix -> 24 dB low-pass whose cutoff is
+    driven by the filter envelope (and optionally the LFO) -> amp envelope
+    -> DCA
+
+Here the whole voice is one fused tensor program over [n_notes, span]:
+closed-form phases, closed-form ADSRs, per-sample-coefficient 24 dB filter
+via the associative-scan IIR engine (ops/iir.py), everything VPU-parallel
+across notes and samples.
+
+Reconstruction decisions (voice body missing at HEAD; documented for
+review):
+  - velocity scales amplitude linearly (vel/127);
+  - LFO restarts at note-on, bipolar, depth as Normal;
+    routings: pitch -> freq * 2^(lfo*depth) (one octave full-scale);
+    amplitude -> *(1 + lfo*depth); pulse-width -> width + 0.5*lfo*depth
+    (clipped 0.01..0.99); filter-cutoff -> cutoff_pct + lfo*depth;
+    extended corpus routings: pitch-osc2 / pw-osc1 / pw-osc2 per-osc,
+    resonance -> q*(1+lfo*depth), cutoff-amp -> cutoff + amplitude;
+  - oscillator mixing: share `mix` to osc1 vs osc2 when both are active,
+    full scale when only one is (patches.rs:123-132 fixes the share);
+    noise mixes in at its patch level: out*(1-noise) + noise_osc*noise.
+    (Note: the reference's derive drops noise entirely because
+    WelshSynthParams has no noise slot — patches.rs:110-169; keeping it is
+    a deliberate improvement, flagged here.)
+  - filter cutoff percentage = start + (end-start)*filter_env, converted
+    through the hearing-range map (25*800^pct), per sample;
+  - both the voice DCA and the synth DCA apply (both exist in
+    WelshSynthParams, patches.rs:160-168), i.e. 0.75^2 per channel at
+    center pan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groove_tpu.core import types as T
+from groove_tpu.ops import envelope as env_ops
+from groove_tpu.ops import oscillator as osc_ops
+from groove_tpu.ops.iir import biquad, lp24_sections
+from groove_tpu.project.patches import WelshVoiceParams
+from groove_tpu.models.voices import note_freqs
+
+LN_BASE = float(np.log(T.FREQUENCY_TO_LINEAR_BASE))
+LN_COEF = float(np.log(T.FREQUENCY_TO_LINEAR_COEFFICIENT))
+
+
+@dataclass(frozen=True)
+class WelshNoteBatch:
+    """Device arrays for one Welsh instrument's notes."""
+
+    keys: jnp.ndarray        # [n] int32
+    vels: jnp.ndarray        # [n] float32 (0..127)
+    gate_frames: jnp.ndarray  # [n] int32
+
+
+def render_notes(
+    params: WelshVoiceParams,
+    keys,
+    vels,
+    gate_frames,
+    span: int,
+    sample_rate: float,
+    noise_seed: int = 0,
+) -> jnp.ndarray:
+    """Render all notes -> mono [n_notes, span]."""
+    keys = jnp.asarray(keys, jnp.float32)
+    n_notes = keys.shape[0]
+    t = jnp.arange(span, dtype=jnp.float32)[None, :] / sample_rate  # [1, span]
+    base_freq = note_freqs(keys)[:, None]  # [n, 1]
+    gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
+
+    lfo = params.lfo
+    if lfo.routing != "none" and lfo.frequency > 0.0 and lfo.depth != 0.0:
+        lfo_phase = lfo.frequency * t  # restarts at note-on
+        lfo_val = osc_ops.evaluate(
+            lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
+        ) * lfo.depth  # [1, span]
+    else:
+        lfo_val = jnp.zeros((1, 1), jnp.float32)
+    routing = lfo.routing
+
+    def osc_freq(osc, fixed_hz, is_osc2):
+        if fixed_hz is not None:
+            f = jnp.full_like(base_freq, fixed_hz)
+        else:
+            f = base_freq * osc.tune_ratio
+        if routing == "pitch" or (routing == "pitch-osc2" and is_osc2):
+            f = f * jnp.exp2(lfo_val)
+        return jnp.broadcast_to(f, (n_notes, span))
+
+    def osc_signal(osc, phase, which):
+        kind = osc.waveform.kind
+        if kind == "none":
+            return jnp.zeros((n_notes, span), jnp.float32)
+        if kind == "pulse-width":
+            width = osc.waveform.pulse_width
+            if routing == "pulse-width" or routing == f"pw-osc{which}":
+                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
+            return osc_ops.pulse_width(phase, width)
+        if kind == "noise":
+            return osc_ops.noise(
+                jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
+                (n_notes, span),
+            )
+        return osc_ops.evaluate(kind, phase)
+
+    o1_active = params.oscillator_1.waveform.kind != "none"
+    o2_active = params.oscillator_2.waveform.kind != "none"
+
+    f1 = osc_freq(params.oscillator_1, None, False)
+    f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz, True)
+    phase1 = osc_ops.phase_from_freq(f1, sample_rate)
+    if params.oscillator_2_sync and o1_active:
+        # hard sync: osc2 phase resets at each osc1 wrap (closed form)
+        phase2 = osc_ops.hard_sync_phase(phase1, f2 / jnp.maximum(f1, 1e-6))
+    else:
+        phase2 = osc_ops.phase_from_freq(f2, sample_rate)
+
+    s1 = osc_signal(params.oscillator_1, phase1, 1)
+    s2 = osc_signal(params.oscillator_2, phase2, 2)
+
+    mix = params.oscillator_mix
+    if o1_active and o2_active:
+        osc_out = mix * s1 + (1.0 - mix) * s2
+    elif o1_active:
+        osc_out = s1
+    elif o2_active:
+        osc_out = s2
+    else:
+        osc_out = jnp.zeros((n_notes, span), jnp.float32)
+
+    if params.noise > 0.0:
+        nz = osc_ops.noise(
+            jax.random.fold_in(jax.random.PRNGKey(noise_seed), 3),
+            (n_notes, span),
+        )
+        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
+
+    # Filter: cutoff pct driven by the filter envelope (and LFO routings).
+    fe = params.filter_envelope
+    f_env = env_ops.adsr(t, gate_s, fe.attack, fe.decay, fe.sustain, fe.release)
+    cutoff_pct = params.filter_cutoff_start + (
+        params.filter_cutoff_end - params.filter_cutoff_start
+    ) * f_env
+    if routing in ("filter-cutoff", "cutoff-amp"):
+        cutoff_pct = cutoff_pct + lfo_val
+    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
+    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)  # 25 * 800^pct
+    q = params.filter_q
+    if routing == "resonance":
+        q = jnp.maximum(q * (1.0 + lfo_val), 0.1)
+    gain, sections = lp24_sections(cutoff_hz, q, sample_rate)
+    y = osc_out * gain
+    for sec in sections:
+        y = biquad(y, sec)
+
+    # Amp envelope + velocity + amplitude LFO.
+    ae = params.amp_envelope
+    a_env = env_ops.adsr(t, gate_s, ae.attack, ae.decay, ae.sustain, ae.release)
+    amp = a_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
+    if routing in ("amplitude", "cutoff-amp"):
+        amp = amp * (1.0 + lfo_val)
+    return y * amp
+
+
+def tail_seconds(params: WelshVoiceParams) -> float:
+    return max(params.amp_envelope.release, 0.0)

@@ -80,13 +80,18 @@ def delay(x, delay_seconds: float, sample_rate: float):
     return delay_signal(x, int(round(delay_seconds * sample_rate)))
 
 
-def chorus(x, voices: int, delay_seconds: float, sample_rate: float):
+def chorus(x, voices: int, delay_seconds: float, sample_rate: float,
+           wet_dry_mix=1.0):
+    """Multi-tap chorus. `wet-dry-mix` is a controllable param in the
+    reference (automated by projects/demos/effects/chorus.json's trip);
+    1.0 = fully wet (the tap sum), 0.0 = dry passthrough."""
     voices = max(1, int(voices))
     total_d = int(round(delay_seconds * sample_rate))
-    out = jnp.zeros_like(x)
+    wet = jnp.zeros_like(x)
     for v in range(voices):
-        out = out + delay_signal(x, v * total_d // voices)
-    return out / voices
+        wet = wet + delay_signal(x, v * total_d // voices)
+    wet = wet / voices
+    return x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
 
 
 def reverb(x, attenuation: float, seconds: float, sample_rate: float):

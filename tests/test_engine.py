@@ -1,0 +1,137 @@
+"""Engine golden tests, mirroring the reference's gather_audio tests
+(orchestration/src/orchestrator.rs:1444-1668) and sample-count accounting,
+but through the real project-file surface."""
+
+import json
+
+import numpy as np
+import pytest
+
+from groove_tpu.compiler.song import PatchError, compile_song
+from groove_tpu.engine.render import Renderer
+from groove_tpu.project.schema import SongSettings
+
+CLOCK = {"bpm": 240, "time-signature": [4, 4]}
+SILENT_PATTERN = [{"id": "p1", "notes": [[0]]}]
+TRACKS = [{"id": "t1", "midi-channel": 0, "patterns": ["p1"]}]
+
+
+def _song(devices, cables, patterns=None, tracks=None, controls=None):
+    d = {
+        "clock": CLOCK,
+        "devices": devices,
+        "patch-cables": cables,
+        "patterns": patterns or SILENT_PATTERN,
+        "tracks": tracks or TRACKS,
+    }
+    if controls:
+        d["controls"] = controls
+    return SongSettings.from_json5_str(json.dumps(d))
+
+
+def _toy(uvid, level):
+    return {"instrument": [uvid, {"toy-instrument": [{"midi-in": 0},
+                                                     {"fake-value": level}]}]}
+
+
+def _gain(uvid, ceiling):
+    return {"effect": [uvid, {"gain": {"ceiling": ceiling}}]}
+
+
+def _render(song):
+    return Renderer(compile_song(song)).render()
+
+
+def test_gather_audio_basic():
+    # 0.1 source through 0.5 gain (orchestrator.rs:1444-1472)
+    out = _render(_song(
+        [_toy("i1", 0.1), _gain("g1", 0.5)],
+        [["i1", "g1", "main-mixer"]],
+    ))
+    assert out.shape[1] == 2
+    assert np.allclose(out, 0.1 * 0.5, atol=1e-6)
+
+
+def test_gather_audio_branches():
+    # 0.1 direct + 0.5*(0.3 + 0.5) (orchestrator.rs:1642-1668)
+    out = _render(_song(
+        [_toy("i1", 0.1), _toy("i2", 0.3), _toy("i3", 0.5), _gain("g1", 0.5)],
+        [["i1", "main-mixer"], ["i2", "g1", "main-mixer"], ["i3", "g1"]],
+    ))
+    assert np.allclose(out, 0.1 + 0.5 * (0.3 + 0.5), atol=1e-6)
+
+
+def test_toy_effect_negation_cancels():
+    # signal + its negation == silence (orchestration/src/util.rs:52-78)
+    out = _render(_song(
+        [_toy("i1", 0.25), {"effect": ["neg", {"toy": {}}]}],
+        [["i1", "main-mixer"], ["i1", "neg", "main-mixer"]],
+    ))
+    assert np.allclose(out, 0.0, atol=1e-7)
+
+
+def test_instruments_have_no_inputs():
+    # patching into an instrument is a hard error
+    # (orchestrator.rs:263-304; test-data/instruments-have-no-inputs.json5)
+    with pytest.raises(PatchError):
+        compile_song(_song(
+            [_toy("i1", 0.1), _toy("i2", 0.2)],
+            [["i1", "i2", "main-mixer"]],
+        ))
+
+
+def test_render_length_buffer_granular():
+    # one silent 1-measure pattern at 240 BPM / 44.1 kHz: 1s of audio,
+    # rounded up to the 64-frame buffer grid
+    c = compile_song(_song([_toy("i1", 0.1)], [["i1", "main-mixer"]]))
+    assert c.n_frames == 44160  # ceil(44100 / 64) * 64
+
+
+def test_scale_c4_major_compiles_with_correct_shape():
+    song = SongSettings.from_project_file(
+        "/root/reference/projects/scale-c4-major.json"
+    )
+    c = compile_song(song)
+    # 2 measures at 60 BPM = 8 s
+    assert c.n_frames == 352832  # ceil(352800/64)*64
+    notes = c.devices["instrument-1"].notes
+    assert notes.count == 8
+    assert list(notes.keys) == [60, 62, 64, 65, 67, 69, 71, 72]
+    # eighth notes at 60 BPM: 0.5 beats = 0.5 s apart, buffer-quantized
+    assert abs(notes.on_frames[1] - notes.on_frames[0] - 22050) < 64
+
+
+def test_drums_trip_curve_rises():
+    song = SongSettings.from_project_file(
+        "/root/reference/projects/demos/effects/drums-filtered-24db.json"
+    )
+    c = compile_song(song)
+    curve = c.devices["low-pass-1"].automation["cutoff"]
+    assert curve[0] == pytest.approx(25.0, rel=1e-3)     # pct 0 -> 25 Hz
+    assert curve[-1] == pytest.approx(20000.0, rel=1e-3)  # pct 1 -> 20 kHz
+    assert np.all(np.diff(curve.astype(np.float64)) >= -1e-3)  # monotone rise
+
+
+def test_envelope_demo_renders_adsr_shape():
+    song = SongSettings.from_project_file(
+        "/root/reference/projects/demos/instruments/envelope-adsr-linear.json"
+    )
+    c = compile_song(song)
+    out = Renderer(c).render()
+    assert len(out) == c.n_frames
+    env = np.abs(out[:, 0])
+    # peak of attack within ~0.1s; gate is a half note (1 beat at 128bpm?)
+    peak_t = np.argmax(env) / 44100.0
+    assert peak_t < 0.2
+    assert env.max() > 0.9
+    assert np.max(env[-4410:]) < 0.05  # released by the end
+
+
+def test_sidechain_compiles_and_orders():
+    song = SongSettings.from_project_file(
+        "/root/reference/projects/demos/controllers/sidechain.json"
+    )
+    c = compile_song(song)
+    assert ("sidechain-2", "compressor-2", "threshold") in c.sidechain
+    # passthrough must be evaluated before its target
+    assert c.order.index("sidechain-2") < c.order.index("compressor-2")
