@@ -168,15 +168,27 @@ class Renderer:
         if dev.kind in ("drumkit", "sampler"):
             if dev.kind == "drumkit":
                 gate_eff = jnp.full_like(gate, span)  # one-shot
-                ratios = jnp.ones((dev.notes.count,), jnp.float32)
+                ratios = inputs.get(f"{u}/ratios")
             else:
                 gate_eff = gate
                 ratios = inputs[f"{u}/ratios"]
-            stereo_notes = sampler_model.render_notes(
-                inputs[f"{u}/table"], inputs[f"{u}/lengths"],
-                inputs[f"{u}/rates"], inputs[f"{u}/slots"],
-                ratios, gate_eff, vels, span, sr,
-            )
+            # fast path: unity-ratio playback at matching sample rate is a
+            # row copy, not a fractional gather
+            if dev.kind == "drumkit" and all(
+                int(r) == self.c.sample_rate for r in dev.sample_table.rates
+            ):
+                stereo_notes = sampler_model.render_notes_aligned(
+                    inputs[f"{u}/table"], inputs[f"{u}/lengths"],
+                    inputs[f"{u}/slots"], gate_eff, vels, span,
+                )
+            else:
+                if ratios is None:
+                    ratios = jnp.ones((dev.notes.count,), jnp.float32)
+                stereo_notes = sampler_model.render_notes(
+                    inputs[f"{u}/table"], inputs[f"{u}/lengths"],
+                    inputs[f"{u}/rates"], inputs[f"{u}/slots"],
+                    ratios, gate_eff, vels, span, sr,
+                )
             return scatter_notes(stereo_notes, on, n)
         if dev.kind == "envelope":
             adsr = (

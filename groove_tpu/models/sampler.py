@@ -128,6 +128,35 @@ def assign_drum_slots(keys: np.ndarray, note_slots: dict) -> np.ndarray:
     return slots
 
 
+def render_notes_aligned(
+    table_data: jnp.ndarray,     # [slots, 2, max_len]
+    table_lengths: jnp.ndarray,  # [slots]
+    slots,                       # [n] int32 (-1 = silent)
+    gate_frames,                 # [n] int32 (or big for one-shot)
+    vels,                        # [n] float32
+    span: int,
+) -> jnp.ndarray:
+    """Unity-ratio playback (drumkit at matching sample rate): a pure row
+    copy instead of a per-sample fractional gather. The general gather path
+    costs ~30 ns/element on TPU (measured 230 ms for one drum track); this
+    path is a contiguous [n, 2, span] slice + mask, ~1000x cheaper.
+    -> stereo [n_notes, 2, span]."""
+    slots = jnp.asarray(slots, jnp.int32)
+    safe_slots = jnp.maximum(slots, 0)
+    max_len = table_data.shape[-1]
+    per_note = table_data[safe_slots]  # row gather [n, 2, max_len]
+    if max_len >= span:
+        out = per_note[:, :, :span]
+    else:
+        out = jnp.pad(per_note, ((0, 0), (0, 0), (0, span - max_len)))
+    j = jnp.arange(span, dtype=jnp.float32)[None, :]
+    length = table_lengths[safe_slots][:, None].astype(jnp.float32)
+    gate = jnp.asarray(gate_frames, jnp.float32)[:, None]
+    mask = (j < length) & (j < gate) & (slots[:, None] >= 0)
+    out = out * mask[:, None, :]
+    return out * (jnp.asarray(vels, jnp.float32)[:, None, None] / 127.0)
+
+
 def render_notes(
     table_data: jnp.ndarray,     # [slots, 2, max_len]
     table_lengths: jnp.ndarray,  # [slots]

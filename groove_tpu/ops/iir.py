@@ -94,9 +94,9 @@ def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK) -> ja
 
     # 1) in-block prefix maps, serial over the block axis, batched over
     #    [..., nb]: carry (P, cl), stack every step's prefix.
-    batch = shape[:-1]
-    ones = jnp.ones(batch, dtype)
-    zeros = jnp.zeros(batch, dtype)
+    # derive from the input so scan carries inherit its sharding/vma type
+    ones = jnp.ones_like(xb[..., 0])
+    zeros = jnp.zeros_like(xb[..., 0])
 
     def in_block_step(carry, xs):
         p11, p12, p21, p22, q1, q2 = carry
@@ -127,7 +127,7 @@ def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK) -> ja
         n2 = m21 * s1 + m22 * s2 + cb2
         return (n1, n2), S  # emit the PRE-state (state entering block b)
 
-    zero_state = jnp.zeros(Mxs[0].shape[1:], dtype)
+    zero_state = jnp.zeros_like(Mxs[0][0])
     (_, _), S_pre = jax.lax.scan(
         cross_step, (zero_state, zero_state), Mxs, unroll=4
     )

@@ -6,7 +6,10 @@ CPU mesh per the build contract. Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment exports JAX_PLATFORMS=axon (real TPU via a
+# tunnel) — unit tests must not run on bench hardware. Must be a hard
+# override, not setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
