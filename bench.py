@@ -33,21 +33,22 @@ def main():
     compiled = compile_song(song)
     r = Renderer(compiled)
 
-    # warm up (compile)
-    out = r.render_device()
-    jax.block_until_ready(jnp.sum(jnp.abs(out)))
+    # One program: render + checksum (so completion is observable through a
+    # scalar; on the axon tunnel block_until_ready returns early).
+    render_sum = jax.jit(lambda inputs: jnp.sum(jnp.abs(r._render(inputs))))
+    float(render_sum(r.inputs))  # warm up / compile
 
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        out = r.render_device()
-        # force full materialization on device (sum readback is tiny)
-        float(jnp.sum(jnp.abs(out)))
-        times.append(time.perf_counter() - t0)
+    # Amortized throughput: the device executes enqueued programs in order,
+    # so syncing on the LAST checksum bounds completion of all of them and
+    # pays the ~24 ms host<->device round trip once, not per render.
+    reps = 10
+    t0 = time.perf_counter()
+    accs = [render_sum(r.inputs) for _ in range(reps)]
+    float(accs[-1])
+    per_render = (time.perf_counter() - t0) / reps
 
     audio_seconds = compiled.n_frames / compiled.sample_rate
-    best = min(times)
-    xrt = audio_seconds / best
+    xrt = audio_seconds / per_render
     print(json.dumps({
         "metric": "offline render speed, drums-filtered-24db @44.1kHz, 1 chip",
         "value": round(xrt, 1),

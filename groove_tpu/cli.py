@@ -46,11 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-rate", type=int, default=44100)
     p.add_argument("--out-dir", type=str, default=None,
                    help="write WAVs here instead of next to the input")
+    p.add_argument("--play", action="store_true",
+                   help="stream the render through the native audio service "
+                        "in real time (null sink when no audio HW)")
     return p
 
 
 def output_path(input_filename: str, out_dir: str | None) -> Path:
-    out = re.sub(r"\.json5?$", ".wav", input_filename)
+    out = re.sub(r"\.(json5?|midi?)$", ".wav", input_filename)
     if out == input_filename:
         raise SystemExit(
             "would overwrite input file; couldn't generate output filename"
@@ -73,8 +76,14 @@ def main(argv=None) -> int:
         if input_filename == "-":
             continue
         t0 = time.perf_counter()
-        song = SongSettings.from_project_file(Path(input_filename))
-        compiled = compile_song(song, paths, sample_rate=args.sample_rate)
+        if input_filename.endswith((".mid", ".midi")):
+            from groove_tpu.compiler.song import compile_midi_file
+            compiled = compile_midi_file(
+                Path(input_filename), paths, sample_rate=args.sample_rate
+            )
+        else:
+            song = SongSettings.from_project_file(Path(input_filename))
+            compiled = compile_song(song, paths, sample_rate=args.sample_rate)
         renderer = Renderer(compiled)
         if args.perf:
             print(f"Orchestrator instantiation time: "
@@ -108,7 +117,40 @@ def main(argv=None) -> int:
             if not args.quiet:
                 print(f"Rendering queue to {out}")
             write_wav_16bit_stereo(out, samples, args.sample_rate)
+        if args.play:
+            _stream_realtime(samples, args.sample_rate, args.quiet)
     return 0
+
+
+def _stream_realtime(samples, sample_rate: int, quiet: bool) -> None:
+    """Push the rendered audio through the native ring-buffer service at
+    realtime pace (the reference's AudioPanel pull model)."""
+    from groove_tpu.io import native
+
+    if not native.available():
+        print("native audio service unavailable; skipping --play",
+              file=sys.stderr)
+        return
+    svc = native.AudioService(sample_rate=sample_rate, buffer_frames=64)
+    try:
+        pos = 0
+        n = len(samples)
+        while pos < n:
+            need = svc.needs_frames()
+            if need > 0:
+                chunk = samples[pos:pos + need]
+                svc.write(chunk.astype("float32"))
+                pos += len(chunk)
+            else:
+                time.sleep(0.001)
+        # drain
+        while svc.frames_consumed() < n:
+            time.sleep(0.005)
+        if not quiet:
+            print(f"Played {n / sample_rate:.2f}s "
+                  f"({svc.underruns()} underruns)")
+    finally:
+        svc.stop()
 
 
 if __name__ == "__main__":

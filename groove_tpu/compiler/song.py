@@ -98,7 +98,11 @@ def compile_song(
     song: SongSettings,
     paths: Optional[Paths] = None,
     sample_rate: int = 44100,
+    events_override: Optional[list] = None,
+    end_beats_override=None,
 ) -> CompiledSong:
+    """events_override/end_beats_override: supply precomputed NoteEvents
+    (e.g. from an SMF import) instead of stamping the song's patterns."""
     paths = paths or Paths()
     sr = SampleRate(sample_rate)
     tempo = song.clock.tempo
@@ -157,7 +161,14 @@ def compile_song(
             prev = uvid
 
     # ---- sequencer events + arpeggiators --------------------------------
-    all_events, end_beats = ev_mod.stamp_patterns(song)
+    if events_override is not None:
+        all_events, end_beats = list(events_override), end_beats_override
+        if end_beats is None:
+            last = max((e.off_beats for e in all_events), default=Fraction(0))
+            bpm_measure = Fraction(ts.beats_per_measure)
+            end_beats = -(-last // bpm_measure) * bpm_measure  # ceil measure
+    else:
+        all_events, end_beats = ev_mod.stamp_patterns(song)
     for dev in devices.values():
         if dev.kind == "arpeggiator":
             arp_in = [e for e in all_events if e.channel == dev.midi_in]
@@ -294,6 +305,48 @@ def compile_song(
         order=order,
         sidechain=sidechain,
     )
+
+
+def compile_midi_file(
+    path,
+    paths: Optional[Paths] = None,
+    sample_rate: int = 44100,
+) -> CompiledSong:
+    """Compile a Standard MIDI File into a renderable song.
+
+    The reference CLI accepts MIDI inputs (groove-cli.rs:27); instruments
+    follow GM conventions: channel 10 (0-based 9) -> 707 drumkit, other
+    channels -> Welsh patches via the GM program table
+    (settings/src/patches.rs:336-689 equivalent, io/midi_smf.py)."""
+    from groove_tpu.io import midi_smf
+
+    smf = midi_smf.parse_smf(path)
+    events = midi_smf.smf_to_note_events(smf)
+    channels = sorted({e.channel for e in events})
+    devices = []
+    cables = []
+    for ch in channels:
+        uvid = f"midi-ch-{ch}"
+        if ch == 9:
+            devices.append({"instrument": [
+                uvid, {"drumkit": [{"midi-in": ch}, {"name": "707"}]}
+            ]})
+        else:
+            patch = midi_smf.gm_program_to_patch(smf.programs.get(ch, 0))
+            devices.append({"instrument": [
+                uvid, {"welsh": [{"midi-in": ch}, {"name": patch}]}
+            ]})
+        cables.append([uvid, "main-mixer"])
+    song = SongSettings.from_json({
+        "title": str(path),
+        "clock": {
+            "bpm": smf.bpm,
+            "time-signature": list(smf.time_signature),
+        },
+        "devices": devices,
+        "patch-cables": cables,
+    })
+    return compile_song(song, paths, sample_rate, events_override=events)
 
 
 def _topo_order(devices, sinks, sidechain) -> list:

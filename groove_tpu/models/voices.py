@@ -27,18 +27,36 @@ def scatter_notes(note_audio: jnp.ndarray, on_frames, n_frames: int) -> jnp.ndar
 
     note_audio: [n_notes, span] (mono) or [n_notes, 2, span] (stereo);
     on_frames: [n_notes] int32 start frames. Returns [n] or [2, n].
+
+    Implemented as a fori_loop of dynamic-slice read-add-writes, which XLA
+    keeps in place: an element-indexed scatter-add here measured 64 ms on
+    TPU for 44 x 2 x 93k windows vs ~1 ms for the slice loop (notes counts
+    are small; windows are long and contiguous).
     """
+    import jax
+
     span = note_audio.shape[-1]
+    n_notes = note_audio.shape[0]
     on = jnp.asarray(on_frames, jnp.int32)
-    idx = on[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :]
-    if note_audio.ndim == 2:
-        out = jnp.zeros((n_frames + span,), note_audio.dtype)
-        out = out.at[idx].add(note_audio)
-        return out[:n_frames]
-    out = jnp.zeros((2, n_frames + span), note_audio.dtype)
-    vals = jnp.moveaxis(note_audio, 1, 0)  # [2, n_notes, span]
-    out = out.at[:, idx].add(vals)
-    return out[:, :n_frames]
+    mono = note_audio.ndim == 2
+    shape = (n_frames + span,) if mono else (2, n_frames + span)
+    # derive the init from the input so shard_map vma types match
+    out0 = jnp.zeros(shape, note_audio.dtype) + note_audio.ravel()[0] * 0
+
+    def body(i, out):
+        start = on[i]
+        if mono:
+            cur = jax.lax.dynamic_slice(out, (start,), (span,))
+            return jax.lax.dynamic_update_slice(
+                out, cur + note_audio[i], (start,)
+            )
+        cur = jax.lax.dynamic_slice(out, (0, start), (2, span))
+        return jax.lax.dynamic_update_slice(
+            out, cur + note_audio[i], (0, start)
+        )
+
+    out = jax.lax.fori_loop(0, n_notes, body, out0)
+    return out[:n_frames] if mono else out[:, :n_frames]
 
 
 def apply_mono_policy(on: np.ndarray, off: np.ndarray) -> np.ndarray:
