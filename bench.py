@@ -15,8 +15,13 @@ cached) and includes on-device compute to a materialized result.
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -33,19 +38,30 @@ def main():
     compiled = compile_song(song)
     r = Renderer(compiled)
 
-    # One program: render + checksum (so completion is observable through a
-    # scalar; on the axon tunnel block_until_ready returns early).
-    render_sum = jax.jit(lambda inputs: jnp.sum(jnp.abs(r._render(inputs))))
-    float(render_sum(r.inputs))  # warm up / compile
+    # Device-throughput measurement: run `reps` renders inside ONE program
+    # (fori_loop) so neither the host dispatch path nor the tunnel's ~24 ms
+    # round trip is counted per render. Each iteration perturbs one input
+    # infinitesimally so XLA cannot hoist the loop-invariant render.
+    reps = 32
+    pert_key = next(k for k in r.inputs if k.endswith("/vels"))
 
-    # Amortized throughput: the device executes enqueued programs in order,
-    # so syncing on the LAST checksum bounds completion of all of them and
-    # pays the ~24 ms host<->device round trip once, not per render.
-    reps = 10
-    t0 = time.perf_counter()
-    accs = [render_sum(r.inputs) for _ in range(reps)]
-    float(accs[-1])
-    per_render = (time.perf_counter() - t0) / reps
+    def many(inputs):
+        def body(i, acc):
+            inp = dict(inputs)
+            inp[pert_key] = inputs[pert_key] + 1e-6 * i.astype(jnp.float32)
+            return acc + jnp.sum(jnp.abs(r._render(inp)))
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    many_fn = jax.jit(many)
+    float(many_fn(r.inputs))  # warm up / compile
+
+    rtt = 0.024  # measured axon-tunnel scalar readback round trip
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many_fn(r.inputs))
+        times.append(time.perf_counter() - t0)
+    per_render = max(min(times) - rtt, 1e-9) / reps
 
     audio_seconds = compiled.n_frames / compiled.sample_rate
     xrt = audio_seconds / per_render

@@ -172,14 +172,14 @@ class Renderer:
             else:
                 gate_eff = gate
                 ratios = inputs[f"{u}/ratios"]
-            # fast path: unity-ratio playback at matching sample rate is a
-            # row copy, not a fractional gather
+            # fast path: unity-ratio playback at matching sample rate sums
+            # hits straight into the timeline (no per-note windows)
             if dev.kind == "drumkit" and all(
                 int(r) == self.c.sample_rate for r in dev.sample_table.rates
             ):
-                stereo_notes = sampler_model.render_notes_aligned(
+                return sampler_model.accumulate_oneshots(
                     inputs[f"{u}/table"], inputs[f"{u}/lengths"],
-                    inputs[f"{u}/slots"], gate_eff, vels, span,
+                    inputs[f"{u}/slots"], on, gate_eff, vels, n,
                 )
             else:
                 if ratios is None:

@@ -157,6 +157,49 @@ def render_notes_aligned(
     return out * (jnp.asarray(vels, jnp.float32)[:, None, None] / 127.0)
 
 
+def accumulate_oneshots(
+    table_data: jnp.ndarray,     # [slots, 2, max_len]
+    table_lengths: jnp.ndarray,  # [slots]
+    slots,                       # [n] int32 (-1 = silent)
+    on_frames,                   # [n] int32
+    gate_frames,                 # [n] int32 (pass max_len for one-shot)
+    vels,                        # [n] float32
+    n_frames: int,
+) -> jnp.ndarray:
+    """Unity-ratio hits summed straight into the timeline -> [2, n].
+
+    Fuses the gather and the scatter: one fori_loop iteration per hit reads
+    the sample row, masks it, and adds it at the hit offset — no
+    [n_notes, 2, span] intermediate at all. Traffic is ~3 x max_len x 2 x 4B
+    per hit.
+    """
+    import jax
+
+    slots = jnp.asarray(slots, jnp.int32)
+    on = jnp.asarray(on_frames, jnp.int32)
+    gate = jnp.asarray(gate_frames, jnp.float32)
+    vels = jnp.asarray(vels, jnp.float32)
+    max_len = table_data.shape[-1]
+    n_notes = slots.shape[0]
+    out0 = (jnp.zeros((2, n_frames + max_len), table_data.dtype)
+            + table_data.ravel()[0] * 0)
+    j = jnp.arange(max_len, dtype=jnp.float32)[None, :]
+
+    def body(i, out):
+        slot = jnp.maximum(slots[i], 0)
+        row = jax.lax.dynamic_index_in_dim(
+            table_data, slot, axis=0, keepdims=False
+        )  # [2, max_len]
+        limit = jnp.minimum(table_lengths[slot].astype(jnp.float32), gate[i])
+        active = (slots[i] >= 0).astype(table_data.dtype)
+        row = row * (j < limit) * (vels[i] / 127.0) * active
+        cur = jax.lax.dynamic_slice(out, (0, on[i]), (2, max_len))
+        return jax.lax.dynamic_update_slice(out, cur + row, (0, on[i]))
+
+    out = jax.lax.fori_loop(0, n_notes, body, out0)
+    return out[:, :n_frames]
+
+
 def render_notes(
     table_data: jnp.ndarray,     # [slots, 2, max_len]
     table_lengths: jnp.ndarray,  # [slots]

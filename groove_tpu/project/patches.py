@@ -325,6 +325,14 @@ class FmSynthParams:
 
     @classmethod
     def from_json(cls, d: dict) -> "FmSynthParams":
+        if "voice" in d and isinstance(d["voice"], dict):
+            # beta-sweep demos nest the voice params:
+            # projects/demos/instruments/fm-synthesizer-beta-*.json
+            merged = dict(d["voice"])
+            for k, v in d.items():
+                if k != "voice":
+                    merged.setdefault(k, v)
+            d = merged
         return cls(
             gain=float(d.get("gain", 1.0)),
             pan=float(d.get("pan", 0.0)),

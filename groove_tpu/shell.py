@@ -1,0 +1,90 @@
+"""groove-shell: interactive engine front end.
+
+The reference ships an egui GUI app (src/bin/groove-egui.rs) whose panels
+drive the orchestrator service with commands (open/play/stop/tempo/save —
+src/panels/orchestrator_panel.rs:21-56) and show engine events as toasts.
+This is the terminal equivalent over the same service layer
+(engine/service.py): a line-oriented shell, scriptable via stdin.
+
+    $ python -m groove_tpu.shell
+    groove> open projects/scale-c4-major.json
+    groove> tempo 90
+    groove> play
+    groove> render out.wav
+    groove> save mysong.json
+    groove> quit
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+
+from groove_tpu.engine.service import EngineService
+
+HELP = """commands:
+  open <project.json[5]|.mid>  load a project
+  play                         render + stream through the audio service
+  stop                         stop playback
+  tempo <bpm>                  change tempo (recompiles)
+  render <out.wav>             render to WAV
+  save <project.json>          save the project file
+  status                       show title/tempo/playing
+  help                         this text
+  quit                         exit
+"""
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    events = []
+
+    def on_event(kind, data):
+        events.append((kind, data))
+        print(f"[{kind}] {data if data is not None else ''}".rstrip())
+
+    svc = EngineService(on_event=on_event)
+    try:
+        if argv:
+            svc.open_project(argv[0])
+        interactive = sys.stdin.isatty()
+        while True:
+            if interactive:
+                print("groove> ", end="", flush=True)
+            line = sys.stdin.readline()
+            if not line:
+                break
+            parts = shlex.split(line.strip())
+            if not parts:
+                continue
+            cmd, *args = parts
+            if cmd in ("quit", "exit"):
+                break
+            elif cmd == "open" and args:
+                svc.open_project(args[0])
+            elif cmd == "play":
+                svc.play()
+            elif cmd == "stop":
+                svc.stop()
+            elif cmd == "tempo" and args:
+                svc.set_tempo(float(args[0]))
+            elif cmd == "render" and args:
+                svc.render_wav(args[0])
+            elif cmd == "save" and args:
+                svc.save(args[0])
+            elif cmd == "status":
+                title = svc.song.title if svc.song else None
+                bpm = svc.song.clock.bpm if svc.song else None
+                print(f"title={title!r} bpm={bpm} "
+                      f"playing={svc.is_playing()}")
+            elif cmd == "help":
+                print(HELP)
+            else:
+                print(f"unknown command {cmd!r}; try 'help'")
+    finally:
+        svc.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""Golden-audio assertions on real reference demo projects (CPU renders).
+
+The reference kept audible smoke tests ("welsh_makes_any_sound_at_all",
+patches.rs:925-936) and WAV listen tests; these are their quantitative
+equivalents: each demo family gets a physical property check.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from groove_tpu.compiler.song import compile_song
+from groove_tpu.engine.render import Renderer
+from groove_tpu.project.schema import SongSettings
+
+DEMOS = Path("/root/reference/projects/demos")
+
+pytestmark = pytest.mark.skipif(not DEMOS.is_dir(), reason="corpus missing")
+
+_cache = {}
+
+
+def render(relpath):
+    if relpath not in _cache:
+        song = SongSettings.from_project_file(DEMOS / relpath)
+        _cache[relpath] = np.asarray(Renderer(compile_song(song)).render())
+    return _cache[relpath]
+
+
+def dominant_hz(x, sr=44100, lo=20.0):
+    f = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    freqs = np.fft.rfftfreq(len(x), 1 / sr)
+    m = freqs > lo
+    return freqs[m][np.argmax(f[m])]
+
+
+def test_fm_beta_zero_is_pure_sine():
+    out = render("instruments/fm-synthesizer-beta-0.0.json")
+    seg = out[8000:40000, 0]
+    peak_hz = dominant_hz(seg)
+    f = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / 44100)
+    fundamental = f[np.abs(freqs - peak_hz) < 4].sum()
+    elsewhere = f[np.abs(freqs - peak_hz) > 40].sum()
+    assert fundamental > elsewhere  # nearly all energy at one partial
+
+
+def test_fm_beta_widens_spectrum():
+    def peak_energy_fraction(rel):
+        """Fraction of spectral energy within +-60 Hz of the strongest
+        partial — near 1 for a pure tone, small once FM sidebands spread."""
+        seg = render(rel)[8000:40000, 0]
+        f = np.abs(np.fft.rfft(seg * np.hanning(len(seg)))) ** 2
+        freqs = np.fft.rfftfreq(len(seg), 1 / 44100)
+        peak = freqs[np.argmax(f)]
+        near = f[np.abs(freqs - peak) < 60].sum()
+        return near / f.sum()
+
+    narrow = peak_energy_fraction("instruments/fm-synthesizer-beta-0.1.json")
+    wide = peak_energy_fraction("instruments/fm-synthesizer-beta-10.0.json")
+    assert narrow > 0.7
+    assert wide < 0.5
+
+
+def test_gain_demos_scale_output():
+    hi = render("effects/gain_sine_ceiling-0.500.json")
+    lo = render("effects/gain_sine_ceiling-0.100.json")
+    r_hi = np.sqrt((hi**2).mean())
+    r_lo = np.sqrt((lo**2).mean())
+    assert r_lo == pytest.approx(r_hi / 5.0, rel=0.02)
+
+
+def test_limiter_demo_clamps_magnitudes():
+    out = render("effects/limiter_sine_min-0.400_max-0.600.json")
+    mag = np.abs(out[1000:-1000])
+    nz = mag[mag > 1e-6]
+    assert nz.max() <= 0.601
+    assert nz.min() >= 0.399
+
+
+def test_bitcrusher_quantizes_levels():
+    out = render("effects/bitcrusher_triangle_bits-to-crush-8.json")
+    vals = np.unique(np.round(np.abs(out[:, 0]) * 32767 / 256))
+    assert np.allclose(vals, np.round(vals))
+
+
+def test_oscillator_square_1000hz():
+    song = SongSettings.from_project_file(
+        DEMOS / "instruments/oscillator-square-1000Hz.json"
+    )
+    out = np.asarray(Renderer(compile_song(song)).render())
+    assert dominant_hz(out[:, 0]) == pytest.approx(1000.0, abs=2.0)
+    assert set(np.unique(np.sign(out[out != 0]))) <= {-1.0, 1.0}
+
+
+def test_oscillator_noise_demo_is_actually_silent():
+    # Data quirk: oscillator-noise.json configures waveform "none" and
+    # frequency 0 despite its name — the correct render is silence.
+    out = render("instruments/oscillator-noise.json")
+    assert np.max(np.abs(out)) == 0.0
+
+
+def test_delay_demo_dry_tracks_start_immediately_delayed_track_echoes():
+    # delay.json: bass-1 and pluck-1 are dry to the mixer; pluck-2 (playing
+    # only measure 2) goes through the 0.1 s wet-only delay.
+    out = render("effects/delay.json")[:, 0]
+    env = np.abs(out)
+    assert np.argmax(env > 0.01) < 4410       # dry tracks start at once
+    assert np.sqrt((out**2).mean()) > 0.02    # and the mix has real energy
+
+
+def test_welsh_lfo_pitch_produces_vibrato():
+    out = render("instruments/welsh-test-lfo-pitch.json")[:, 0]
+    # instantaneous pitch wobbles: compare dominant pitch in two half-window
+    # segments of one held note
+    a = dominant_hz(out[30000:38192])
+    b = dominant_hz(out[38192:46384])
+    assert abs(a - b) > 0.5  # pitch moves
+
+
+def test_drums_demo_has_transients():
+    out = render("instruments/drums.json")[:, 0]
+    env = np.abs(out)
+    assert env.max() > 0.1
+    # spiky: peak to mean ratio high
+    assert env.max() / (env.mean() + 1e-9) > 8

@@ -1,0 +1,76 @@
+"""Engine service (OrchestratorPanel equivalent) + project save round-trip."""
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from groove_tpu.compiler.song import compile_song
+from groove_tpu.engine.render import Renderer
+from groove_tpu.engine.service import EngineService
+from groove_tpu.project.save import song_to_dict
+from groove_tpu.project.schema import SongSettings
+
+PROJECT = Path("/root/reference/projects/demos/instruments/oscillator-sine-a4.json")
+
+
+def test_save_roundtrip_renders_identically(tmp_path):
+    src = Path("/root/reference/projects/demos/effects/drums-filtered-24db.json")
+    song = SongSettings.from_project_file(src)
+    resaved = SongSettings.from_json(song_to_dict(song))
+    a = compile_song(song)
+    b = compile_song(resaved)
+    assert a.n_frames == b.n_frames
+    assert np.array_equal(
+        a.devices["low-pass-1"].automation["cutoff"],
+        b.devices["low-pass-1"].automation["cutoff"],
+    )
+    xa = np.asarray(Renderer(a).render())
+    xb = np.asarray(Renderer(b).render())
+    assert np.array_equal(xa, xb)
+
+
+def test_service_open_render_save(tmp_path):
+    events = []
+    svc = EngineService(on_event=lambda k, d: events.append((k, d)),
+                        use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        svc.render_wav(tmp_path / "out.wav")
+        svc.save(tmp_path / "resave.json")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            kinds = {k for k, _ in events}
+            if {"project-opened", "rendered", "saved"} <= kinds:
+                break
+            time.sleep(0.1)
+        kinds = {k for k, _ in events}
+        assert "project-opened" in kinds
+        assert "rendered" in kinds, events
+        assert "saved" in kinds
+        assert (tmp_path / "out.wav").stat().st_size > 44
+        # resave loads
+        SongSettings.from_project_file(tmp_path / "resave.json")
+    finally:
+        svc.shutdown()
+
+
+def test_service_tempo_change_recompiles():
+    events = []
+    svc = EngineService(on_event=lambda k, d: events.append((k, d)),
+                        use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        svc.set_tempo(120.0)
+        svc.play()  # renders (no audio device)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if ("playback-stopped", None) in events:
+                break
+            time.sleep(0.1)
+        assert ("tempo", 120.0) in events
+        # at 120 bpm the 1-measure pattern is 2 s
+        assert svc.compiled.n_frames == pytest.approx(2 * 44100, abs=64)
+    finally:
+        svc.shutdown()
