@@ -88,6 +88,12 @@ def main(argv=None) -> int:
         if args.perf:
             print(f"Orchestrator instantiation time: "
                   f"{time.perf_counter() - t0:.2f}s")
+        if args.debug:
+            # per-entity device timing, like the reference's dipstick
+            # metrics (--perf + `metrics` feature)
+            from groove_tpu.utils.profiling import profile_render
+            for name, seconds in profile_render(renderer):
+                print(f"  {name}: {seconds * 1000:.2f} ms")
         if not args.quiet:
             print(f"Performing to queue ({compiled.n_frames} frames) ", end="")
         t1 = time.perf_counter()

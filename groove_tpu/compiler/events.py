@@ -25,7 +25,7 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from fractions import Fraction
 
 from groove_tpu.core.time import (

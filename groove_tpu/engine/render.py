@@ -17,8 +17,6 @@ Reproduced by shifting the derived per-block curve right by one block.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,8 +17,6 @@ import struct
 from dataclasses import dataclass, field
 from fractions import Fraction
 from pathlib import Path
-from typing import Optional
-
 from groove_tpu.compiler.events import NoteEvent
 
 

@@ -5,7 +5,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from groove_tpu.core.types import note_to_frequency
 
 
 def note_freqs(keys) -> jnp.ndarray:

@@ -14,8 +14,6 @@ per device ('songs' axis), no collectives at all.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,7 +1,6 @@
 """SMF import, validated against the reference's authoritative text dumps
 (test-data/midi/*.mid.txt)."""
 
-import re
 from pathlib import Path
 
 import pytest

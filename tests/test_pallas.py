@@ -1,0 +1,45 @@
+"""Pallas biquad kernel vs the XLA blocked-scan implementation.
+
+Runs in interpreter mode on CPU; numerics must match ops/iir.biquad
+exactly (same recurrence, same association order)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from groove_tpu.ops import iir
+from groove_tpu.ops.pallas_iir import biquad_pallas
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_matches_xla_time_varying(rng):
+    n = 3000
+    x = rng.standard_normal(n).astype(np.float32)
+    cutoff = np.linspace(200.0, 8000.0, n).astype(np.float32)
+    coefs = iir.rbj_low_pass(cutoff, 0.707, 44100.0)
+    y_ref = np.asarray(iir.biquad(jnp.asarray(x), coefs))
+    y_pl = np.asarray(biquad_pallas(jnp.asarray(x), coefs, interpret=True))
+    assert np.array_equal(y_pl, y_ref)
+
+
+def test_matches_xla_batched_static(rng):
+    x = rng.standard_normal((3, 2048)).astype(np.float32)
+    coefs = iir.rbj_high_pass(500.0, 2.0, 44100.0)
+    y_ref = np.asarray(iir.biquad(jnp.asarray(x), coefs))
+    y_pl = np.asarray(biquad_pallas(jnp.asarray(x), coefs, interpret=True))
+    assert np.array_equal(y_pl, y_ref)
+
+
+def test_multi_chunk_state_carries(rng):
+    # longer than CB*L samples forces multiple grid chunks per batch row
+    from groove_tpu.ops.pallas_iir import CB, L
+    n = CB * L + 5 * L + 3
+    x = rng.standard_normal(n).astype(np.float32)
+    coefs = iir.rbj_low_pass(300.0, 1.0, 44100.0)
+    y_ref = np.asarray(iir.biquad(jnp.asarray(x), coefs))
+    y_pl = np.asarray(biquad_pallas(jnp.asarray(x), coefs, interpret=True))
+    assert np.max(np.abs(y_pl - y_ref)) < 1e-5

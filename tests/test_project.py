@@ -12,7 +12,7 @@ import pytest
 
 from groove_tpu.core import types as T
 from groove_tpu.project import json5
-from groove_tpu.project.paths import Paths, REFERENCE_PROJECTS
+from groove_tpu.project.paths import Paths
 from groove_tpu.project.patches import WelshPatchSettings, patch_name_to_settings_name
 from groove_tpu.project.schema import ProjectError, SongSettings
 
