@@ -278,7 +278,7 @@ class Renderer:
             else:
                 warn(f"unknown filter kind {k}; passthrough")
                 return x
-            return iir.biquad(x, coefs)
+            return iir.biquad_best(x, coefs)
         warn(f"unknown effect kind {k}; passthrough")
         return x
 

@@ -46,7 +46,7 @@ import numpy as np
 from groove_tpu.core import types as T
 from groove_tpu.ops import envelope as env_ops
 from groove_tpu.ops import oscillator as osc_ops
-from groove_tpu.ops.iir import biquad, lp24_sections
+from groove_tpu.ops.iir import biquad_best, lp24_sections
 from groove_tpu.project.patches import WelshVoiceParams
 from groove_tpu.models.voices import note_freqs
 
@@ -162,7 +162,7 @@ def render_notes(
     gain, sections = lp24_sections(cutoff_hz, q, sample_rate)
     y = osc_out * gain
     for sec in sections:
-        y = biquad(y, sec)
+        y = biquad_best(y, sec)
 
     # Amp envelope + velocity + amplitude LFO.
     ae = params.amp_envelope
