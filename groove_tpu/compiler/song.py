@@ -83,6 +83,7 @@ class CompiledSong:
     sinks: dict                        # sink uvid -> [source uvids] (audio)
     order: list                        # topological eval order (uvids)
     sidechain: list                    # (passthrough_uvid, target_uvid, param)
+    sends: list = field(default_factory=list)  # (src, aux, amount) BusRoutes
 
 
 def _audio_roles(dev: DeviceIR) -> tuple[bool, bool]:
@@ -290,8 +291,21 @@ def compile_song(
             warn(f"skipping automation ID {ctl.id}: source kind {src.kind} "
                  f"does not emit control values")
 
+    # ---- aux sends (BusStation routes) -----------------------------------
+    sends: list[tuple[str, str, float]] = []
+    for s in song.sends:
+        if s.source not in devices or s.aux not in devices:
+            warn(f"send {s.source} -> {s.aux}: unknown device; skipping")
+            continue
+        outputs_audio, _ = _audio_roles(devices[s.source])
+        _, accepts_audio = _audio_roles(devices[s.aux])
+        if not (outputs_audio and accepts_audio):
+            warn(f"send {s.source} -> {s.aux}: incompatible roles; skipping")
+            continue
+        sends.append((s.source, s.aux, s.amount))
+
     # ---- evaluation order -------------------------------------------------
-    order = _topo_order(devices, sinks, sidechain)
+    order = _topo_order(devices, sinks, sidechain, sends)
 
     return CompiledSong(
         title=song.title,
@@ -304,6 +318,7 @@ def compile_song(
         sinks=sinks,
         order=order,
         sidechain=sidechain,
+        sends=sends,
     )
 
 
@@ -349,15 +364,17 @@ def compile_midi_file(
     return compile_song(song, paths, sample_rate, events_override=events)
 
 
-def _topo_order(devices, sinks, sidechain) -> list:
+def _topo_order(devices, sinks, sidechain, sends=()) -> list:
     """Topological order over audio edges (source -> sink) plus sidechain
-    control edges (passthrough -> target)."""
+    control edges (passthrough -> target) and aux-send edges."""
     deps: dict[str, set] = {u: set() for u in devices}
     for sink, sources in sinks.items():
         for s in sources:
             deps.setdefault(sink, set()).add(s)
     for src, tgt, _ in sidechain:
         deps.setdefault(tgt, set()).add(src)
+    for src, aux, _ in sends:
+        deps.setdefault(aux, set()).add(src)
     order: list[str] = []
     ready = sorted([u for u, d in deps.items() if not d])
     deps = {u: set(d) for u, d in deps.items()}

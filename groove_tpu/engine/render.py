@@ -291,6 +291,9 @@ class Renderer:
         sidechain_by_src = {}
         for src, tgt, pname in c.sidechain:
             sidechain_by_src.setdefault(src, []).append((tgt, pname))
+        sends_by_aux = {}
+        for src, aux, amount in c.sends:
+            sends_by_aux.setdefault(aux, []).append((src, amount))
 
         for uvid in c.order:
             dev = c.devices[uvid]
@@ -302,6 +305,9 @@ class Renderer:
             for s in sources:
                 if s in outputs:
                     acc = acc + outputs[s]
+            for s, amount in sends_by_aux.get(uvid, []):
+                if s in outputs:
+                    acc = acc + amount * outputs[s]  # BusRoute send
             node_input[uvid] = acc
             if dev.role == "controller" and dev.kind != "signal-passthrough-controller":
                 continue  # non-audio controllers have no audio output

@@ -323,6 +323,23 @@ class ControlTripSettings:
 
 
 @dataclass
+class SendSettings:
+    """Aux-track send (BusRoute: src/mini/bus_station.rs:7-53).
+
+    groove_tpu format extension: the reference's BusStation has no project-
+    file surface (GUI-era serde only); we accept an optional `sends` array
+    of {source, aux, amount}."""
+
+    source: str
+    aux: str
+    amount: float
+
+    @classmethod
+    def from_json(cls, d: dict) -> "SendSettings":
+        return cls(str(d["source"]), str(d["aux"]), float(d.get("amount", 1.0)))
+
+
+@dataclass
 class SongSettings:
     """Top-level project file (settings/src/songs.rs:17-56)."""
 
@@ -335,6 +352,7 @@ class SongSettings:
     tracks: list[TrackSettings]
     paths: list[ControlPathSettings]
     trips: list[ControlTripSettings]
+    sends: list[SendSettings] = field(default_factory=list)
 
     @classmethod
     def from_json(cls, d: Any) -> "SongSettings":
@@ -352,6 +370,7 @@ class SongSettings:
             tracks=[TrackSettings.from_json(x) for x in d.get("tracks", [])],
             paths=[ControlPathSettings.from_json(x) for x in d.get("paths", [])],
             trips=[ControlTripSettings.from_json(x) for x in d.get("trips", [])],
+            sends=[SendSettings.from_json(x) for x in d.get("sends", [])],
         )
 
     @classmethod
