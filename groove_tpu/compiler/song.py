@@ -307,6 +307,32 @@ def compile_song(
     # ---- evaluation order -------------------------------------------------
     order = _topo_order(devices, sinks, sidechain, sends)
 
+    # Prune entities unreachable from the main mixer: the reference's
+    # gather_audio DFS starts at main-mixer and never visits dangling
+    # devices (orchestrator.rs:351-470) — kitchen-sink.json alone has 17
+    # configured-but-unpatched effects that must not run.
+    live: set = set()
+    stack = [MAIN_MIXER_UVID]
+    while stack:
+        u = stack.pop()
+        if u in live:
+            continue
+        live.add(u)
+        stack.extend(sinks.get(u, []))
+        stack.extend(s for s, aux, _ in sends if aux == u)
+    # sidechain passthroughs drive params of live targets; keep them and
+    # their upstream audio
+    for src, tgt, _ in sidechain:
+        if tgt in live and src not in live:
+            stack = [src]
+            while stack:
+                u = stack.pop()
+                if u in live:
+                    continue
+                live.add(u)
+                stack.extend(sinks.get(u, []))
+    order = [u for u in order if u in live or devices[u].role == "controller"]
+
     return CompiledSong(
         title=song.title,
         sample_rate=sample_rate,

@@ -113,7 +113,7 @@ def _kernel_full(na1_ref, na2_ref, c1_ref, c2_ref, b0x_ref, y_ref,
     jax.lax.fori_loop(0, L, emit, 0)
 
 
-CB = 512  # blocks per grid chunk (VMEM budget: ~9 x L x CB x 4B = 4.7 MB)
+CB = 512  # max blocks per grid chunk (VMEM budget: ~9 x L x CB x 4B = 4.7 MB)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -124,8 +124,11 @@ def _biquad_pallas_2d(x, coefs, interpret: bool = False):
         jnp.broadcast_to(jnp.asarray(c, jnp.float32), x.shape) for c in coefs
     ]
     nb = -(-n // L)
-    nchunks = -(-nb // CB)
-    nbp = nchunks * CB
+    # chunk width adapts to the signal: short songs shouldn't pay 512
+    # cross-block sweep iterations on padding
+    cb = min(CB, max(128, -(-nb // 128) * 128))
+    nchunks = -(-nb // cb)
+    nbp = nchunks * cb
     pad = [(0, 0), (0, nbp * L - n)]
     xp = jnp.pad(x, pad)
     b0p, b1p, b2p = jnp.pad(b0, pad), jnp.pad(b1, pad), jnp.pad(b2, pad)
@@ -142,7 +145,7 @@ def _biquad_pallas_2d(x, coefs, interpret: bool = False):
     b0x = cols(b0p * xp)
 
     grid = (B, nchunks)
-    spec = pl.BlockSpec((1, L, CB), lambda b, i: (b, 0, i),
+    spec = pl.BlockSpec((1, L, cb), lambda b, i: (b, 0, i),
                         memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         _kernel_full,
@@ -151,11 +154,10 @@ def _biquad_pallas_2d(x, coefs, interpret: bool = False):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, L, nbp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, CB), jnp.float32),   # carried state
-
-            pltpu.VMEM((L, CB), jnp.float32),   # p11 rows
-            pltpu.VMEM((L, CB), jnp.float32),   # p12 rows
-            pltpu.VMEM((L, CB), jnp.float32),   # q1 rows
+            pltpu.VMEM((2, cb), jnp.float32),   # carried state
+            pltpu.VMEM((L, cb), jnp.float32),   # p11 rows
+            pltpu.VMEM((L, cb), jnp.float32),   # p12 rows
+            pltpu.VMEM((L, cb), jnp.float32),   # q1 rows
         ],
         interpret=interpret,
     )(na1, na2, c1, c2, b0x)
