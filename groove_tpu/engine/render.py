@@ -100,6 +100,25 @@ class Renderer:
 
     # ---- traced render ----------------------------------------------------
 
+    # Cap on notes-per-batch x span elements: bounds peak memory of the
+    # voice pipelines (a 1300-note channel of a long MIDI file would
+    # otherwise materialize ~0.5 GB per intermediate).
+    NOTE_CHUNK_ELEMS = 16_000_000
+
+    def _chunked_mono(self, render_fn, keys, vels, gate, on, span: int,
+                      n: int):
+        """Render note batches in chunks and scatter-sum into the timeline."""
+        count = keys.shape[0]
+        per_chunk = max(1, self.NOTE_CHUNK_ELEMS // max(span, 1))
+        if count <= per_chunk:
+            return scatter_notes(render_fn(keys, vels, gate), on, n)
+        mono = jnp.zeros((n,), jnp.float32)
+        for a in range(0, count, per_chunk):
+            b = min(a + per_chunk, count)
+            notes = render_fn(keys[a:b], vels[a:b], gate[a:b])
+            mono = mono + scatter_notes(notes, on[a:b], n)
+        return mono
+
     def _param(self, inputs, dev: DeviceIR, name: str, default: float,
                n: int, override=None):
         """Per-sample [n] array if automated/overridden, else a scalar."""
@@ -145,10 +164,12 @@ class Renderer:
         if dev.kind == "welsh" or dev.kind == "welsh-raw":
             if dev.voice is None:
                 return jnp.zeros((2, n), jnp.float32)
-            mono_notes = welsh_model.render_notes(
-                dev.voice, keys, vels, gate, span, sr
+            mono = self._chunked_mono(
+                lambda k, v, g: welsh_model.render_notes(
+                    dev.voice, k, v, g, span, sr
+                ),
+                keys, vels, gate, on, span, n,
             )
-            mono = scatter_notes(mono_notes, on, n)
             # voice DCA (patch-derived gain 1 / pan 0) then synth DCA with
             # possible pan/gain automation (patches.rs:160-168 has both).
             lv, rv = pan_gains(0.0)
@@ -157,8 +178,12 @@ class Renderer:
             ls, rs = pan_gains(pan)
             return jnp.stack([mono * lv * ls * g, mono * rv * rs * g])
         if dev.kind == "fm-synthesizer":
-            mono_notes = fm_model.render_notes(dev.voice, keys, vels, gate, span, sr)
-            mono = scatter_notes(mono_notes, on, n)
+            mono = self._chunked_mono(
+                lambda k, v, g: fm_model.render_notes(
+                    dev.voice, k, v, g, span, sr
+                ),
+                keys, vels, gate, on, span, n,
+            )
             pan = self._param(inputs, dev, "pan", dev.voice.pan, n)
             g = self._param(inputs, dev, "gain", dev.voice.gain, n)
             left, right = pan_gains(pan)

@@ -1,0 +1,57 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from groove_tpu.models import welsh as welsh_model
+from groove_tpu.models.voices import scatter_notes
+from groove_tpu.ops import iir
+from groove_tpu.parallel.mesh import make_mesh, sharded_welsh_mix_step
+from groove_tpu.project.paths import Paths
+from groove_tpu.project.patches import WelshPatchSettings
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _params():
+    return WelshPatchSettings.by_name(Paths(), "piano").derive_welsh_voice_params()
+
+
+def test_sharded_mix_matches_single_device():
+    params = _params()
+    n_frames, span, sr = 1024, 512, 44100.0
+    n_tracks = 8
+    rng = np.random.default_rng(0)
+    keys = rng.integers(48, 72, (n_tracks, 2)).astype(np.int32)
+    vels = np.full((n_tracks, 2), 127.0, np.float32)
+    gates = np.full((n_tracks, 2), 256, np.int32)
+    ons = np.tile(np.array([[0, 256]], np.int32), (n_tracks, 1))
+    gains = np.linspace(0.2, 0.9, n_tracks).astype(np.float32)
+
+    mesh = make_mesh(8, axis="tracks")
+    step = sharded_welsh_mix_step(params, n_frames, span, sr, mesh)
+    sharded = np.asarray(step(keys, vels, gates, ons, gains))
+
+    # single-device reference: same math, plain loop
+    mix = np.zeros((2, n_frames), np.float32)
+    for t in range(n_tracks):
+        mono = welsh_model.render_notes(
+            params, jnp.asarray(keys[t]), jnp.asarray(vels[t]),
+            jnp.asarray(gates[t]), span, sr,
+        )
+        track = scatter_notes(mono, jnp.asarray(ons[t]), n_frames)
+        track = iir.biquad(track, iir.rbj_low_pass(8000.0, 0.707, sr))
+        mix += np.asarray(jnp.stack([track, track])) * gains[t]
+
+    assert sharded.shape == (2, n_frames)
+    assert np.max(np.abs(sharded - mix)) < 1e-4
+
+
+def test_dryrun_entrypoint():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
