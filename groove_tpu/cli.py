@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def output_path(input_filename: str, out_dir: str | None) -> Path:
-    out = re.sub(r"\.(json5?|midi?)$", ".wav", input_filename)
+    out = re.sub(r"\.(json5?|midi?|nsn)$", ".wav", input_filename)
     if out == input_filename:
         raise SystemExit(
             "would overwrite input file; couldn't generate output filename"

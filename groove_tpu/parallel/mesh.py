@@ -90,5 +90,6 @@ def render_songs_data_parallel(renderers, mesh_axis: str = "songs"):
     for i, r in enumerate(renderers):
         dev = devs[i % len(devs)]
         inputs = jax.device_put(r.inputs, dev)
-        futures.append(jax.jit(r._render, device=dev)(inputs))
+        with jax.default_device(dev):
+            futures.append(jax.jit(r._render)(inputs))
     return [np.asarray(f) for f in futures]
