@@ -33,7 +33,6 @@ from groove_tpu.core.time import (
     MusicalTime,
     SampleRate,
     Tempo,
-    TimeSignature,
     UNITS_IN_BEAT,
     frames_to_units,
     render_length_frames,

@@ -119,6 +119,37 @@ def test_welsh_lfo_pitch_produces_vibrato():
     assert abs(a - b) > 0.5  # pitch moves
 
 
+def test_arpeggiator_emits_note_stream():
+    # arpeggiator.json: held whole note on ch1 -> arp -> organ on ch0; the
+    # render must contain multiple distinct pitches (the arp cycle), not
+    # one sustained tone
+    out = render("controllers/arpeggiator.json")[:, 0]
+    pitches = set()
+    step = 11025  # quarter second at 60 BPM sixteenths
+    for i in range(2, 14):
+        seg = out[i * step:(i + 1) * step]
+        if np.sqrt((seg**2).mean()) < 1e-3:
+            continue
+        pitches.add(round(dominant_hz(seg)))
+    assert len(pitches) >= 3, pitches
+
+
+def test_sidechain_drives_compressor():
+    # sidechain.json: identical bass patterns in half 1 (compressor-1,
+    # static threshold 1 => no compression) and half 2 (compressor-2,
+    # threshold driven by the drum bus). The sidechain must make the two
+    # halves differ.
+    out = render("controllers/sidechain.json")
+    mono = out.mean(axis=1)
+    n = len(mono)
+    h1 = mono[: n // 2]
+    h2 = mono[n // 2:]
+    r1 = np.sqrt((h1**2).mean())
+    r2 = np.sqrt((h2**2).mean())
+    assert r1 > 0.01 and r2 > 0.01
+    assert abs(r1 - r2) / max(r1, r2) > 0.02  # sidechain audibly acts
+
+
 def test_drums_demo_has_transients():
     out = render("instruments/drums.json")[:, 0]
     env = np.abs(out)
