@@ -89,9 +89,11 @@ class CompiledSong:
 def _audio_roles(dev: DeviceIR) -> tuple[bool, bool]:
     """(outputs_audio, accepts_audio) — patch() validation rules
     (orchestrator.rs:263-304). SignalPassthroughController is a
-    controller+effect hybrid (orchestration/src/entities.rs:114-115)."""
+    controller+effect hybrid (orchestration/src/entities.rs:114-115);
+    Calculator is a controller+instrument hybrid (entities.rs:88-89,
+    patched to main-mixer in projects/calculator.json)."""
     is_effect = dev.role == "effect" or dev.kind == "signal-passthrough-controller"
-    is_instrument = dev.role == "instrument"
+    is_instrument = dev.role == "instrument" or dev.kind == "calculator"
     return (is_instrument or is_effect, is_effect)
 
 

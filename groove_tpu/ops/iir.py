@@ -47,7 +47,8 @@ def _affine_combine(e1, e2):
 BIQUAD_BLOCK = 256
 
 
-def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK) -> jax.Array:
+def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK,
+           initial_state=None, return_state: bool = False):
     """Apply one biquad section along `axis` (zero initial state).
 
     coefs: tuple (b0, b1, b2, a1, a2), normalized (a0 == 1). Each entry is a
@@ -72,6 +73,13 @@ def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK) -> ja
 
     Total sequential depth: block + n/block (~900 for a 165k-sample song)
     instead of n (~165k) for the naive per-sample loop.
+
+    initial_state: optional (s1, s2) TDF2 state entering sample 0 (each
+    broadcastable to x's batch shape) — used for segment/stream handoff
+    (time-sharded rendering, parallel/timeshard.py).
+    return_state: also return (s1, s2) exiting the last sample, plus the
+    segment transition matrix (m11, m12, m21, m22) mapping entry state to
+    exit state, so segments compose exactly across devices.
     """
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
@@ -128,9 +136,15 @@ def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK) -> ja
         return (n1, n2), S  # emit the PRE-state (state entering block b)
 
     zero_state = jnp.zeros_like(Mxs[0][0])
-    (_, _), S_pre = jax.lax.scan(
-        cross_step, (zero_state, zero_state), Mxs, unroll=4
-    )
+    if initial_state is not None:
+        s1_0 = jnp.broadcast_to(jnp.asarray(initial_state[0], dtype),
+                                zero_state.shape)
+        s2_0 = jnp.broadcast_to(jnp.asarray(initial_state[1], dtype),
+                                zero_state.shape)
+        entry = (s1_0, s2_0)
+    else:
+        entry = (zero_state, zero_state)
+    (exit1, exit2), S_pre = jax.lax.scan(cross_step, entry, Mxs, unroll=4)
     # S_pre: 2-tuple? lax.scan stacks the emitted tuple -> tuple of [nb, ...]
     S1 = jnp.moveaxis(S_pre[0], 0, -1)  # [..., nb]
     S2 = jnp.moveaxis(S_pre[1], 0, -1)
@@ -149,7 +163,21 @@ def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK) -> ja
     y = (b0p.reshape(shape) * xb + s1_prev).reshape(xp.shape)[..., :n]
     if axis != -1:
         y = jnp.moveaxis(y, -1, axis)
-    return y
+    if not return_state:
+        return y
+    # segment transition (homogeneous part): product of block transitions
+    assert n % block == 0, "return_state needs n to be a block multiple"
+
+    def mat_step(M, xs_b):
+        m11, m12, m21, m22, _, _ = xs_b
+        a, b_, c_, d_ = M
+        return (m11 * a + m12 * c_, m11 * b_ + m12 * d_,
+                m21 * a + m22 * c_, m21 * b_ + m22 * d_), None
+
+    ident = (jnp.ones_like(zero_state), jnp.zeros_like(zero_state),
+             jnp.zeros_like(zero_state), jnp.ones_like(zero_state))
+    M_seg, _ = jax.lax.scan(mat_step, ident, Mxs, unroll=4)
+    return y, (exit1, exit2), M_seg
 
 
 USE_PALLAS = None  # None = auto (TPU only); True/False to force
@@ -233,25 +261,29 @@ def rbj_high_pass(cutoff, q, sample_rate):
     )
 
 
-def _alpha_bw(w0, bandwidth):
-    """alpha for the bandwidth (octaves) parameterization
-    (Audio-EQ-Cookbook.txt:86-88)."""
-    sw = jnp.sin(w0)
-    return sw * jnp.sinh(jnp.log(2.0) / 2.0 * bandwidth * w0 / sw)
+def _alpha_bw_hz(w0, cutoff, bandwidth_hz):
+    """alpha from a bandwidth given in Hz: Q = cutoff / bandwidth.
+
+    The reference's band filters take `bandwidth` (settings/src/effects.rs)
+    with corpus values 2..2000 Hz around a 1000 Hz cutoff
+    (projects/demos/effects/filter-band-*_bandwidth-{2,30,2000}.json) —
+    clearly Hz, not the cookbook's octaves (2000 octaves overflows)."""
+    q = cutoff / jnp.maximum(bandwidth_hz, 1e-6)
+    return jnp.sin(w0) / (2.0 * q)
 
 
 def rbj_band_pass(cutoff, bandwidth, sample_rate):
     """Constant 0 dB peak gain variant (cookbook's second BPF form)."""
     w0 = _w0(cutoff, sample_rate)
     cw = jnp.cos(w0)
-    alpha = _alpha_bw(w0, bandwidth)
+    alpha = _alpha_bw_hz(w0, cutoff, bandwidth)
     return _norm(alpha, jnp.zeros_like(alpha), -alpha, 1 + alpha, -2 * cw, 1 - alpha)
 
 
 def rbj_band_stop(cutoff, bandwidth, sample_rate):
     w0 = _w0(cutoff, sample_rate)
     cw = jnp.cos(w0)
-    alpha = _alpha_bw(w0, bandwidth)
+    alpha = _alpha_bw_hz(w0, cutoff, bandwidth)
     one = jnp.ones_like(alpha)
     return _norm(one, -2 * cw, one, 1 + alpha, -2 * cw, 1 - alpha)
 

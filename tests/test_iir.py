@@ -86,7 +86,8 @@ def test_allpass_preserves_magnitude(rng):
 def test_bandpass_peak_at_center():
     n = 16384
     t = np.arange(n) / 44100.0
-    coefs = iir.rbj_band_pass(1000.0, 1.0, 44100.0)
+    # bandwidth is in Hz (corpus convention): 1000 Hz wide at 1 kHz -> Q=1
+    coefs = iir.rbj_band_pass(1000.0, 1000.0, 44100.0)
     at = {}
     for f in [100.0, 1000.0, 8000.0]:
         x = np.sin(2 * np.pi * f * t).astype(np.float32)

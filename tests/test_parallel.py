@@ -55,3 +55,20 @@ def test_sharded_mix_matches_single_device():
 def test_dryrun_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_timesharded_biquad_matches_serial():
+    from groove_tpu.parallel.timeshard import biquad_timesharded
+
+    n = 8 * iir.BIQUAD_BLOCK * 4  # 4 blocks per device on 8 devices
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    cutoff = np.linspace(200.0, 6000.0, n).astype(np.float32)
+    coefs = iir.rbj_low_pass(cutoff, 0.707, 44100.0)
+    y_serial = np.asarray(iir.biquad(jnp.asarray(x), coefs))
+    mesh = make_mesh(8, axis="time")
+    y_shard = np.asarray(
+        biquad_timesharded(jnp.asarray(x), coefs, mesh, axis_name="time")
+    )
+    err = np.max(np.abs(y_shard - y_serial))
+    assert err < 1e-5, err

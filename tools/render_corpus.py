@@ -18,7 +18,10 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 REF = Path("/root/reference")
-SKIP = {"invalid-project.json", "test.grv"}
+# invalid-project.json and instruments-have-no-inputs.json5 are
+# deliberately-invalid fixtures (the loader must REJECT them — covered by
+# tests); test.grv is an unrelated binary.
+SKIP = {"invalid-project.json", "test.grv", "instruments-have-no-inputs.json5"}
 
 
 def main() -> int:
