@@ -107,16 +107,31 @@ class Renderer:
 
     def _chunked_mono(self, render_fn, keys, vels, gate, on, span: int,
                       n: int):
-        """Render note batches in chunks and scatter-sum into the timeline."""
+        """Render note batches in chunks and scatter-sum into the timeline.
+
+        Chunks run under lax.scan so the HLO holds ONE voice-pipeline
+        instance however many chunks a long song needs (a Python loop
+        duplicated the pipeline per chunk and overwhelmed the remote
+        compiler on 2,400-note SMF imports). Padding notes are silent
+        (velocity 0)."""
         count = keys.shape[0]
         per_chunk = max(1, self.NOTE_CHUNK_ELEMS // max(span, 1))
         if count <= per_chunk:
             return scatter_notes(render_fn(keys, vels, gate), on, n)
-        mono = jnp.zeros((n,), jnp.float32)
-        for a in range(0, count, per_chunk):
-            b = min(a + per_chunk, count)
-            notes = render_fn(keys[a:b], vels[a:b], gate[a:b])
-            mono = mono + scatter_notes(notes, on[a:b], n)
+        n_chunks = -(-count // per_chunk)
+        padn = n_chunks * per_chunk - count
+        keys_c = jnp.pad(keys, (0, padn)).reshape(n_chunks, per_chunk)
+        vels_c = jnp.pad(vels, (0, padn)).reshape(n_chunks, per_chunk)
+        gate_c = jnp.pad(gate, (0, padn)).reshape(n_chunks, per_chunk)
+        on_c = jnp.pad(on, (0, padn)).reshape(n_chunks, per_chunk)
+
+        def body(mono, chunk):
+            k, v, g, o = chunk
+            notes = render_fn(k, v, g)
+            return mono + scatter_notes(notes, o, n), None
+
+        mono0 = jnp.zeros((n,), jnp.float32)
+        mono, _ = jax.lax.scan(body, mono0, (keys_c, vels_c, gate_c, on_c))
         return mono
 
     def _param(self, inputs, dev: DeviceIR, name: str, default: float,
