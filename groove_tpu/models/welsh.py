@@ -82,9 +82,21 @@ def render_notes(
     lfo = params.lfo
     if lfo.routing != "none" and lfo.frequency > 0.0 and lfo.depth != 0.0:
         lfo_phase = lfo.frequency * t  # restarts at note-on
-        lfo_val = osc_ops.evaluate(
-            lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
-        ) * lfo.depth  # [1, span]
+        if lfo.waveform.kind == "noise":
+            # LFO noise is sample-and-hold at the LFO rate (a per-sample
+            # white-noise cutoff modulation at high Q measurably blows up
+            # the time-varying filter: nerd-o-tron-2000 hit 9e37)
+            n_cycles = int(np.ceil(span * lfo.frequency / sample_rate)) + 2
+            vals = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
+                (n_cycles,), jnp.float32, -1.0, 1.0,
+            )
+            cycle = jnp.floor(lfo_phase).astype(jnp.int32)
+            lfo_val = vals[jnp.clip(cycle, 0, n_cycles - 1)] * lfo.depth
+        else:
+            lfo_val = osc_ops.evaluate(
+                lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
+            ) * lfo.depth  # [1, span]
     else:
         lfo_val = jnp.zeros((1, 1), jnp.float32)
     routing = lfo.routing
