@@ -101,6 +101,8 @@ def render_notes(
         lfo_val = jnp.zeros((1, 1), jnp.float32)
     routing = lfo.routing
 
+    pitch_modulated = routing in ("pitch", "pitch-osc2")
+
     def osc_freq(osc, fixed_hz, is_osc2):
         if fixed_hz is not None:
             f = jnp.full_like(base_freq, fixed_hz)
@@ -109,6 +111,13 @@ def render_notes(
         if routing == "pitch" or (routing == "pitch-osc2" and is_osc2):
             f = f * jnp.exp2(lfo_val)
         return jnp.broadcast_to(f, (n_notes, span))
+
+    def osc_phase(f):
+        if pitch_modulated:
+            return osc_ops.phase_from_freq(f, sample_rate)
+        # constant per-note frequency: closed-form phase avoids the f32
+        # cumsum drift on multi-second notes
+        return f * t
 
     def osc_signal(osc, phase, which):
         kind = osc.waveform.kind
@@ -131,12 +140,12 @@ def render_notes(
 
     f1 = osc_freq(params.oscillator_1, None, False)
     f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz, True)
-    phase1 = osc_ops.phase_from_freq(f1, sample_rate)
+    phase1 = osc_phase(f1)
     if params.oscillator_2_sync and o1_active:
         # hard sync: osc2 phase resets at each osc1 wrap (closed form)
         phase2 = osc_ops.hard_sync_phase(phase1, f2 / jnp.maximum(f1, 1e-6))
     else:
-        phase2 = osc_ops.phase_from_freq(f2, sample_rate)
+        phase2 = osc_phase(f2)
 
     s1 = osc_signal(params.oscillator_1, phase1, 1)
     s2 = osc_signal(params.oscillator_2, phase2, 2)
