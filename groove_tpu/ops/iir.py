@@ -389,6 +389,10 @@ def lp24_apply(x, cutoff, q, sample_rate, axis=-1):
     """Run the 24 dB low-pass cascade. cutoff/q broadcast against x."""
     gain, sections = lp24_sections(cutoff, q, sample_rate)
     y = x * gain
+    if axis == -1 and _pallas_available():
+        # both sections fused in one kernel: the intermediate stays in VMEM
+        from groove_tpu.ops.pallas_iir import cascade2_pallas
+        return cascade2_pallas(y, sections[0], sections[1])
     for sec in sections:
         y = biquad_best(y, sec, axis=axis)
     return y

@@ -49,3 +49,16 @@ def test_multi_chunk_state_carries(rng):
     # f32 FMA/ordering differs between the interpreted kernel and the XLA
     # scan on CPU; 300 Hz poles amplify it. ~-78 dBFS is the honest bound.
     assert np.max(np.abs(y_pl - y_ref)) < 5e-4
+
+
+def test_cascade2_matches_sequential_sections(rng):
+    from groove_tpu.ops.pallas_iir import cascade2_pallas
+
+    n = 20000
+    x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+    cutoff = np.linspace(100.0, 12000.0, n).astype(np.float32)
+    gain, secs = iir.lp24_sections(jnp.asarray(cutoff), 0.8, 44100.0)
+    xg = jnp.asarray(x) * gain
+    y_ref = iir.biquad(iir.biquad(xg, secs[0]), secs[1])
+    y_pl = cascade2_pallas(xg, secs[0], secs[1], interpret=True)
+    assert float(jnp.max(jnp.abs(y_pl - y_ref))) < 1e-4
