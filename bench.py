@@ -43,12 +43,17 @@ def main():
     # round trip is counted per render. Each iteration perturbs one input
     # infinitesimally so XLA cannot hoist the loop-invariant render.
     reps = 32
-    pert_key = next(k for k in r.inputs if k.endswith("/vels"))
+    # perturb EVERY velocity-like input so no instrument's render is
+    # loop-invariant (hoistable) — /vels feeds the generic paths, /hvels
+    # the Pallas drum path
+    pert_keys = [k for k in r.inputs if k.endswith("vels")]
+    assert pert_keys
 
     def many(inputs):
         def body(i, acc):
             inp = dict(inputs)
-            inp[pert_key] = inputs[pert_key] + 1e-6 * i.astype(jnp.float32)
+            for k in pert_keys:
+                inp[k] = inputs[k] + 1e-6 * i.astype(jnp.float32)
             return acc + jnp.sum(jnp.abs(r._render(inp)))
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
