@@ -150,6 +150,21 @@ def test_sidechain_drives_compressor():
     assert abs(r1 - r2) / max(r1, r2) > 0.02  # sidechain audibly acts
 
 
+def test_stereo_automation_pans_the_image():
+    # stereo-automation.json: a 2 Hz triangle LFO drives the lead's pan —
+    # the L/R balance must oscillate and cross center
+    out = render("controllers/stereo-automation.json")
+    blk = 2205
+    bal = []
+    for i in range(0, len(out) - blk, blk):
+        l_rms = np.sqrt((out[i:i + blk, 0] ** 2).mean())
+        r_rms = np.sqrt((out[i:i + blk, 1] ** 2).mean())
+        bal.append((l_rms - r_rms) / (l_rms + r_rms + 1e-9))
+    bal = np.array(bal)
+    assert bal.max() - bal.min() > 0.3
+    assert int(np.sum(np.abs(np.diff(np.sign(bal))) > 0)) >= 5
+
+
 def test_drums_demo_has_transients():
     out = render("instruments/drums.json")[:, 0]
     env = np.abs(out)
