@@ -165,6 +165,23 @@ def test_stereo_automation_pans_the_image():
     assert int(np.sum(np.abs(np.diff(np.sign(bal))) > 0)) >= 5
 
 
+def test_reverb_fills_the_gaps_between_hits():
+    # drums-reverb.json vs the same song with the reverb bypassed: the
+    # wet render must carry energy through the silences between drum hits
+    song = SongSettings.from_project_file(DEMOS / "effects/drums-reverb.json")
+    wet = np.asarray(Renderer(compile_song(song)).render())
+    song.patch_cables = [["drum-1", "main-mixer"]]
+    dry = np.asarray(Renderer(compile_song(song)).render())
+
+    def gap_floor(x):
+        blk = 2205
+        vals = [np.sqrt((x[i:i + blk, 0] ** 2).mean())
+                for i in range(0, len(x) - blk, blk)]
+        return np.percentile(vals, 20)  # the quiet windows
+
+    assert gap_floor(wet) > 3 * max(gap_floor(dry), 1e-6)
+
+
 def test_drums_demo_has_transients():
     out = render("instruments/drums.json")[:, 0]
     env = np.abs(out)
