@@ -182,6 +182,40 @@ def test_reverb_fills_the_gaps_between_hits():
     assert gap_floor(wet) > 3 * max(gap_floor(dry), 1e-6)
 
 
+def test_compressor_demo_threshold_zero_is_ratio_gain():
+    # compressor.json sets threshold 0, ratio 0.1: the reference-era
+    # instantaneous compressor then reduces every sample to ratio*x
+    # (sign(x)*(0 + (|x|-0)*0.1)) — i.e. exactly a 0.1x gain
+    song = SongSettings.from_project_file(DEMOS / "effects/compressor.json")
+    comp = np.asarray(Renderer(compile_song(song)).render())
+    ids = [c[0] for c in song.patch_cables]
+    song.patch_cables = [[ids[0], "main-mixer"]]
+    dry = np.asarray(Renderer(compile_song(song)).render())
+    assert np.allclose(comp, dry * 0.1, atol=1e-5)
+
+
+def test_hard_sync_changes_the_waveform():
+    # welsh piano has oscillator-2-sync: true; disabling it must change
+    # the rendered audio (sync locks osc2's phase to osc1's wraps)
+    import dataclasses
+    from groove_tpu.models import welsh as welsh_model
+    from groove_tpu.project.paths import Paths
+    from groove_tpu.project.patches import WelshPatchSettings
+
+    params = WelshPatchSettings.by_name(Paths(), "piano")\
+        .derive_welsh_voice_params()
+    assert params.oscillator_2_sync
+    keys = np.array([60], np.int32)
+    vels = np.array([127.0], np.float32)
+    gates = np.array([8000], np.int32)
+    synced = np.asarray(welsh_model.render_notes(
+        params, keys, vels, gates, 8192, 44100.0))
+    free = np.asarray(welsh_model.render_notes(
+        dataclasses.replace(params, oscillator_2_sync=False),
+        keys, vels, gates, 8192, 44100.0))
+    assert np.sqrt(((synced - free) ** 2).mean()) > 0.01
+
+
 def test_drums_demo_has_transients():
     out = render("instruments/drums.json")[:, 0]
     env = np.abs(out)
