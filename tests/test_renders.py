@@ -182,16 +182,20 @@ def test_reverb_fills_the_gaps_between_hits():
     assert gap_floor(wet) > 3 * max(gap_floor(dry), 1e-6)
 
 
-def test_compressor_demo_threshold_zero_is_ratio_gain():
-    # compressor.json sets threshold 0, ratio 0.1: the reference-era
-    # instantaneous compressor then reduces every sample to ratio*x
-    # (sign(x)*(0 + (|x|-0)*0.1)) — i.e. exactly a 0.1x gain
+def test_compressor_demo_threshold_ramp():
+    # compressor.json: threshold 0, ratio 0.1, with a trip ramping the
+    # threshold 0 -> 1 over a whole note. At threshold 0 the reference-era
+    # instantaneous compressor reduces every sample to ratio*x; once the
+    # threshold exceeds the signal it passes through untouched.
     song = SongSettings.from_project_file(DEMOS / "effects/compressor.json")
     comp = np.asarray(Renderer(compile_song(song)).render())
     ids = [c[0] for c in song.patch_cables]
     song.patch_cables = [[ids[0], "main-mixer"]]
     dry = np.asarray(Renderer(compile_song(song)).render())
-    assert np.allclose(comp, dry * 0.1, atol=1e-5)
+    head = slice(64, 4096)  # threshold still ~0 here
+    assert np.allclose(comp[head], dry[head] * 0.1, atol=1e-3)
+    tail = slice(-8192, None)  # threshold ~1: passthrough
+    assert np.allclose(comp[tail], dry[tail], atol=1e-4)
 
 
 def test_hard_sync_changes_the_waveform():
