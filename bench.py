@@ -60,7 +60,16 @@ def main():
     many_fn = jax.jit(many)
     float(many_fn(r.inputs))  # warm up / compile
 
-    rtt = 0.024  # measured axon-tunnel scalar readback round trip
+    # Measure the tunnel's scalar-readback round trip inline (it drifts):
+    # time a trivial jitted scalar op, take the min of several runs.
+    tiny = jax.jit(lambda x: x + 1.0)
+    float(tiny(jnp.float32(0)))  # compile
+    rtt = min(
+        (lambda t0: (float(tiny(jnp.float32(i))), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for i in range(5)
+    )
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -82,8 +82,16 @@ def parse_smf(path) -> SmfFile:
                 tpos += 1
                 if status < 0xF0:
                     running_status = status
+                else:
+                    # System/meta events cancel running status (SMF spec).
+                    running_status = 0
             else:
                 status = running_status
+                if status == 0:
+                    raise ValueError(
+                        f"{path}: data byte 0x{data[tpos]:02x} at offset "
+                        f"{tpos} with no running status"
+                    )
             if status == 0xFF:  # meta
                 meta = data[tpos]
                 tpos += 1
@@ -127,23 +135,80 @@ def parse_smf(path) -> SmfFile:
                         smf.events.append(
                             SmfEvent(ticks, channel, "program", (d1,))
                         )
+                else:
+                    raise ValueError(
+                        f"{path}: unhandled status byte 0x{status:02x} at "
+                        f"offset {tpos}"
+                    )
     smf.events.sort(key=lambda e: e.ticks)
     return smf
 
 
-def smf_to_note_events(smf: SmfFile) -> list[NoteEvent]:
-    """Pair note-on/off into NoteEvents with beat times (ticks/division).
+def tempo_map(smf: SmfFile) -> list[tuple[int, int]]:
+    """[(ticks, us_per_qn)] sorted, starting at tick 0 (SMF default 120 BPM
+    unless the file sets a tempo at tick 0). Every 0x51 meta is honored —
+    mid-file tempo changes appear in the fixtures (test-data/midi/*.mid.txt)
+    and the reference plays them via its tick clock."""
+    changes = [(e.ticks, e.data[0]) for e in smf.events if e.kind == "tempo"]
+    changes.sort()
+    if not changes or changes[0][0] > 0:
+        changes.insert(0, (0, smf.tempo_us_per_qn if changes else 500_000))
+    # A file that opens with a tempo meta at tick 0 keeps it; otherwise the
+    # prepended entry is the first tempo (pre-first-meta region plays at the
+    # first tempo, matching smf.tempo_us_per_qn semantics).
+    dedup: list[tuple[int, int]] = []
+    for t, us in changes:
+        if dedup and dedup[-1][0] == t:
+            dedup[-1] = (t, us)
+        else:
+            dedup.append((t, us))
+    return dedup
 
-    Uses the first tempo for the whole piece (tempo-map rendering is a
-    follow-up); overlapping re-triggers of the same key close the earlier
+
+def _tick_to_seconds_fn(smf: SmfFile):
+    """Exact piecewise-linear ticks->seconds via the tempo map (Fractions)."""
+    tmap = tempo_map(smf)
+    div = smf.division
+    # Prefix seconds at each change point.
+    prefix: list[tuple[int, Fraction, int]] = []  # (tick, seconds_at, us)
+    sec = Fraction(0)
+    for i, (t, us) in enumerate(tmap):
+        if i > 0:
+            t0, us0 = tmap[i - 1]
+            sec += Fraction((t - t0) * us0, 1_000_000 * div)
+        prefix.append((t, sec, us))
+
+    def seconds(ticks: int) -> Fraction:
+        lo, hi = 0, len(prefix) - 1
+        while lo < hi:  # last change point <= ticks
+            mid = (lo + hi + 1) // 2
+            if prefix[mid][0] <= ticks:
+                lo = mid
+            else:
+                hi = mid - 1
+        t0, s0, us = prefix[lo]
+        return s0 + Fraction((ticks - t0) * us, 1_000_000 * div)
+
+    return seconds
+
+
+def smf_to_note_events(smf: SmfFile) -> list[NoteEvent]:
+    """Pair note-on/off into NoteEvents with beat times.
+
+    Multi-tempo SMFs are honored: each tick is warped through the tempo map
+    to wall-clock seconds, then expressed as beats *at the first tempo*
+    (beats = seconds * bpm / 60). The downstream compiler converts beats to
+    frames at that single bpm, so note frame positions are exact for any
+    tempo map. Overlapping re-triggers of the same key close the earlier
     note first (matching the dumps' Note On ... 0 convention).
     """
     open_notes: dict[tuple[int, int], list] = {}
     out: list[NoteEvent] = []
-    div = smf.division
+    seconds = _tick_to_seconds_fn(smf)
+    beats_per_second = Fraction(60_000_000, smf.tempo_us_per_qn) / 60
 
     def beats(ticks: int) -> Fraction:
-        return Fraction(ticks, div)
+        return seconds(ticks) * beats_per_second
 
     for e in smf.events:
         if e.kind == "note-on":

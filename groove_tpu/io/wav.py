@@ -57,9 +57,23 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # assume PCM subtype for our corpus
-    if audio_format == 3 or bits == 32 and audio_format == 3:
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real format is a
+        # GUID at byte 24 of the fmt body; the first two GUID bytes are the
+        # classic format code (1 = PCM, 3 = IEEE float).
+        fmt_body = None
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt_body = data[pos + 8:pos + 8 + size]
+                break
+            pos += 8 + size + (size & 1)
+        if fmt_body is not None and len(fmt_body) >= 26:
+            audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
+        else:
+            audio_format = 1
+    if audio_format == 3 and bits == 32:
         x = np.frombuffer(raw, "<f4").astype(np.float32)
     elif audio_format == 1 and bits == 16:
         x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0

@@ -79,6 +79,11 @@ def song_to_dict(song: SongSettings) -> dict:
                 ("paths", t.path_ids)) if v is not None}
             for t in song.trips
         ]
+    if song.sends:
+        d["sends"] = [
+            {"source": s.source, "aux": s.aux, "amount": s.amount}
+            for s in song.sends
+        ]
     return d
 
 

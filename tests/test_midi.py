@@ -6,7 +6,12 @@ from pathlib import Path
 import pytest
 
 from groove_tpu.compiler.song import compile_midi_file
-from groove_tpu.io.midi_smf import gm_program_to_patch, parse_smf, smf_to_note_events
+from groove_tpu.io.midi_smf import (
+    _tick_to_seconds_fn,
+    gm_program_to_patch,
+    parse_smf,
+    smf_to_note_events,
+)
 
 MIDI_DIR = Path("/root/reference/test-data/midi")
 
@@ -59,6 +64,85 @@ def test_compile_midi_file_builds_song():
     instruments = [d for d in c.devices.values() if d.role == "instrument"]
     assert instruments
     assert sum(d.notes.count for d in instruments) == 32
+
+
+@pytest.mark.parametrize("name", ["clouds", "jingle_bells", "sound_of_music"])
+def test_tick_to_seconds_matches_dump_column(name):
+    """The dumps' __seconds column is the authoritative tick->wall-clock
+    mapping (produced by test-data/midi/generate_dumps); our tempo-map warp
+    must reproduce it for every note event."""
+    path = MIDI_DIR / f"{name}.mid"
+    smf = parse_smf(path)
+    seconds = _tick_to_seconds_fn(smf)
+    checked = 0
+    for line in (path.parent / (path.name + ".txt")).read_text().splitlines():
+        parts = line.split()
+        if "Note On" in line and len(parts) >= 2:
+            ticks, secs = int(parts[0]), float(parts[1])
+            assert abs(float(seconds(ticks)) - secs) < 5e-4, (ticks, secs)
+            checked += 1
+    assert checked > 0
+
+
+def _vlq(n: int) -> bytes:
+    out = [n & 0x7F]
+    n >>= 7
+    while n:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    return bytes(reversed(out))
+
+
+def _synth_multi_tempo_smf(tmp_path) -> Path:
+    """One track, division 96: tempo 500000 (120 BPM) at tick 0, a quarter
+    note C4 (96 ticks), tempo 250000 (240 BPM), another quarter note C4.
+    First note lasts 0.5 s, second 0.25 s."""
+    ev = b""
+    ev += _vlq(0) + bytes([0xFF, 0x51, 0x03]) + (500000).to_bytes(3, "big")
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(96) + bytes([0x80, 60, 0])
+    ev += _vlq(0) + bytes([0xFF, 0x51, 0x03]) + (250000).to_bytes(3, "big")
+    ev += _vlq(0) + bytes([0x90, 60, 100])
+    ev += _vlq(96) + bytes([0x80, 60, 0])
+    ev += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    import struct
+    data = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+            + b"MTrk" + struct.pack(">I", len(ev)) + ev)
+    p = tmp_path / "two-tempi.mid"
+    p.write_bytes(data)
+    return p
+
+
+def test_multi_tempo_smf_durations_exact(tmp_path):
+    """VERDICT item 5: a multi-tempo fixture's timing must match the
+    tick x tempo arithmetic exactly. 96 ticks @500000us/qn = 0.5 s then
+    96 ticks @250000us/qn = 0.25 s; at the first tempo (120 BPM) those are
+    1.0 and 0.5 beats."""
+    p = _synth_multi_tempo_smf(tmp_path)
+    smf = parse_smf(p)
+    notes = smf_to_note_events(smf)
+    assert len(notes) == 2
+    n1, n2 = notes
+    assert float(n1.on_beats) == 0.0
+    assert float(n1.off_beats) == 1.0
+    assert float(n2.on_beats) == 1.0
+    assert float(n2.off_beats) == 1.5  # 0.25 s after, at 120 BPM beat units
+    seconds = _tick_to_seconds_fn(smf)
+    assert float(seconds(96)) == 0.5
+    assert float(seconds(192)) == 0.75
+
+
+def test_malformed_smf_raises_not_hangs(tmp_path):
+    """A data byte with no running status must raise, not loop forever
+    (ADVICE round 1)."""
+    import struct
+    ev = _vlq(0) + bytes([0x42, 0x42])  # orphan data bytes
+    data = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+            + b"MTrk" + struct.pack(">I", len(ev)) + ev)
+    p = tmp_path / "bad.mid"
+    p.write_bytes(data)
+    with pytest.raises(ValueError, match="no running status"):
+        parse_smf(p)
 
 
 def test_gm_mapping_total():

@@ -31,6 +31,27 @@ def test_send_routes_scale_and_mix():
     assert np.allclose(out, 0.2 + 0.2 * 0.5 * 0.5, atol=1e-6)
 
 
+def test_sends_survive_save_round_trip():
+    """ADVICE round 1: song_to_dict dropped the sends array, breaking the
+    save->load identity."""
+    from groove_tpu.project.save import song_to_dict
+
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["i1", {"toy-instrument": [{"midi-in": 0},
+                                                      {"fake-value": 0.2}]}]},
+            {"effect": ["aux-gain", {"gain": {"ceiling": 0.5}}]},
+        ],
+        "patch-cables": [["i1", "main-mixer"], ["aux-gain", "main-mixer"]],
+        "sends": [{"source": "i1", "aux": "aux-gain", "amount": 0.5}],
+    }))
+    song2 = SongSettings.from_json(song_to_dict(song))
+    assert [(s.source, s.aux, s.amount) for s in song2.sends] == [
+        ("i1", "aux-gain", 0.5)
+    ]
+
+
 def test_unknown_send_skipped(capsys):
     song = SongSettings.from_json5_str(json.dumps({
         "clock": {"bpm": 240},
