@@ -27,12 +27,23 @@ from groove_tpu.models import fm as fm_model
 from groove_tpu.models import sampler as sampler_model
 from groove_tpu.models import simple as simple_model
 from groove_tpu.models import welsh as welsh_model
-from groove_tpu.models.voices import scatter_notes, span_for
+from groove_tpu.models.voices import bucket_notes, scatter_notes, span_for
 from groove_tpu.ops import delayfx, dynamics, effects, iir
 from groove_tpu.ops.dca import pan_gains
 from groove_tpu.project.schema import warn
 
 BLOCK = SAMPLE_BUFFER_SIZE
+
+
+def _upsample_block(curve, n: int):
+    """Block-rate curve [n_blocks] -> per-sample [n] by hold.
+
+    broadcast+reshape, NOT jnp.repeat: repeat lowers to a gather on TPU and
+    measured ~100 us per call at n=10k — it was the dominant cost of every
+    automated parameter in small songs."""
+    nb = curve.shape[0]
+    out = jnp.broadcast_to(curve[:, None], (nb, BLOCK)).reshape(nb * BLOCK)
+    return out[:n]
 
 
 class Renderer:
@@ -42,6 +53,7 @@ class Renderer:
         self.c = compiled
         self.inputs: dict[str, np.ndarray] = {}
         self._spans: dict[str, int] = {}
+        self._buckets: dict[str, list] = {}
         self._collect_inputs()
         # Pin inputs on-device once; sample tables are tens of MB and must
         # not be re-shipped per render call.
@@ -79,8 +91,25 @@ class Renderer:
         else:
             tail = 0.0
         span = span_for(max_gate, tail, sr)
+        # A note window never usefully exceeds the timeline: everything past
+        # n_frames is cropped by scatter_notes. perf-1's piano (release 0.67s)
+        # otherwise renders a 30k-sample window into a 10k-frame song.
+        span = min(span, -(-self.c.n_frames // 128) * 128)
         self._spans[dev.uvid] = span
         u = dev.uvid
+        if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer") \
+                and dev.voice is not None:
+            # span buckets: one drone note must not force every short note
+            # to render a full-length window (see voices.bucket_notes)
+            need = gate.astype(np.int64) + int(np.ceil(tail * sr)) + 1
+            buckets = bucket_notes(need, self.c.n_frames)
+            self._buckets[u] = [s for s, _ in buckets]
+            for j, (_, idx) in enumerate(buckets):
+                self.inputs[f"{u}/b{j}/keys"] = notes.keys[idx]
+                self.inputs[f"{u}/b{j}/vels"] = notes.vels[idx]
+                self.inputs[f"{u}/b{j}/on"] = notes.on_frames[idx]
+                self.inputs[f"{u}/b{j}/gate"] = gate[idx].astype(np.int32)
+            return
         self.inputs[f"{u}/keys"] = notes.keys
         self.inputs[f"{u}/vels"] = notes.vels
         self.inputs[f"{u}/on"] = notes.on_frames
@@ -164,7 +193,7 @@ class Renderer:
             return override
         key = f"{dev.uvid}/auto/{name}"
         if key in inputs:
-            return jnp.repeat(inputs[key], BLOCK, total_repeat_length=n)
+            return _upsample_block(inputs[key], n)
         return float(dev.params.get(name, default))
 
     def _render_instrument(self, inputs, dev: DeviceIR, n: int):
@@ -195,19 +224,25 @@ class Renderer:
         if dev.notes is None or dev.notes.count == 0:
             return jnp.zeros((2, n), jnp.float32)
 
-        span = self._spans[u]
-        keys, vels = inputs[f"{u}/keys"], inputs[f"{u}/vels"]
-        on, gate = inputs[f"{u}/on"], inputs[f"{u}/gate"]
-
-        if dev.kind == "welsh" or dev.kind == "welsh-raw":
+        if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
             if dev.voice is None:
                 return jnp.zeros((2, n), jnp.float32)
-            mono = self._chunked_mono(
-                lambda k, v, g: welsh_model.render_notes(
-                    dev.voice, k, v, g, span, sr
-                ),
-                keys, vels, gate, on, span, n,
-            )
+            render = (welsh_model.render_notes
+                      if dev.kind != "fm-synthesizer"
+                      else fm_model.render_notes)
+            mono = jnp.zeros((n,), jnp.float32)
+            for j, span in enumerate(self._buckets[u]):
+                mono = mono + self._chunked_mono(
+                    lambda k, v, g, s=span: render(dev.voice, k, v, g, s, sr),
+                    inputs[f"{u}/b{j}/keys"], inputs[f"{u}/b{j}/vels"],
+                    inputs[f"{u}/b{j}/gate"], inputs[f"{u}/b{j}/on"],
+                    span, n,
+                )
+            if dev.kind == "fm-synthesizer":
+                pan = self._param(inputs, dev, "pan", dev.voice.pan, n)
+                g = self._param(inputs, dev, "gain", dev.voice.gain, n)
+                left, right = pan_gains(pan)
+                return jnp.stack([mono * left * g, mono * right * g])
             # voice DCA (patch-derived gain 1 / pan 0) then synth DCA with
             # possible pan/gain automation (patches.rs:160-168 has both).
             lv, rv = pan_gains(0.0)
@@ -215,17 +250,10 @@ class Renderer:
             g = self._param(inputs, dev, "gain", 1.0, n)
             ls, rs = pan_gains(pan)
             return jnp.stack([mono * lv * ls * g, mono * rv * rs * g])
-        if dev.kind == "fm-synthesizer":
-            mono = self._chunked_mono(
-                lambda k, v, g: fm_model.render_notes(
-                    dev.voice, k, v, g, span, sr
-                ),
-                keys, vels, gate, on, span, n,
-            )
-            pan = self._param(inputs, dev, "pan", dev.voice.pan, n)
-            g = self._param(inputs, dev, "gain", dev.voice.gain, n)
-            left, right = pan_gains(pan)
-            return jnp.stack([mono * left * g, mono * right * g])
+
+        span = self._spans[u]
+        keys, vels = inputs[f"{u}/keys"], inputs[f"{u}/vels"]
+        on, gate = inputs[f"{u}/on"], inputs[f"{u}/gate"]
         if dev.kind in ("drumkit", "sampler"):
             if dev.kind == "drumkit":
                 gate_eff = jnp.full_like(gate, span)  # one-shot
@@ -296,7 +324,7 @@ class Renderer:
             if bits is None:
                 key = f"{dev.uvid}/auto/bits-to-crush"
                 if key in inputs:
-                    bits = jnp.repeat(inputs[key], BLOCK, total_repeat_length=n)
+                    bits = _upsample_block(inputs[key], n)
                 else:
                     bits = float(dev.params.get("bits", 8))
             return effects.bitcrusher(x, bits)
@@ -392,7 +420,7 @@ class Renderer:
                 last = acc[:, BLOCK - 1::BLOCK]           # [2, n_blocks]
                 val = jnp.abs(jnp.mean(last, axis=0))
                 val = jnp.concatenate([jnp.zeros(1, val.dtype), val[:-1]])
-                per_sample = jnp.repeat(val, BLOCK, total_repeat_length=n)
+                per_sample = _upsample_block(val, n)
                 for tgt, pname in sidechain_by_src[uvid]:
                     overrides[(tgt, pname)] = per_sample
 

@@ -58,6 +58,55 @@ def scatter_notes(note_audio: jnp.ndarray, on_frames, n_frames: int) -> jnp.ndar
     return out[:n_frames] if mono else out[:, :n_frames]
 
 
+def bucket_notes(need_frames: np.ndarray, cap: int, max_buckets: int = 3,
+                 minimum: int = 256):
+    """Partition notes into span buckets to bound wasted render work.
+
+    A single per-instrument span is the MAX over notes, so one whole-note
+    drone makes every sixteenth render a 300k-sample window (jingle_bells
+    ch-0: 410 notes x 299k span = 123M samples for 5.5M frames of audio).
+    Buckets group notes by their own need = gate + tail, on a x2 geometric
+    grid, then greedily merge the cheapest pairs until <= max_buckets
+    remain (each bucket duplicates the voice pipeline in HLO, so the count
+    must stay small for the remote compiler).
+
+    need_frames: [n] per-note required window (gate + tail + 1).
+    cap: upper clamp (timeline length, rounded up).
+    Returns list of (span, indices) with every need <= its bucket span.
+    """
+    cap128 = -(-cap // 128) * 128
+    need = np.minimum(np.maximum(need_frames.astype(np.int64), minimum),
+                      cap128)
+    # geometric grid: minimum * 2^k, 128-aligned, clamped to the cap
+    gvals = []
+    g = minimum
+    while True:
+        gv = min(-(-g // 128) * 128, cap128)
+        if not gvals or gv > gvals[-1]:
+            gvals.append(gv)
+        if g >= cap128:
+            break
+        g *= 2
+    gvals = np.asarray(gvals, np.int64)
+    which = np.searchsorted(gvals, need, side="left")
+    buckets = {}
+    for j in np.unique(which):
+        idx = np.nonzero(which == j)[0]
+        buckets[int(gvals[j])] = idx
+    items = sorted(buckets.items())  # [(span, idx)] ascending
+    # merge cheapest adjacent pair until bounded
+    while len(items) > max_buckets:
+        costs = [
+            len(items[i][1]) * (items[i + 1][0] - items[i][0])
+            for i in range(len(items) - 1)
+        ]
+        i = int(np.argmin(costs))
+        merged = (items[i + 1][0],
+                  np.concatenate([items[i][1], items[i + 1][1]]))
+        items[i:i + 2] = [merged]
+    return [(int(s), np.sort(idx)) for s, idx in items]
+
+
 def apply_mono_policy(on: np.ndarray, off: np.ndarray) -> np.ndarray:
     """Monophonic voice policy: a new note-on gates off the previous note.
 

@@ -46,7 +46,7 @@ import numpy as np
 from groove_tpu.core import types as T
 from groove_tpu.ops import envelope as env_ops
 from groove_tpu.ops import oscillator as osc_ops
-from groove_tpu.ops.iir import biquad_best, lp24_sections
+from groove_tpu.ops.iir import lp24_apply
 from groove_tpu.project.patches import WelshVoiceParams
 from groove_tpu.models.voices import note_freqs
 
@@ -180,10 +180,10 @@ def render_notes(
     q = params.filter_q
     if routing == "resonance":
         q = jnp.maximum(q * (1.0 + lfo_val), 0.1)
-    gain, sections = lp24_sections(cutoff_hz, q, sample_rate)
-    y = osc_out * gain
-    for sec in sections:
-        y = biquad_best(y, sec)
+    # fused 24 dB cascade (one Pallas kernel on TPU; two blocked scans on
+    # CPU) — cutoff/q broadcast per sample against [n_notes, span]
+    y = lp24_apply(osc_out, jnp.broadcast_to(cutoff_hz, osc_out.shape),
+                   q, sample_rate)
 
     # Amp envelope + velocity + amplitude LFO.
     ae = params.amp_envelope

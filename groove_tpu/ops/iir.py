@@ -47,7 +47,18 @@ def _affine_combine(e1, e2):
 BIQUAD_BLOCK = 256
 
 
-def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK,
+def block_for(n: int, max_block: int = 128) -> int:
+    """In-block length for the two-level serial scheme, ~sqrt(n) clamped to
+    [16, max_block]: total serial depth is block + n/block. Shared by the
+    XLA path (biquad(block=None)) and the Pallas kernels so the two paths
+    group the recurrence identically — bit-identical results on TPU."""
+    b = 16
+    while b < max_block and b * b < n:
+        b *= 2
+    return b
+
+
+def biquad(x: jax.Array, coefs, axis: int = -1, block: int | None = None,
            initial_state=None, return_state: bool = False):
     """Apply one biquad section along `axis` (zero initial state).
 
@@ -84,6 +95,8 @@ def biquad(x: jax.Array, coefs, axis: int = -1, block: int = BIQUAD_BLOCK,
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
+    if block is None:
+        block = block_for(n)
     dtype = x.dtype
     b0, b1, b2, a1, a2 = [
         jnp.broadcast_to(jnp.asarray(c, dtype), x.shape) for c in coefs
@@ -391,8 +404,8 @@ def lp24_apply(x, cutoff, q, sample_rate, axis=-1):
     y = x * gain
     if axis == -1 and _pallas_available():
         # both sections fused in one kernel: the intermediate stays in VMEM
-        from groove_tpu.ops.pallas_iir import cascade2_pallas
-        return cascade2_pallas(y, sections[0], sections[1])
+        from groove_tpu.ops.pallas_iir import lp24_cascade_pallas
+        return lp24_cascade_pallas(y, sections)
     for sec in sections:
         y = biquad_best(y, sec, axis=axis)
     return y

@@ -1,26 +1,41 @@
-"""Pallas TPU kernel for biquad filtering.
+"""Pallas TPU kernels for biquad filtering (v2 layout).
 
 The XLA implementation (ops/iir.py) expresses the two-level blocked scan as
-~500 HLO ops with lax.scan bookkeeping per step. This kernel runs the same
-algorithm inside ONE Mosaic kernel with all intermediates in VMEM:
+~500 HLO ops with lax.scan bookkeeping per step. These kernels run the same
+algorithm inside ONE Mosaic kernel with all intermediates in VMEM, laid out
+so every serial step is one native (8, 128) VPU register op:
 
-  layout: time folded to [nb, L] blocks; a grid step processes a chunk of
-  `cb` blocks as [L, B*cb] tiles (lane-friendly), with the filter state
-  carried across grid steps in VMEM scratch (the TPU grid executes
-  sequentially, so cross-chunk state propagation is free).
+  layout: x[B, n] -> [G, L, 8, cb] tiles — time folded to L-sample blocks,
+  8 batch rows in the SUBLANE axis (G = ceil(B/8) groups), cb block-columns
+  in the LANE axis. One grid step = one (group, chunk) pair; the TPU grid
+  executes sequentially, so filter state carries across chunks in VMEM
+  scratch for free.
 
   per chunk:
-    phase 1 — in-block prefix affine maps, serial over L (a register loop
-              over [B*cb]-wide vectors; same numerics as ops/iir.biquad);
-    phase 2 — cross-block state propagation, serial over cb (scalar-ish);
-    phase 3 — combine: y = b0*x + s1_prev, vectorized.
+    phase 1 — in-block prefix affine maps: serial fori_loop over L, each
+              step an [8, cb] vector op covering 8 batch rows at once;
+    phase 2 — cross-block state propagation: T lane-roll sweeps of the
+              vectorized recurrence V <- M*shift(V) + C, where T is the
+              REAL chain length (nb when the call fits one chunk — short
+              songs don't pay for padding lanes);
+    phase 3 — combine, fully vectorized over the whole [L, 8, cb] tile
+              (v1 looped L more serial steps here).
 
-Numerics are identical to ops/iir.biquad (same recurrence order); tests
-compare against it and the f64 serial reference.
+  The in-block length L adapts to the signal: ~sqrt(n), clamped to
+  [16, 128], which minimizes (phase-1 + phase-2) serial depth.
 
-Used for the static- and automated-coefficient effect filters on the TPU
-path; falls back to ops/iir.biquad under jit on CPU or when shapes don't
-tile (engine picks via ops.iir.biquad_best).
+Numerics are identical to ops/iir.biquad (same recurrence, same operation
+order — see the invariant in CLAUDE.md: NO associative doubling of the 2x2
+maps); tests compare against it and the f64 serial reference.
+
+Three entry points, picked by ops/iir dispatchers:
+  - biquad_pallas(x, coefs): per-sample or scalar coefficients. Scalar
+    coefficients ride in SMEM (one input tile instead of five).
+  - lp24_cascade_pallas(x, sections): the filters004 24 dB cascade with
+    its constant (1, 2, 1) numerators — both sections fused in one kernel,
+    c-terms computed in-register, the intermediate never touches HBM.
+  - cascade2_pallas(x, a, b): generic two-section helper (two chained
+    biquad_pallas calls), kept for API compatibility.
 """
 
 from __future__ import annotations
@@ -32,112 +47,55 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-L = 256  # in-block length (matches ops/iir.BIQUAD_BLOCK)
+L = 128   # max in-block length (adaptive per call, see _pick_l)
+CB = 128  # block-columns (lanes) per grid chunk
 
 
-def _kernel_full(na1_ref, na2_ref, c1_ref, c2_ref, b0x_ref, y_ref,
-                 s_ref, p11_s, p12_s, q1_s):
-    # grid = (batch, chunks): chunks iterate innermost (sequentially on
-    # TPU), so carried state resets at each batch row's first chunk.
-    step = pl.program_id(1)
-
-    @pl.when(step == 0)
-    def _init():
-        s_ref[:, :] = jnp.zeros_like(s_ref)
-
-    w = na1_ref.shape[-1]
-
-    # phase 1: serial over L; write the SHIFTED prefix rows (identity at
-    # j=0) so phase 3 can form s1_prev = p11*S1 + p12*S2 + q1.
-    def in_block(j, carry):
-        p11, p12, p21, p22, q1, q2 = carry
-        p11_s[j, :] = p11
-        p12_s[j, :] = p12
-        q1_s[j, :] = q1
-        na1 = na1_ref[0, j, :]
-        na2 = na2_ref[0, j, :]
-        n11 = na1 * p11 + p21
-        n12 = na1 * p12 + p22
-        n21 = na2 * p11
-        n22 = na2 * p12
-        r1 = na1 * q1 + q2 + c1_ref[0, j, :]
-        r2 = na2 * q1 + c2_ref[0, j, :]
-        return (n11, n12, n21, n22, r1, r2)
-
-    ones = jnp.ones((w,), jnp.float32)
-    zeros = jnp.zeros((w,), jnp.float32)
-    m11, m12, m21, m22, cb1, cb2 = jax.lax.fori_loop(
-        0, L, in_block, (ones, zeros, zeros, ones, zeros, zeros)
-    )
-
-    # phase 2: cross-block state propagation along the block axis. Columns
-    # are block indices (one batch row per grid step), so state chains
-    # column k -> k+1. Mosaic forbids single-lane dynamic indexing, so the
-    # serial chain is computed as w sweeps of a vectorized recurrence:
-    #   V^{t+1} = M * shift(V^t) + C
-    # where shift rolls one lane right and injects the carried-in state at
-    # lane 0 (static mask — no dynamic indexing). After w sweeps
-    # V[k] == exact serial state EXITING block k, with identical operation
-    # order to the scalar loop.
-    s1_in = s_ref[0, 0]
-    s2_in = s_ref[1, 0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)[0]
-
-    def shift(v, first):
-        rolled = pltpu.roll(v.reshape(1, w), 1, 1).reshape(w)
-        return jnp.where(lane == 0, first, rolled)
-
-    def sweep(t, carry):
-        v1, v2 = carry
-        sh1 = shift(v1, s1_in)
-        sh2 = shift(v2, s2_in)
-        return (
-            m11 * sh1 + m12 * sh2 + cb1,
-            m21 * sh1 + m22 * sh2 + cb2,
-        )
-
-    V1, V2 = jax.lax.fori_loop(0, w, sweep, (cb1, cb2))
-    # per-block ENTRY states (what phase 3 needs)
-    S1 = shift(V1, s1_in)
-    S2 = shift(V2, s2_in)
-    # carried state for the next chunk = state exiting the last block
-    s_ref[0, :] = jnp.broadcast_to(V1[w - 1], (w,))
-    s_ref[1, :] = jnp.broadcast_to(V2[w - 1], (w,))
-
-    # phase 3: combine
-    def emit(j, _):
-        s1_prev = p11_s[j, :] * S1 + p12_s[j, :] * S2 + q1_s[j, :]
-        y_ref[0, j, :] = b0x_ref[0, j, :] + s1_prev
-        return 0
-
-    jax.lax.fori_loop(0, L, emit, 0)
+def _pick_l(n: int) -> int:
+    """In-block length ~sqrt(n). Delegates to ops/iir.block_for so the XLA
+    fallback groups the recurrence identically (bit-identical outputs)."""
+    from groove_tpu.ops.iir import block_for
+    return block_for(n, max_block=L)
 
 
-def _run_section(x_rows, na1_ref, na2_ref, b0_ref, b1m_ref, b2m_ref,
-                 s_ref, srow, p11_s, p12_s, q1_s, y_rows, w, step):
-    """One biquad section over a [L, w] chunk held in VMEM.
+def _geom(B: int, n: int):
+    ln = _pick_l(n)
+    nb = -(-n // ln)
+    cb = CB
+    nchunks = -(-nb // cb)
+    nbp = nchunks * cb
+    G = -(-B // 8)
+    # phase-2 sweep count: the longest real chain inside one chunk
+    T = nb if nchunks == 1 else cb
+    return ln, nb, cb, nchunks, nbp, G, T
 
-    x_rows/y_rows: callables j -> [w] read / (j, vals) write. Coefficient
-    refs are [1, L, w] tiles; b1m/b2m are (b1 - a1*b0) and (b2 - a2*b0).
-    Carried state lives in s_ref rows (srow, srow+1). Same three phases as
-    _kernel_full, with the affine c-terms computed in-kernel from x (so a
-    cascade can feed section 2 from section 1's VMEM output directly).
-    """
-    @pl.when(step == 0)
-    def _init():
-        s_ref[srow, :] = jnp.zeros((w,), jnp.float32)
-        s_ref[srow + 1, :] = jnp.zeros((w,), jnp.float32)
+
+def _fold(v, G, ln, nbp):
+    """[G*8, nbp*ln] -> [G, ln, 8, nbp]: (g, j, s, k) = v[8g+s, k*ln+j]."""
+    return v.reshape(G, 8, nbp, ln).transpose(0, 3, 1, 2)
+
+
+def _unfold(y, B, n):
+    """[G, ln, 8, nbp] -> [B, n]."""
+    G, ln, _, nbp = y.shape
+    return y.transpose(0, 2, 3, 1).reshape(G * 8, nbp * ln)[:B, :n]
+
+
+def _pad_fold(v, B, n, G, ln, nbp):
+    vp = jnp.pad(v, [(0, G * 8 - B), (0, nbp * ln - n)])
+    return _fold(vp, G, ln, nbp)
+
+
+def _phase1(read_c1c2, ln, w8, p11_s, p12_s, q1_s):
+    """In-block prefix maps. Writes SHIFTED prefixes (identity at j=0) to
+    scratch rows; returns the whole-block transition (M, C) as [8, cb]s."""
 
     def in_block(j, carry):
         p11, p12, p21, p22, q1, q2 = carry
-        p11_s[j, :] = p11
-        p12_s[j, :] = p12
-        q1_s[j, :] = q1
-        na1 = na1_ref[0, j, :]
-        na2 = na2_ref[0, j, :]
-        xj = x_rows(j)
-        c1j = b1m_ref[0, j, :] * xj
-        c2j = b2m_ref[0, j, :] * xj
+        p11_s[j] = p11
+        p12_s[j] = p12
+        q1_s[j] = q1
+        na1, na2, c1j, c2j = read_c1c2(j)
         n11 = na1 * p11 + p21
         n12 = na1 * p12 + p22
         n21 = na2 * p11
@@ -146,19 +104,24 @@ def _run_section(x_rows, na1_ref, na2_ref, b0_ref, b1m_ref, b2m_ref,
         r2 = na2 * q1 + c2j
         return (n11, n12, n21, n22, r1, r2)
 
-    ones = jnp.ones((w,), jnp.float32)
-    zeros = jnp.zeros((w,), jnp.float32)
-    m11, m12, m21, m22, cb1, cb2 = jax.lax.fori_loop(
-        0, L, in_block, (ones, zeros, zeros, ones, zeros, zeros)
+    ones = jnp.ones(w8, jnp.float32)
+    zeros = jnp.zeros(w8, jnp.float32)
+    return jax.lax.fori_loop(
+        0, ln, in_block, (ones, zeros, zeros, ones, zeros, zeros)
     )
 
-    s1_in = s_ref[srow, 0]
-    s2_in = s_ref[srow + 1, 0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)[0]
+
+def _phase2(M, s_ref, srow, T, w8):
+    """Serial cross-block chain via T lane-roll sweeps; per sublane row the
+    chain is independent (each row is a different batch element). Returns
+    per-block ENTRY states S1, S2 and stores the chunk exit state."""
+    m11, m12, m21, m22, cb1, cb2 = M
+    s1_in = s_ref[srow]
+    s2_in = s_ref[srow + 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, w8, 1)
 
     def shift(v, first):
-        rolled = pltpu.roll(v.reshape(1, w), 1, 1).reshape(w)
-        return jnp.where(lane == 0, first, rolled)
+        return jnp.where(lane == 0, first, pltpu.roll(v, 1, 1))
 
     def sweep(_, carry):
         v1, v2 = carry
@@ -167,159 +130,243 @@ def _run_section(x_rows, na1_ref, na2_ref, b0_ref, b1m_ref, b2m_ref,
         return (m11 * sh1 + m12 * sh2 + cb1,
                 m21 * sh1 + m22 * sh2 + cb2)
 
-    V1, V2 = jax.lax.fori_loop(0, w, sweep, (cb1, cb2))
+    V1, V2 = jax.lax.fori_loop(0, T, sweep, (cb1, cb2))
     S1 = shift(V1, s1_in)
     S2 = shift(V2, s2_in)
-    s_ref[srow, :] = jnp.broadcast_to(V1[w - 1], (w,))
-    s_ref[srow + 1, :] = jnp.broadcast_to(V2[w - 1], (w,))
-
-    def emit(j, _):
-        s1_prev = p11_s[j, :] * S1 + p12_s[j, :] * S2 + q1_s[j, :]
-        y_rows(j, b0_ref[0, j, :] * x_rows(j) + s1_prev)
-        return 0
-
-    jax.lax.fori_loop(0, L, emit, 0)
+    w = w8[-1]
+    s_ref[srow] = jnp.broadcast_to(V1[:, w - 1:w], w8)
+    s_ref[srow + 1] = jnp.broadcast_to(V2[:, w - 1:w], w8)
+    return S1, S2
 
 
-def _kernel_cascade2(x_ref,
-                     na1a, na2a, b0a, b1ma, b2ma,
-                     na1b, na2b, b0b, b1mb, b2mb,
-                     y_ref, s_ref, p11_s, p12_s, q1_s, y1_s):
-    """Two biquad sections in one kernel: section 1 from the input tile
-    into VMEM scratch, section 2 from scratch into the output tile —
-    the intermediate never touches HBM."""
-    step = pl.program_id(1)
-    w = x_ref.shape[-1]
-    _run_section(lambda j: x_ref[0, j, :], na1a, na2a, b0a, b1ma, b2ma,
-                 s_ref, 0, p11_s, p12_s, q1_s,
-                 lambda j, v: y1_s.__setitem__((j, slice(None)), v), w, step)
-    _run_section(lambda j: y1_s[j, :], na1b, na2b, b0b, b1mb, b2mb,
-                 s_ref, 2, p11_s, p12_s, q1_s,
-                 lambda j, v: y_ref.__setitem__((0, j, slice(None)), v),
-                 w, step)
+def _make_kernel_ps(ln, T):
+    """Per-sample-coefficient single section: tiles na1, na2, c1, c2, b0x."""
 
+    def kernel(na1_ref, na2_ref, c1_ref, c2_ref, b0x_ref, y_ref,
+               s_ref, p11_s, p12_s, q1_s):
+        step = pl.program_id(1)
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _cascade2_pallas_2d(x, coefs_a, coefs_b, interpret: bool = False):
-    """Two-section cascade over [B, n]; coefs_*: 5-tuples broadcast to x."""
-    B, n = x.shape
-    nb = -(-n // L)
-    cb = min(CB, max(128, -(-nb // 128) * 128))
-    nchunks = -(-nb // cb)
-    nbp = nchunks * cb
-    pad = [(0, 0), (0, nbp * L - n)]
-    xp = jnp.pad(x, pad)
+        @pl.when(step == 0)
+        def _init():
+            s_ref[...] = jnp.zeros_like(s_ref)
 
-    def cols(v):
-        return v.reshape(B, nbp, L).transpose(0, 2, 1)
+        w8 = na1_ref.shape[-2:]
 
-    def prep(coefs):
-        b0, b1, b2, a1, a2 = [
-            jnp.pad(jnp.broadcast_to(jnp.asarray(c, jnp.float32), x.shape),
-                    pad) for c in coefs
-        ]
-        return (cols(-a1), cols(-a2), cols(b0),
-                cols(b1 - a1 * b0), cols(b2 - a2 * b0))
+        def read(j):
+            return (na1_ref[0, j], na2_ref[0, j], c1_ref[0, j], c2_ref[0, j])
 
-    tiles = (cols(xp),) + prep(coefs_a) + prep(coefs_b)
-    grid = (B, nchunks)
-    spec = pl.BlockSpec((1, L, cb), lambda b, i: (b, 0, i),
-                        memory_space=pltpu.VMEM)
-    y = pl.pallas_call(
-        _kernel_cascade2,
-        grid=grid,
-        in_specs=[spec] * 11,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, L, nbp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((4, cb), jnp.float32),   # carried state x2 sections
-            pltpu.VMEM((L, cb), jnp.float32),   # p11 rows
-            pltpu.VMEM((L, cb), jnp.float32),   # p12 rows
-            pltpu.VMEM((L, cb), jnp.float32),   # q1 rows
-            pltpu.VMEM((L, cb), jnp.float32),   # section-1 output staging
-        ],
-        interpret=interpret,
-    )(*tiles)
-    return y.transpose(0, 2, 1).reshape(B, -1)[:, :n]
-
-
-def cascade2_pallas(x, coefs_a, coefs_b, interpret: bool = False):
-    """Fused two-section biquad cascade over [..., n]."""
-    shape = x.shape
-    flat = x.reshape(1, -1) if x.ndim == 1 else x.reshape(-1, shape[-1])
-
-    def b(coefs):
-        return tuple(
-            jnp.broadcast_to(jnp.asarray(c, jnp.float32), shape)
-            .reshape(flat.shape) for c in coefs
+        M = _phase1(read, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2 = _phase2(M, s_ref, 0, T, w8)
+        # phase 3, vectorized over the full [ln, 8, cb] tile
+        y_ref[0] = b0x_ref[0] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
         )
 
-    out = _cascade2_pallas_2d(flat, b(coefs_a), b(coefs_b),
-                              interpret=interpret)
-    return out.reshape(shape)
+    return kernel
 
 
-CB = 512  # max blocks per grid chunk (VMEM budget: ~9 x L x CB x 4B = 4.7 MB)
+def _make_kernel_scalar(ln, T):
+    """Scalar-coefficient section: one x tile + SMEM (na1, na2, b1m, b2m, b0)."""
+
+    def kernel(coef_ref, x_ref, y_ref, s_ref, p11_s, p12_s, q1_s):
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        w8 = x_ref.shape[-2:]
+        na1 = coef_ref[0]
+        na2 = coef_ref[1]
+        b1m = coef_ref[2]
+        b2m = coef_ref[3]
+        b0 = coef_ref[4]
+
+        def read(j):
+            xj = x_ref[0, j]
+            return (jnp.full(w8, na1), jnp.full(w8, na2), b1m * xj, b2m * xj)
+
+        M = _phase1(read, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2 = _phase2(M, s_ref, 0, T, w8)
+        y_ref[0] = b0 * x_ref[0] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
+        )
+
+    return kernel
+
+
+def _make_kernel_lp24(ln, T):
+    """filters004 cascade: numerators are the constant (1, 2, 1), so
+    c-terms derive in-register from the denominators: b1m = 2 + na1,
+    b2m = 1 + na2, b0 = 1. Section 1 stages into VMEM scratch; section 2
+    reads it directly — the intermediate never touches HBM."""
+
+    def kernel(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
+               s_ref, p11_s, p12_s, q1_s, y1_s):
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        w8 = x_ref.shape[-2:]
+
+        def read_a(j):
+            na1 = na1a_ref[0, j]
+            na2 = na2a_ref[0, j]
+            xj = x_ref[0, j]
+            return (na1, na2, (2.0 + na1) * xj, (1.0 + na2) * xj)
+
+        M = _phase1(read_a, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2 = _phase2(M, s_ref, 0, T, w8)
+        y1_s[...] = x_ref[0] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
+        )
+
+        def read_b(j):
+            na1 = na1b_ref[0, j]
+            na2 = na2b_ref[0, j]
+            xj = y1_s[j]
+            return (na1, na2, (2.0 + na1) * xj, (1.0 + na2) * xj)
+
+        M = _phase1(read_b, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2 = _phase2(M, s_ref, 2, T, w8)
+        y_ref[0] = y1_s[...] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
+        )
+
+    return kernel
+
+
+def _spec(ln, cb):
+    return pl.BlockSpec((1, ln, 8, cb), lambda g, i: (g, 0, 0, i),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _biquad_pallas_2d(x, coefs, interpret: bool = False):
-    """x: [B, n]; per-sample or scalar coefficients broadcast to x."""
+def _biquad_ps_2d(x, coefs, interpret: bool = False):
+    """Per-sample coefficients over [B, n]."""
     B, n = x.shape
+    ln, nb, cb, nchunks, nbp, G, T = _geom(B, n)
     b0, b1, b2, a1, a2 = [
         jnp.broadcast_to(jnp.asarray(c, jnp.float32), x.shape) for c in coefs
     ]
-    nb = -(-n // L)
-    # chunk width adapts to the signal: short songs shouldn't pay 512
-    # cross-block sweep iterations on padding
-    cb = min(CB, max(128, -(-nb // 128) * 128))
-    nchunks = -(-nb // cb)
-    nbp = nchunks * cb
-    pad = [(0, 0), (0, nbp * L - n)]
-    xp = jnp.pad(x, pad)
-    b0p, b1p, b2p = jnp.pad(b0, pad), jnp.pad(b1, pad), jnp.pad(b2, pad)
-    a1p, a2p = jnp.pad(a1, pad), jnp.pad(a2, pad)
-
-    def cols(v):
-        # [B, nbp*L] -> [B, L, nbp]: block k of batch b in column k
-        return v.reshape(B, nbp, L).transpose(0, 2, 1)
-
-    na1 = cols(-a1p)
-    na2 = cols(-a2p)
-    c1 = cols((b1p - a1p * b0p) * xp)
-    c2 = cols((b2p - a2p * b0p) * xp)
-    b0x = cols(b0p * xp)
-
-    grid = (B, nchunks)
-    spec = pl.BlockSpec((1, L, cb), lambda b, i: (b, 0, i),
-                        memory_space=pltpu.VMEM)
+    fold = lambda v: _pad_fold(v, B, n, G, ln, nbp)  # noqa: E731
+    tiles = (fold(-a1), fold(-a2), fold((b1 - a1 * b0) * x),
+             fold((b2 - a2 * b0) * x), fold(b0 * x))
+    spec = _spec(ln, cb)
     y = pl.pallas_call(
-        _kernel_full,
-        grid=grid,
+        _make_kernel_ps(ln, T),
+        grid=(G, nchunks),
         in_specs=[spec] * 5,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, L, nbp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, cb), jnp.float32),   # carried state
-            pltpu.VMEM((L, cb), jnp.float32),   # p11 rows
-            pltpu.VMEM((L, cb), jnp.float32),   # p12 rows
-            pltpu.VMEM((L, cb), jnp.float32),   # q1 rows
+            pltpu.VMEM((2, 8, cb), jnp.float32),    # carried state
+            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p11 rows
+            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p12 rows
+            pltpu.VMEM((ln, 8, cb), jnp.float32),   # q1 rows
         ],
         interpret=interpret,
-    )(na1, na2, c1, c2, b0x)
-    return y.transpose(0, 2, 1).reshape(B, -1)[:, :n]
+    )(*tiles)
+    return _unfold(y, B, n)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _biquad_scalar_2d(x, coefs, interpret: bool = False):
+    """Scalar coefficients over [B, n]; coefs ride in SMEM."""
+    B, n = x.shape
+    ln, nb, cb, nchunks, nbp, G, T = _geom(B, n)
+    b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs]
+    smem = jnp.stack([-a1, -a2, b1 - a1 * b0, b2 - a2 * b0, b0])
+    spec = _spec(ln, cb)
+    y = pl.pallas_call(
+        _make_kernel_scalar(ln, T),
+        grid=(G, nchunks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(smem, _pad_fold(x, B, n, G, ln, nbp))
+    return _unfold(y, B, n)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lp24_2d(x, na1a, na2a, na1b, na2b, interpret: bool = False):
+    B, n = x.shape
+    ln, nb, cb, nchunks, nbp, G, T = _geom(B, n)
+    fold = lambda v: _pad_fold(v, B, n, G, ln, nbp)  # noqa: E731
+    spec = _spec(ln, cb)
+    y = pl.pallas_call(
+        _make_kernel_lp24(ln, T),
+        grid=(G, nchunks),
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, cb), jnp.float32),    # state x2 sections
+            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p11 rows
+            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p12 rows
+            pltpu.VMEM((ln, 8, cb), jnp.float32),   # q1 rows
+            pltpu.VMEM((ln, 8, cb), jnp.float32),   # section-1 staging
+        ],
+        interpret=interpret,
+    )(fold(x), fold(na1a), fold(na2a), fold(na1b), fold(na2b))
+    return _unfold(y, B, n)
+
+
+def _flat(x):
+    shape = x.shape
+    return (x.reshape(1, -1) if x.ndim == 1 else x.reshape(-1, shape[-1]))
 
 
 def biquad_pallas(x, coefs, interpret: bool = False):
-    """Pallas biquad over [..., n] with broadcastable coefficients."""
+    """Pallas biquad over [..., n] with scalar or broadcastable per-sample
+    coefficients (b0, b1, b2, a1, a2), a0 == 1."""
     shape = x.shape
-    if x.ndim == 1:
-        flat = x.reshape(1, -1)
+    flat = _flat(x)
+    if all(jnp.ndim(c) == 0 for c in coefs):
+        out = _biquad_scalar_2d(flat, tuple(coefs), interpret=interpret)
     else:
-        flat = x.reshape(-1, shape[-1])
-    coefs_b = tuple(
-        jnp.broadcast_to(jnp.asarray(c, jnp.float32), shape)
-        .reshape(flat.shape) for c in coefs
-    )
-    out = _biquad_pallas_2d(flat, coefs_b, interpret=interpret)
+        coefs_b = tuple(
+            jnp.broadcast_to(jnp.asarray(c, jnp.float32), shape)
+            .reshape(flat.shape) for c in coefs
+        )
+        out = _biquad_ps_2d(flat, coefs_b, interpret=interpret)
     return out.reshape(shape)
+
+
+def lp24_cascade_pallas(x, sections, interpret: bool = False):
+    """Fused filters004 24 dB cascade. sections: two (b0, b1, b2, a1, a2)
+    tuples from ops/iir.lp24_sections — numerators are the constant
+    (1, 2, 1) by construction; only the denominators are shipped."""
+    shape = x.shape
+    flat = _flat(x)
+
+    def denoms(sec):
+        _, _, _, a1, a2 = sec
+        return (
+            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), shape)
+            .reshape(flat.shape),
+            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), shape)
+            .reshape(flat.shape),
+        )
+
+    na1a, na2a = denoms(sections[0])
+    na1b, na2b = denoms(sections[1])
+    out = _lp24_2d(flat, na1a, na2a, na1b, na2b, interpret=interpret)
+    return out.reshape(shape)
+
+
+def cascade2_pallas(x, coefs_a, coefs_b, interpret: bool = False):
+    """Generic two-section cascade (two chained kernel calls)."""
+    return biquad_pallas(
+        biquad_pallas(x, coefs_a, interpret=interpret), coefs_b,
+        interpret=interpret,
+    )

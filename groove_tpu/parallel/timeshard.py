@@ -47,7 +47,7 @@ def biquad_timesharded(x, coefs, mesh: Mesh, axis_name: str = "time"):
     def local_fn(x_l, b0, b1, b2, a1, a2):
         local_coefs = (b0, b1, b2, a1, a2)
         _, (c1, c2), (m11, m12, m21, m22) = iir.biquad(
-            x_l, local_coefs, return_state=True
+            x_l, local_coefs, block=iir.BIQUAD_BLOCK, return_state=True
         )
         # gather every segment's transition (tiny: 6 scalars per device)
         seg = jnp.stack([m11, m12, m21, m22, c1, c2])        # [6]
@@ -66,7 +66,8 @@ def biquad_timesharded(x, coefs, mesh: Mesh, axis_name: str = "time"):
         # matches the loop body's outputs under shard_map
         zero = jnp.sum(x_l) * 0.0
         entry = jax.lax.fori_loop(0, d, compose, (zero, zero))
-        return iir.biquad(x_l, local_coefs, initial_state=entry)
+        return iir.biquad(x_l, local_coefs, block=iir.BIQUAD_BLOCK,
+                          initial_state=entry)
 
     fn = shard_map(
         local_fn,

@@ -51,6 +51,40 @@ def test_multi_chunk_state_carries(rng):
     assert np.max(np.abs(y_pl - y_ref)) < 5e-4
 
 
+def test_scalar_coef_path_matches_xla(rng):
+    """Scalar coefficients take the SMEM fast path; same numerics."""
+    x = rng.standard_normal((5, 4096)).astype(np.float32)
+    coefs = tuple(float(c) for c in
+                  np.asarray(iir.rbj_low_pass(800.0, 1.5, 44100.0)))
+    y_ref = np.asarray(iir.biquad(jnp.asarray(x), coefs))
+    y_pl = np.asarray(biquad_pallas(jnp.asarray(x), coefs, interpret=True))
+    # interpret-vs-XLA FMA contraction at Q=1.5 resonance; exact on TPU
+    assert np.max(np.abs(y_pl - y_ref)) < 5e-5
+
+
+def test_lp24_fused_matches_sequential_sections(rng):
+    from groove_tpu.ops.pallas_iir import lp24_cascade_pallas
+
+    n = 20000
+    x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+    cutoff = np.linspace(100.0, 12000.0, n).astype(np.float32)
+    gain, secs = iir.lp24_sections(jnp.asarray(cutoff), 0.8, 44100.0)
+    xg = jnp.asarray(x) * gain
+    y_ref = iir.biquad(iir.biquad(xg, secs[0]), secs[1])
+    y_pl = lp24_cascade_pallas(xg, secs, interpret=True)
+    assert float(jnp.max(jnp.abs(y_pl - y_ref))) < 1e-4
+
+
+def test_batched_many_rows_sublane_packing(rng):
+    """B > 8 exercises the 8-rows-per-sublane-group layout."""
+    x = rng.standard_normal((19, 3000)).astype(np.float32)
+    cutoff = np.linspace(200.0, 6000.0, 3000).astype(np.float32)
+    coefs = iir.rbj_low_pass(cutoff, 0.9, 44100.0)
+    y_ref = np.asarray(iir.biquad(jnp.asarray(x), coefs))
+    y_pl = np.asarray(biquad_pallas(jnp.asarray(x), coefs, interpret=True))
+    assert np.max(np.abs(y_pl - y_ref)) < 1e-4
+
+
 def test_cascade2_matches_sequential_sections(rng):
     from groove_tpu.ops.pallas_iir import cascade2_pallas
 

@@ -65,7 +65,8 @@ def test_timesharded_biquad_matches_serial():
     x = rng.standard_normal(n).astype(np.float32)
     cutoff = np.linspace(200.0, 6000.0, n).astype(np.float32)
     coefs = iir.rbj_low_pass(cutoff, 0.707, 44100.0)
-    y_serial = np.asarray(iir.biquad(jnp.asarray(x), coefs))
+    # same fixed block grouping as the sharded path (bit-exact claim)
+    y_serial = np.asarray(iir.biquad(jnp.asarray(x), coefs, block=iir.BIQUAD_BLOCK))
     mesh = make_mesh(8, axis="time")
     y_shard = np.asarray(
         biquad_timesharded(jnp.asarray(x), coefs, mesh, axis_name="time")
