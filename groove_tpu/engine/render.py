@@ -352,36 +352,55 @@ class Renderer:
         if k == "toy":
             return simple_model.toy_effect(x)
         if k.startswith("filter-"):
-            cutoff = P("cutoff", 1000.0)
+            # Coefficients at the reference's 64-frame control cadence
+            # (orchestrator.rs:631-708): automation curves are block-rate
+            # already, so no per-sample upsample or per-sample tan/sin.
+            # A sidechain override (per-sample) falls back to upsampling
+            # its curve back to block rate via every 64th sample.
+            def PB(name, default):
+                ov = overrides.get((dev.uvid, name))
+                if ov is not None:
+                    # per-sample override is a 64-sample hold: the first
+                    # sample of each block recovers the block value, and
+                    # [::BLOCK] has exactly ceil(n/BLOCK) entries
+                    return ov[::BLOCK]
+                key = f"{dev.uvid}/auto/{name}"
+                if key in inputs:
+                    return inputs[key]
+                return float(dev.params.get(name, default))
+
+            cutoff = PB("cutoff", 1000.0)
             if k == "filter-low-pass-24db":
-                q = P("passband-ripple", 0.707)
-                return iir.lp24_apply(x, cutoff, jnp.maximum(q, 1e-3), sr)
+                q = PB("passband-ripple", 0.707)
+                return iir.lp24_apply_blockrate(
+                    x, cutoff, jnp.maximum(q, 1e-3), sr
+                )
             if k == "filter-low-pass-12db":
-                coefs = iir.rbj_low_pass(cutoff, jnp.maximum(P("q", 0.707), 1e-3), sr)
+                coefs = iir.rbj_low_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
             elif k == "filter-high-pass-12db":
-                coefs = iir.rbj_high_pass(cutoff, jnp.maximum(P("q", 0.707), 1e-3), sr)
+                coefs = iir.rbj_high_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
             elif k == "filter-all-pass-12db":
-                coefs = iir.rbj_all_pass(cutoff, jnp.maximum(P("q", 0.707), 1e-3), sr)
+                coefs = iir.rbj_all_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
             elif k == "filter-band-pass-12db":
                 coefs = iir.rbj_band_pass(
-                    cutoff, jnp.maximum(P("bandwidth", 1.0), 1e-3), sr
+                    cutoff, jnp.maximum(PB("bandwidth", 1.0), 1e-3), sr
                 )
             elif k == "filter-band-stop-12db":
                 coefs = iir.rbj_band_stop(
-                    cutoff, jnp.maximum(P("bandwidth", 1.0), 1e-3), sr
+                    cutoff, jnp.maximum(PB("bandwidth", 1.0), 1e-3), sr
                 )
             elif k == "filter-peaking-eq-12db":
                 coefs = iir.rbj_peaking_eq(
-                    cutoff, jnp.maximum(P("q", 1.0), 1e-3), P("db-gain", 0.0), sr
+                    cutoff, jnp.maximum(PB("q", 1.0), 1e-3), PB("db-gain", 0.0), sr
                 )
             elif k == "filter-low-shelf-12db":
-                coefs = iir.rbj_low_shelf(cutoff, P("db-gain", 0.0), sr)
+                coefs = iir.rbj_low_shelf(cutoff, PB("db-gain", 0.0), sr)
             elif k == "filter-high-shelf-12db":
-                coefs = iir.rbj_high_shelf(cutoff, P("db-gain", 0.0), sr)
+                coefs = iir.rbj_high_shelf(cutoff, PB("db-gain", 0.0), sr)
             else:
                 warn(f"unknown filter kind {k}; passthrough")
                 return x
-            return iir.biquad_best(x, coefs)
+            return iir.biquad_blockrate(x, coefs)
         warn(f"unknown effect kind {k}; passthrough")
         return x
 

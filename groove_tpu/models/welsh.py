@@ -46,7 +46,7 @@ import numpy as np
 from groove_tpu.core import types as T
 from groove_tpu.ops import envelope as env_ops
 from groove_tpu.ops import oscillator as osc_ops
-from groove_tpu.ops.iir import lp24_apply
+from groove_tpu.ops import iir as iir_ops
 from groove_tpu.project.patches import WelshVoiceParams
 from groove_tpu.models.voices import note_freqs
 
@@ -80,8 +80,13 @@ def render_notes(
     gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
 
     lfo = params.lfo
-    if lfo.routing != "none" and lfo.frequency > 0.0 and lfo.depth != 0.0:
-        lfo_phase = lfo.frequency * t  # restarts at note-on
+
+    def lfo_value(tv):
+        """LFO value at times tv [1, m] (restarts at note-on)."""
+        if not (lfo.routing != "none" and lfo.frequency > 0.0
+                and lfo.depth != 0.0):
+            return jnp.zeros((1, 1), jnp.float32)
+        lfo_phase = lfo.frequency * tv
         if lfo.waveform.kind == "noise":
             # LFO noise is sample-and-hold at the LFO rate (a per-sample
             # white-noise cutoff modulation at high Q measurably blows up
@@ -92,13 +97,12 @@ def render_notes(
                 (n_cycles,), jnp.float32, -1.0, 1.0,
             )
             cycle = jnp.floor(lfo_phase).astype(jnp.int32)
-            lfo_val = vals[jnp.clip(cycle, 0, n_cycles - 1)] * lfo.depth
-        else:
-            lfo_val = osc_ops.evaluate(
-                lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
-            ) * lfo.depth  # [1, span]
-    else:
-        lfo_val = jnp.zeros((1, 1), jnp.float32)
+            return vals[jnp.clip(cycle, 0, n_cycles - 1)] * lfo.depth
+        return osc_ops.evaluate(
+            lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
+        ) * lfo.depth
+
+    lfo_val = lfo_value(t)  # [1, span] (pitch/amp/pw routings, sample rate)
     routing = lfo.routing
 
     pitch_modulated = routing in ("pitch", "pitch-osc2")
@@ -167,23 +171,30 @@ def render_notes(
         )
         osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
 
-    # Filter: cutoff pct driven by the filter envelope (and LFO routings).
+    # Filter: cutoff pct driven by the filter envelope (and LFO routings),
+    # evaluated at the reference's 64-frame CONTROL cadence — coefficients
+    # are recomputed per handle_work buffer, not per sample
+    # (orchestrator.rs:631-708; SURVEY §7 "held constant within a block").
+    cblock = iir_ops.CONTROL_BLOCK
+    nb = -(-span // cblock)
+    t_blk = (jnp.arange(nb, dtype=jnp.float32) * cblock)[None, :] / sample_rate
     fe = params.filter_envelope
-    f_env = env_ops.adsr(t, gate_s, fe.attack, fe.decay, fe.sustain, fe.release)
+    f_env = env_ops.adsr(t_blk, gate_s, fe.attack, fe.decay, fe.sustain,
+                         fe.release)
     cutoff_pct = params.filter_cutoff_start + (
         params.filter_cutoff_end - params.filter_cutoff_start
     ) * f_env
     if routing in ("filter-cutoff", "cutoff-amp"):
-        cutoff_pct = cutoff_pct + lfo_val
+        cutoff_pct = cutoff_pct + lfo_value(t_blk)
     cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
     cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)  # 25 * 800^pct
     q = params.filter_q
     if routing == "resonance":
-        q = jnp.maximum(q * (1.0 + lfo_val), 0.1)
-    # fused 24 dB cascade (one Pallas kernel on TPU; two blocked scans on
-    # CPU) — cutoff/q broadcast per sample against [n_notes, span]
-    y = lp24_apply(osc_out, jnp.broadcast_to(cutoff_hz, osc_out.shape),
-                   q, sample_rate)
+        q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
+    # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU)
+    y = iir_ops.lp24_apply_blockrate(
+        osc_out, jnp.broadcast_to(cutoff_hz, (n_notes, nb)), q, sample_rate
+    )
 
     # Amp envelope + velocity + amplitude LFO.
     ae = params.amp_envelope

@@ -214,6 +214,57 @@ def biquad_best(x: jax.Array, coefs, axis: int = -1) -> jax.Array:
     return biquad(x, coefs, axis=axis)
 
 
+CONTROL_BLOCK = 64  # the reference's handle_work cadence (SAMPLE_BUFFER_SIZE)
+
+
+def upsample_hold(c, n: int, cblock: int = CONTROL_BLOCK):
+    """Block-rate values [..., nb] -> per-sample [..., n] by zero-order hold
+    (broadcast+reshape — jnp.repeat lowers to a slow gather on TPU)."""
+    c = jnp.asarray(c)
+    nb = c.shape[-1]
+    out = jnp.broadcast_to(c[..., None], c.shape + (cblock,))
+    return out.reshape(c.shape[:-1] + (nb * cblock,))[..., :n]
+
+
+def biquad_blockrate(x: jax.Array, coefs_b, cblock: int = CONTROL_BLOCK):
+    """Biquad with BLOCK-RATE coefficients (held for cblock samples — the
+    reference recomputes filter coefficients at 64-frame control
+    granularity, orchestrator.rs:631-708). coefs_b entries broadcast
+    against x.shape[:-1] + (ceil(n/cblock),). Pallas on TPU; on other
+    backends the coefs are upsampled and run through the blocked scan with
+    the same grouping, so results are bit-identical."""
+    n = x.shape[-1]
+    if _pallas_available():
+        from groove_tpu.ops.pallas_iir import biquad_blockrate_pallas
+        return biquad_blockrate_pallas(x, coefs_b, cblock)
+    coefs = tuple(upsample_hold(jnp.broadcast_to(
+        jnp.asarray(c, jnp.float32), x.shape[:-1] + (-(-n // cblock),)), n,
+        cblock) for c in coefs_b)
+    return biquad(x, coefs, block=max(block_for(n), cblock))
+
+
+def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
+                         cblock: int = CONTROL_BLOCK):
+    """24 dB cascade with block-rate cutoff/q ([..., ceil(n/cblock)] or
+    scalar). The per-sample gain (x * gain) is applied identically on both
+    paths; the fused Pallas kernel then runs both sections in VMEM."""
+    n = x.shape[-1]
+    nb = -(-n // cblock)
+    cshape = x.shape[:-1] + (nb,)
+    cutoff_b = jnp.broadcast_to(jnp.asarray(cutoff_b, jnp.float32), cshape)
+    gain_b, sections_b = lp24_sections(cutoff_b, q_b, sample_rate)
+    y = x * upsample_hold(jnp.broadcast_to(gain_b, cshape), n, cblock)
+    if _pallas_available():
+        from groove_tpu.ops.pallas_iir import lp24_blockrate_pallas
+        return lp24_blockrate_pallas(y, sections_b, cblock)
+    block = max(block_for(n), cblock)
+    for sec in sections_b:
+        coefs = tuple(upsample_hold(jnp.broadcast_to(
+            jnp.asarray(c, jnp.float32), cshape), n, cblock) for c in sec)
+        y = biquad(y, coefs, block=block)
+    return y
+
+
 def one_pole(x: jax.Array, a: jax.Array, b: jax.Array, axis: int = -1) -> jax.Array:
     """y[n] = a[n] * y[n-1] + b[n] * x[n], zero initial state.
 

@@ -238,6 +238,85 @@ def _make_kernel_lp24(ln, T):
     return kernel
 
 
+def _make_kernel_ps_blk(ln, T, cblock):
+    """Per-BLOCK-rate coefficients (the reference's 64-frame control
+    cadence): coef tiles hold one row per cblock samples; sample row j
+    reads coef row j // cblock. c-terms derive in-register from x."""
+    shift = cblock.bit_length() - 1
+    lb = ln // cblock
+
+    def kernel(x_ref, na1_ref, na2_ref, b1m_ref, b2m_ref, b0_ref, y_ref,
+               s_ref, p11_s, p12_s, q1_s):
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        w8 = x_ref.shape[-2:]
+
+        def read(j):
+            jb = j >> shift
+            xj = x_ref[0, j]
+            return (na1_ref[0, jb], na2_ref[0, jb],
+                    b1m_ref[0, jb] * xj, b2m_ref[0, jb] * xj)
+
+        M = _phase1(read, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2 = _phase2(M, s_ref, 0, T, w8)
+        # emit per coef row (lb is 1-2: static unrolled, fully vectorized)
+        for jb in range(lb):
+            sl = slice(jb * cblock, (jb + 1) * cblock)
+            y_ref[0, sl] = b0_ref[0, jb][None] * x_ref[0, sl] + (
+                p11_s[sl] * S1[None] + p12_s[sl] * S2[None] + q1_s[sl]
+            )
+
+    return kernel, lb
+
+
+def _make_kernel_lp24_blk(ln, T, cblock):
+    """Block-rate-coefficient fused lp24 cascade (numerators (1, 2, 1))."""
+    shift = cblock.bit_length() - 1
+    lb = ln // cblock
+
+    def kernel(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
+               s_ref, p11_s, p12_s, q1_s, y1_s):
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        w8 = x_ref.shape[-2:]
+
+        def read_a(j):
+            jb = j >> shift
+            na1 = na1a_ref[0, jb]
+            na2 = na2a_ref[0, jb]
+            xj = x_ref[0, j]
+            return (na1, na2, (2.0 + na1) * xj, (1.0 + na2) * xj)
+
+        M = _phase1(read_a, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2 = _phase2(M, s_ref, 0, T, w8)
+        y1_s[...] = x_ref[0] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
+        )
+
+        def read_b(j):
+            jb = j >> shift
+            na1 = na1b_ref[0, jb]
+            na2 = na2b_ref[0, jb]
+            xj = y1_s[j]
+            return (na1, na2, (2.0 + na1) * xj, (1.0 + na2) * xj)
+
+        M = _phase1(read_b, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2 = _phase2(M, s_ref, 2, T, w8)
+        y_ref[0] = y1_s[...] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
+        )
+
+    return kernel, lb
+
+
 def _spec(ln, cb):
     return pl.BlockSpec((1, ln, 8, cb), lambda g, i: (g, 0, 0, i),
                         memory_space=pltpu.VMEM)
@@ -319,6 +398,129 @@ def _lp24_2d(x, na1a, na2a, na1b, na2b, interpret: bool = False):
         interpret=interpret,
     )(fold(x), fold(na1a), fold(na2a), fold(na1b), fold(na2b))
     return _unfold(y, B, n)
+
+
+def _geom_blk(B: int, n: int, cblock: int):
+    """Geometry for block-rate-coefficient kernels: ln must be a multiple
+    of cblock so coef rows tile evenly."""
+    from groove_tpu.ops.iir import block_for
+    ln = max(block_for(n, max_block=L), cblock)
+    nb = -(-n // ln)
+    cb = CB
+    nchunks = -(-nb // cb)
+    nbp = nchunks * cb
+    G = -(-B // 8)
+    T = nb if nchunks == 1 else cb
+    return ln, nb, cb, nchunks, nbp, G, T
+
+
+def _pad_fold_blk(vb, B, nb64, G, lb, nbp):
+    """Block-rate array [B, nb64] -> [G, lb, 8, nbp] (same fold, coarser)."""
+    vp = jnp.pad(vb, [(0, G * 8 - B), (0, nbp * lb - nb64)])
+    return _fold(vp, G, lb, nbp)
+
+
+@functools.partial(jax.jit, static_argnames=("cblock", "interpret"))
+def _biquad_blk_2d(x, coefs_b, cblock: int, interpret: bool = False):
+    """x: [B, n]; coefs_b: 5 block-rate arrays [B, ceil(n/cblock)]."""
+    B, n = x.shape
+    ln, nb, cb, nchunks, nbp, G, T = _geom_blk(B, n, cblock)
+    kernel, lb = _make_kernel_ps_blk(ln, T, cblock)
+    nb64 = coefs_b[0].shape[-1]
+    b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs_b]
+    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp)  # noqa: E731
+    tiles = (_pad_fold(x, B, n, G, ln, nbp),
+             foldb(-a1), foldb(-a2),
+             foldb(b1 - a1 * b0), foldb(b2 - a2 * b0), foldb(b0))
+    spec = _spec(ln, cb)
+    bspec = pl.BlockSpec((1, lb, 8, cb), lambda g, i: (g, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(G, nchunks),
+        in_specs=[spec] + [bspec] * 5,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*tiles)
+    return _unfold(y, B, n)
+
+
+@functools.partial(jax.jit, static_argnames=("cblock", "interpret"))
+def _lp24_blk_2d(x, na1a, na2a, na1b, na2b, cblock: int,
+                 interpret: bool = False):
+    B, n = x.shape
+    ln, nb, cb, nchunks, nbp, G, T = _geom_blk(B, n, cblock)
+    kernel, lb = _make_kernel_lp24_blk(ln, T, cblock)
+    nb64 = na1a.shape[-1]
+    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp)  # noqa: E731
+    spec = _spec(ln, cb)
+    bspec = pl.BlockSpec((1, lb, 8, cb), lambda g, i: (g, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(G, nchunks),
+        in_specs=[spec] + [bspec] * 4,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((ln, 8, cb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(_pad_fold(x, B, n, G, ln, nbp), foldb(na1a), foldb(na2a),
+      foldb(na1b), foldb(na2b))
+    return _unfold(y, B, n)
+
+
+def biquad_blockrate_pallas(x, coefs_b, cblock: int = 64,
+                            interpret: bool = False):
+    """Biquad over [..., n] with block-rate coefficients [..., ceil(n/cblock)]
+    (held constant within each cblock-sample control block, the reference's
+    handle_work cadence)."""
+    shape = x.shape
+    flat = _flat(x)
+    nb64 = -(-shape[-1] // cblock)
+    cshape = shape[:-1] + (nb64,)
+    coefs = tuple(
+        jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape)
+        .reshape(flat.shape[0], nb64) for c in coefs_b
+    )
+    out = _biquad_blk_2d(flat, coefs, cblock, interpret=interpret)
+    return out.reshape(shape)
+
+
+def lp24_blockrate_pallas(x, sections_b, cblock: int = 64,
+                          interpret: bool = False):
+    """Fused lp24 cascade with block-rate denominators."""
+    shape = x.shape
+    flat = _flat(x)
+    nb64 = -(-shape[-1] // cblock)
+    cshape = shape[:-1] + (nb64,)
+
+    def denoms(sec):
+        _, _, _, a1, a2 = sec
+        return (
+            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+        )
+
+    na1a, na2a = denoms(sections_b[0])
+    na1b, na2b = denoms(sections_b[1])
+    out = _lp24_blk_2d(flat, na1a, na2a, na1b, na2b, cblock,
+                       interpret=interpret)
+    return out.reshape(shape)
 
 
 def _flat(x):

@@ -85,6 +85,49 @@ def test_batched_many_rows_sublane_packing(rng):
     assert np.max(np.abs(y_pl - y_ref)) < 1e-4
 
 
+def test_blockrate_biquad_matches_upsampled_xla(rng):
+    """Block-rate coefficients (the reference's 64-frame control cadence):
+    the Pallas kernel must equal the XLA path fed hold-upsampled coefs."""
+    from groove_tpu.ops.iir import block_for, upsample_hold
+    from groove_tpu.ops.pallas_iir import biquad_blockrate_pallas
+
+    n = 13000
+    nb = -(-n // 64)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    cutoff_b = np.linspace(300.0, 9000.0, nb).astype(np.float32)
+    coefs_b = iir.rbj_low_pass(cutoff_b, 0.8, 44100.0)
+    coefs_ps = tuple(upsample_hold(c, n) for c in coefs_b)
+    y_ref = np.asarray(iir.biquad(jnp.asarray(x), coefs_ps,
+                                  block=max(block_for(n), 64)))
+    y_pl = np.asarray(biquad_blockrate_pallas(jnp.asarray(x), coefs_b,
+                                              interpret=True))
+    assert np.max(np.abs(y_pl - y_ref)) < 5e-5
+
+
+def test_blockrate_lp24_matches_xla_fallback(rng):
+    """lp24_apply_blockrate: TPU kernel path vs CPU fallback parity is
+    checked structurally (the fallback is itself validated against the f64
+    serial reference in test_iir); here interpret-mode kernel vs fallback."""
+    from groove_tpu.ops import iir as iir_ops
+    from groove_tpu.ops.pallas_iir import lp24_blockrate_pallas
+
+    n = 9000
+    nb = -(-n // 64)
+    x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+    cutoff_b = jnp.asarray(np.linspace(80.0, 11000.0, nb).astype(np.float32))
+    gain_b, secs_b = iir_ops.lp24_sections(cutoff_b, 0.9, 44100.0)
+    xg = jnp.asarray(x) * iir_ops.upsample_hold(gain_b, n)
+    block = max(iir_ops.block_for(n), 64)
+    y_ref = xg
+    for sec in secs_b:
+        coefs = tuple(iir_ops.upsample_hold(
+            jnp.broadcast_to(jnp.asarray(c, jnp.float32), (nb,)), n)
+            for c in sec)
+        y_ref = iir.biquad(y_ref, coefs, block=block)
+    y_pl = lp24_blockrate_pallas(xg, secs_b, interpret=True)
+    assert float(jnp.max(jnp.abs(y_pl - y_ref))) < 1e-4
+
+
 def test_cascade2_matches_sequential_sections(rng):
     from groove_tpu.ops.pallas_iir import cascade2_pallas
 
