@@ -148,8 +148,38 @@ def song_render_frames(song: SongSettings, sr: SampleRate) -> int:
 # Arpeggiator (host-side MIDI -> MIDI transform)
 
 
+def calculator_pattern(
+    out_channel: int,
+    calc_bpm: float,
+    song_tempo: Tempo,
+    n_sounds: int = 16,
+) -> list[NoteEvent]:
+    """The Pocket Calculator toy's self-played demo jingle.
+
+    RECONSTRUCTION (Calculator body missing at HEAD; entities.rs:88-89
+    declares a controller+instrument hybrid with its own Clock, and
+    projects/calculator.json contains NO patterns — so any sound must come
+    from the device itself): one 4/4 measure of sixteenth steps at the
+    calculator's own BPM, stepping through its sample bank in file order
+    ("by pressing down a special key, it plays a little melody")."""
+    if calc_bpm <= 0:
+        calc_bpm = song_tempo.bpm
+    step = (
+        Fraction(1, 4)
+        * Fraction(song_tempo.bpm).limit_denominator(10**9)
+        / Fraction(calc_bpm).limit_denominator(10**9)
+    )
+    return [
+        NoteEvent(out_channel, k, 127, k * step, (k + 1) * step)
+        for k in range(n_sounds)
+    ]
+
+
 ARP_STEP_NOTE_VALUE_BEATS = Fraction(1, 4)  # sixteenth notes in 4/4
-ARP_PATTERN_SEMIS = (0, 4, 7, 12)  # ascending major arpeggio
+# extension pattern applied when only ONE note is held: root, +4, +7, +12
+# (an arpeggiator with a single held note still arpeggiates — the ascending
+# major pattern keeps kitchen-sink's single-note arp audible and moving)
+ARP_SINGLE_NOTE_SEMIS = (0, 4, 7, 12)
 
 
 def arpeggiate(
@@ -161,32 +191,48 @@ def arpeggiate(
     """Transform held input notes into an arpeggiated stream.
 
     RECONSTRUCTION: the reference Arpeggiator's body is missing at HEAD
-    (declared at orchestration/src/entities.rs; params {bpm} +
+    (declared at orchestration/src/entities.rs:61-62; params {bpm} +
     midi-in/midi-out at settings/src/controllers.rs:101-175). Chosen
-    semantics, documented for parity review: while an input note is held,
-    emit an ascending major arpeggio (root, +4, +7, +12) as sixteenth
-    notes at the arp's own BPM, starting at the input note-on, gated to the
-    input note's hold interval. Velocity passes through.
+    semantics, documented for parity review: the arp CYCLES THE HELD-NOTE
+    SET — at each sixteenth-note step (at the arp's own BPM), exactly one
+    note sounds: the next ascending member of the currently-held set. A
+    held chord therefore produces a one-note-at-a-time ascending cycle,
+    not parallel per-note streams. The cycle position advances every step
+    and resets when the held set empties. When a single note is held, the
+    ascending major extension (root, +4, +7, +12) is cycled so a lone
+    note still arpeggiates. Velocity follows the sounding note.
     """
     out: list[NoteEvent] = []
+    if not notes_in:
+        return out
     if arp_bpm <= 0:
         arp_bpm = song_tempo.bpm
     # step length in *song* beats: one sixteenth at arp bpm
-    step_song_beats = (
+    step = (
         ARP_STEP_NOTE_VALUE_BEATS
         * Fraction(song_tempo.bpm).limit_denominator(10**9)
         / Fraction(arp_bpm).limit_denominator(10**9)
     )
-    for n in notes_in:
-        t = n.on_beats
-        i = 0
-        while t < n.off_beats:
-            key = n.key + ARP_PATTERN_SEMIS[i % len(ARP_PATTERN_SEMIS)]
-            gate_end = min(t + step_song_beats, n.off_beats)
-            if 0 < key < 128:
-                out.append(
-                    NoteEvent(out_channel, key, n.velocity, t, gate_end)
-                )
-            t += step_song_beats
-            i += 1
+    first = min(n.on_beats for n in notes_in)
+    last = max(n.off_beats for n in notes_in)
+    t = first
+    i = 0
+    while t < last:
+        held = sorted(
+            ((n.key, n.velocity) for n in notes_in
+             if n.on_beats <= t < n.off_beats),
+        )
+        if not held:
+            i = 0
+            t += step
+            continue
+        if len(held) == 1:
+            key0, vel = held[0]
+            key = key0 + ARP_SINGLE_NOTE_SEMIS[i % len(ARP_SINGLE_NOTE_SEMIS)]
+        else:
+            key, vel = held[i % len(held)]
+        if 0 < key < 128:
+            out.append(NoteEvent(out_channel, key, vel, t, t + step))
+        t += step
+        i += 1
     return out

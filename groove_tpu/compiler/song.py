@@ -26,7 +26,7 @@ from groove_tpu.core.time import (
     render_length_frames,
 )
 from groove_tpu.models import sampler as sampler_mod
-from groove_tpu.models.voices import apply_mono_policy
+from groove_tpu.models.voices import apply_mono_policy, apply_multilimit_policy
 from groove_tpu.project.paths import Paths
 from groove_tpu.project.patches import (
     FmSynthParams,
@@ -179,6 +179,20 @@ def compile_song(
             all_events = all_events + ev_mod.arpeggiate(
                 arp_in, arp_bpm, tempo, dev.midi_out
             )
+        elif dev.kind == "calculator":
+            calc_clock = dev.params.get("clock", {})
+            calc_bpm = float(calc_clock.get("bpm", tempo.bpm)) \
+                if isinstance(calc_clock, dict) else tempo.bpm
+            calc_events = ev_mod.calculator_pattern(
+                dev.midi_out, calc_bpm, tempo
+            )
+            all_events = all_events + calc_events
+            # the calculator self-plays: extend the performance to cover
+            # its jingle (calculator.json has no patterns, so the stamped
+            # end would otherwise be zero)
+            last = max((e.off_beats for e in calc_events), default=Fraction(0))
+            bpm_measure = Fraction(ts.beats_per_measure)
+            end_beats = max(end_beats, -(-last // bpm_measure) * bpm_measure)
 
     n_frames = render_length_frames(tempo, sr, MusicalTime.from_beats(end_beats))
     n_blocks = n_frames // SAMPLE_BUFFER_SIZE
@@ -187,8 +201,8 @@ def compile_song(
 
     # ---- per-instrument note tensors & voice params ----------------------
     for dev in devices.values():
-        if dev.role != "instrument":
-            continue
+        if dev.role != "instrument" and dev.kind != "calculator":
+            continue  # calculator is a controller+instrument hybrid
         mine = [n for n in frame_notes
                 if n.channel == dev.midi_in and n.on_frame < max(n_frames, 1)]
         keys = np.asarray([n.key for n in mine], np.int32)
@@ -221,9 +235,17 @@ def compile_song(
                 paths, str(dev.params["filename"])
             )
             dev.slots = np.zeros(len(keys), np.int32)
+        elif dev.kind == "calculator":
+            dev.sample_table = sampler_mod.load_calculator_kit(paths)
+            nslots = dev.sample_table.data.shape[0]
+            dev.slots = (keys % max(nslots, 1)).astype(np.int32)
 
-        if isinstance(dev.voice, WelshVoiceParams) and dev.voice.polyphony == "mono":
-            off = apply_mono_policy(on, off)
+        if isinstance(dev.voice, WelshVoiceParams):
+            if dev.voice.polyphony == "mono":
+                off = apply_mono_policy(on, off)
+            elif (dev.voice.polyphony == "multi-limit"
+                  and dev.voice.poly_limit > 0):
+                off = apply_multilimit_policy(on, off, dev.voice.poly_limit)
 
         dev.notes = NoteTensors(keys, vels, on, off)
 
@@ -284,6 +306,22 @@ def compile_song(
                 str(wf), float(src.params.get("frequency", 1.0)), pw,
                 n_blocks, tempo, sr,
             )
+            tgt.automation[p.name] = np.asarray(
+                [p.to_domain(float(v)) for v in curve], np.float32
+            )
+        elif src.kind == "trigger":
+            # Trigger fires a control value at a musical time
+            # (entities.rs:135-136; params are a documented RECONSTRUCTION:
+            # {time: beats, value: ControlValue}). Before the trigger time
+            # the target keeps its configured value; from the containing
+            # block on, the fired value holds.
+            t_beats = float(src.params.get("time", 0.0))
+            val = float(src.params.get("value", 1.0))
+            beats = auto_mod.block_start_beats(n_blocks, tempo, sr)
+            configured = tgt.params.get(p.name)
+            init = (float(p.from_domain(float(configured)))
+                    if configured is not None else 0.0)
+            curve = np.where(beats >= t_beats, val, init)
             tgt.automation[p.name] = np.asarray(
                 [p.to_domain(float(v)) for v in curve], np.float32
             )

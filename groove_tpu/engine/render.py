@@ -65,7 +65,8 @@ class Renderer:
     def _collect_inputs(self) -> None:
         c = self.c
         for dev in c.devices.values():
-            if dev.role == "instrument" and dev.notes is not None:
+            if (dev.role == "instrument" or dev.kind == "calculator") \
+                    and dev.notes is not None:
                 self._collect_instrument(dev)
             for pname, curve in dev.automation.items():
                 self.inputs[f"{dev.uvid}/auto/{pname}"] = curve
@@ -81,7 +82,7 @@ class Renderer:
             tail = welsh_model.tail_seconds(dev.voice)
         elif dev.kind == "fm-synthesizer":
             tail = fm_model.tail_seconds(dev.voice)
-        elif dev.kind == "drumkit":
+        elif dev.kind in ("drumkit", "calculator"):
             # one-shots play to the sample end regardless of gate
             tail = float(dev.sample_table.lengths.max()) / sr
         elif dev.kind == "sampler":
@@ -127,28 +128,21 @@ class Renderer:
                     np.float32,
                 )
             if (dev.kind == "drumkit"
-                    and self._drum_pallas_fits(dev)
                     and all(int(x) == sr for x in dev.sample_table.rates)):
                 from groove_tpu.ops import pallas_drums as pd
                 ptable = pd.prepare_table(dev.sample_table.data)
                 one_shot = np.full(notes.count, 2**30, np.int64)
                 meta = pd.prepare_hits(
                     dev.slots, notes.on_frames, one_shot, notes.vels,
-                    dev.sample_table.lengths,
+                    dev.sample_table.lengths, self.c.n_frames,
                 )
                 self.inputs[f"{u}/ptable"] = ptable
                 for name, arr in zip(
-                    ("hslots", "hstarts", "hshifts", "hlimits", "hvels"),
+                    ("hcounts", "hslots", "hstarts", "hshifts", "hlimits",
+                     "hvels"),
                     meta,
                 ):
                     self.inputs[f"{u}/{name}"] = arr
-
-    def _drum_pallas_fits(self, dev: DeviceIR) -> bool:
-        """Output timeline + one sample-row buffer must fit VMEM (a [2, n]
-        f32 array is physically padded to 8 sublanes)."""
-        row_len = -(-int(dev.sample_table.data.shape[-1]) // 128) * 128 + 128
-        vmem = 8 * 4 * ((self.c.n_frames + row_len) + row_len)
-        return vmem < 12 * 2**20
 
     # ---- traced render ----------------------------------------------------
 
@@ -254,8 +248,8 @@ class Renderer:
         span = self._spans[u]
         keys, vels = inputs[f"{u}/keys"], inputs[f"{u}/vels"]
         on, gate = inputs[f"{u}/on"], inputs[f"{u}/gate"]
-        if dev.kind in ("drumkit", "sampler"):
-            if dev.kind == "drumkit":
+        if dev.kind in ("drumkit", "sampler", "calculator"):
+            if dev.kind in ("drumkit", "calculator"):
                 gate_eff = jnp.full_like(gate, span)  # one-shot
                 ratios = inputs.get(f"{u}/ratios")
             else:
@@ -267,16 +261,17 @@ class Renderer:
                 int(r) == self.c.sample_rate for r in dev.sample_table.rates
             ):
                 if f"{u}/ptable" in inputs and iir._pallas_available():
-                    # VMEM-resident timeline with DMA'd sample rows:
-                    # measured 3.7x over the XLA dynamic-slice loop
+                    # chunked-grid kernel: VMEM timeline chunks with DMA'd
+                    # sample rows; unbounded song length (halo accumulator
+                    # carries rows across chunk edges)
                     from groove_tpu.ops.pallas_drums import (
                         accumulate_oneshots_pallas,
                     )
                     return accumulate_oneshots_pallas(
-                        inputs[f"{u}/ptable"], inputs[f"{u}/hslots"],
-                        inputs[f"{u}/hstarts"], inputs[f"{u}/hshifts"],
-                        inputs[f"{u}/hlimits"], inputs[f"{u}/hvels"],
-                        n_frames=n,
+                        inputs[f"{u}/ptable"], inputs[f"{u}/hcounts"],
+                        inputs[f"{u}/hslots"], inputs[f"{u}/hstarts"],
+                        inputs[f"{u}/hshifts"], inputs[f"{u}/hlimits"],
+                        inputs[f"{u}/hvels"], n_frames=n,
                     )
                 return sampler_model.accumulate_oneshots(
                     inputs[f"{u}/table"], inputs[f"{u}/lengths"],
@@ -419,7 +414,8 @@ class Renderer:
 
         for uvid in c.order:
             dev = c.devices[uvid]
-            if dev.role == "instrument":
+            if dev.role == "instrument" or dev.kind == "calculator":
+                # calculator: controller+instrument hybrid (entities.rs:88-89)
                 outputs[uvid] = self._render_instrument(inputs, dev, n)
                 continue
             sources = c.sinks.get(uvid, [])

@@ -96,6 +96,21 @@ def load_drumkit(paths: Paths, name: str) -> tuple[SampleTable, dict]:
     return SampleTable.from_files(files), note_slots
 
 
+def load_calculator_kit(paths: Paths) -> SampleTable:
+    """The "Pocket Calculator" toy's sample bank
+    (assets/samples/pocket-calculator-24/*.wav, cited by
+    projects/calculator.json via entities.rs:88-89). Files sorted by name;
+    MIDI key k plays slot k mod n — a documented RECONSTRUCTION (the
+    Calculator body is missing at HEAD)."""
+    base = paths.search(Path("samples") / "pocket-calculator-24")
+    if base is None:
+        raise FileNotFoundError("pocket-calculator-24 samples not found")
+    files = sorted(Path(base).glob("*.wav"))
+    if not files:
+        raise FileNotFoundError("pocket-calculator-24 directory is empty")
+    return SampleTable.from_files(files)
+
+
 def load_sample(paths: Paths, filename: str) -> SampleTable:
     found = paths.search(Path("samples") / filename) or paths.search(filename)
     if found is None:

@@ -120,3 +120,26 @@ def apply_mono_policy(on: np.ndarray, off: np.ndarray) -> np.ndarray:
         if off[i] > on[i + 1]:
             off[i] = on[i + 1]
     return off
+
+
+def apply_multilimit_policy(on: np.ndarray, off: np.ndarray,
+                            limit: int) -> np.ndarray:
+    """MultiLimit(N) voice stealing: at most N simultaneous voices; a note
+    arriving beyond the limit steals the OLDEST sounding voice (gates it
+    off at the new note-on).
+
+    Host-side event transform (PolyphonySettings::MultiLimit(u8),
+    settings/src/patches.rs:193-200 declares the policy; the voice-store
+    implementation is missing at HEAD — oldest-steals is a documented
+    RECONSTRUCTION, the most common synth policy). Events must be sorted
+    by on frame. Returns adjusted off frames."""
+    off = off.copy()
+    active: list[int] = []
+    for i in range(len(on)):
+        active = [j for j in active if off[j] > on[i]]
+        if len(active) >= limit > 0:
+            oldest = min(active, key=lambda j: (on[j], j))
+            active.remove(oldest)
+            off[oldest] = on[i]
+        active.append(i)
+    return off

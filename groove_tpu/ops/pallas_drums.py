@@ -2,19 +2,22 @@
 
 The XLA path (models/sampler.accumulate_oneshots) walks hits with
 dynamic-slice read-add-writes over an HBM timeline — measured 0.72 ms of
-the north star's 1.3 ms render. Here the whole timeline lives in VMEM and
-each hit's sample row is DMA'd from the HBM table and added in place:
+the north star's 1.3 ms render, and ~31 ms for a 2-minute SMF. Here the
+timeline is processed in VMEM-resident CHUNKS (grid over time), so song
+length is unbounded:
 
-  - hit metadata (slot, aligned start, 64-sample shift flag, length limit,
-    velocity) arrives via scalar prefetch (SMEM);
-  - rows are fetched with pltpu.make_async_copy from the HBM-resident
-    table (dynamic slot index);
+  - the grid walks chunks of C frames; a [2, C + row_len] VMEM accumulator
+    carries across grid steps (TPU grids run sequentially), its halo
+    holding rows that spill past the chunk edge;
+  - every hit is assigned (host-side — hit times are static) to exactly
+    the chunk containing its start; per-chunk hit lists ride in via scalar
+    prefetch, padded to the max per-chunk count with a per-chunk COUNT so
+    padding costs nothing;
+  - each hit's sample row is DMA'd from the HBM-resident table
+    (pltpu.make_async_copy with a dynamic slot index) and added in place;
   - hit starts are 64-frame aligned (the engine's buffer quantization);
     Mosaic requires 128-aligned lane offsets, so starts are rounded down
     to 128 and the row is pre-shifted by a static 64 when needed.
-
-Applicability is gated by VMEM: timeline [2, n] plus one row buffer must
-fit (~10 MB); the engine falls back to the XLA loop otherwise.
 """
 
 from __future__ import annotations
@@ -27,63 +30,75 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_PAD = 128  # row length padded to a lane multiple (plus shift headroom)
+ROW_PAD = 128    # row length padded to a lane multiple (plus shift headroom)
+CHUNK = 65536    # timeline frames per grid step (multiple of 128)
 
 
-def _kernel(slots_ref, starts_ref, shifts_ref, limits_ref, vels_ref,
-            table_ref, y_ref, row_s, sem):
-    n_hits = slots_ref.shape[0]
+def _kernel(counts_ref, slots_ref, starts_ref, shifts_ref, limits_ref,
+            vels_ref, table_ref, y_ref, acc_s, row_s, sem):
+    c = pl.program_id(0)
     row_len = row_s.shape[-1]
+    C = y_ref.shape[-1]
 
-    acc_s = y_ref  # accumulate in the output tile (saves 8 MB of VMEM)
-    acc_s[:, :] = jnp.zeros_like(acc_s)
+    @pl.when(c == 0)
+    def _init():
+        acc_s[:, :] = jnp.zeros_like(acc_s)
+
+    @pl.when(c > 0)
+    def _carry():
+        # slide the window: last chunk's halo becomes this chunk's head
+        tail = acc_s[:, C:C + row_len]
+        acc_s[:, :] = jnp.zeros_like(acc_s)
+        acc_s[:, :row_len] = tail
 
     def hit(i, _):
-        slot = slots_ref[i]
-        dma = pltpu.make_async_copy(
-            table_ref.at[slot], row_s, sem
-        )
+        slot = slots_ref[c, i]
+        dma = pltpu.make_async_copy(table_ref.at[slot], row_s, sem)
         dma.start()
         dma.wait()
         row = row_s[:, :]
         # mask beyond the sample/gate limit, scale by velocity
         j = jax.lax.broadcasted_iota(jnp.int32, (1, row_len), 1)
-        row = row * (j < limits_ref[i]).astype(jnp.float32) * (
-            vels_ref[i] / 127.0
+        row = row * (j < limits_ref[c, i]).astype(jnp.float32) * (
+            vels_ref[c, i] / 127.0
         )
         # hits are 64-aligned; lane offsets must be 128-aligned: shift the
         # row right by a static 64 when the start was an odd 64-multiple
         shifted = jnp.concatenate(
             [jnp.zeros((2, 64), jnp.float32), row[:, :-64]], axis=1
         )
-        row = jnp.where(shifts_ref[i] > 0, shifted, row)
-        start = pl.multiple_of(starts_ref[i], 128)
-        cur = acc_s[:, pl.ds(start, row_len)]
-        acc_s[:, pl.ds(start, row_len)] = cur + row
+        row = jnp.where(shifts_ref[c, i] > 0, shifted, row)
+        local = pl.multiple_of(starts_ref[c, i], 128)  # start - c*C, in [0, C)
+        cur = acc_s[:, pl.ds(local, row_len)]
+        acc_s[:, pl.ds(local, row_len)] = cur + row
         return 0
 
-    jax.lax.fori_loop(0, n_hits, hit, 0)
+    jax.lax.fori_loop(0, counts_ref[c], hit, 0)
+    y_ref[:, :] = acc_s[:, :C]
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames", "interpret"))
 def accumulate_oneshots_pallas(
     table_padded,   # [slots, 2, row_len] f32 (row_len = 128-multiple + 64)
-    slots,          # [h] int32 (silent hits pre-filtered or slot 0 + vel 0)
-    starts128,      # [h] int32, 128-aligned start frames
-    shifts,         # [h] int32, 1 -> +64 frames
-    limits,         # [h] int32, valid samples in the row (post-shift basis)
-    vels,           # [h] float32
+    counts,         # [nchunks] int32 hits per chunk
+    slots,          # [nchunks, M] int32
+    starts,         # [nchunks, M] int32, 128-aligned, chunk-LOCAL
+    shifts,         # [nchunks, M] int32, 1 -> +64 frames
+    limits,         # [nchunks, M] int32, valid samples in the row
+    vels,           # [nchunks, M] float32
     n_frames: int,
     interpret: bool = False,
 ):
     row_len = table_padded.shape[-1]
-    n_pad = -(-(n_frames + row_len) // 128) * 128
+    nchunks = counts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays off-chip
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        num_scalar_prefetch=6,
+        grid=(nchunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table off-chip
+        out_specs=pl.BlockSpec((2, CHUNK), lambda c, *_refs: (0, c),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, CHUNK + row_len), jnp.float32),
             pltpu.VMEM((2, row_len), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -91,9 +106,9 @@ def accumulate_oneshots_pallas(
     y = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, nchunks * CHUNK), jnp.float32),
         interpret=interpret,
-    )(slots, starts128, shifts, limits, vels, table_padded)
+    )(counts, slots, starts, shifts, limits, vels, table_padded)
     return y[:, :n_frames]
 
 
@@ -106,20 +121,45 @@ def prepare_table(table_data: np.ndarray) -> np.ndarray:
     return out
 
 
-def prepare_hits(slots, on_frames, gate_frames, vels, lengths):
-    """Host-side metadata: align starts to 128, fold the remainder into a
-    64-sample row shift, clamp limits."""
+def prepare_hits(slots, on_frames, gate_frames, vels, lengths,
+                 n_frames: int):
+    """Host-side per-chunk hit lists (hit times are static at compile).
+
+    Returns (counts [nchunks], and [nchunks, M] slot/start/shift/limit/vel
+    arrays) with starts chunk-local and 128-aligned; the 64-remainder is
+    folded into a row shift."""
     slots = np.asarray(slots, np.int32)
     on = np.asarray(on_frames, np.int64)
     rem = (on % 128).astype(np.int64)
     assert np.all((rem == 0) | (rem == 64)), "hits must be 64-aligned"
-    starts = (on - rem).astype(np.int32)
+    starts = (on - rem).astype(np.int64)
     shifts = (rem // 64).astype(np.int32)
     limit = np.minimum(np.asarray(lengths, np.int64)[np.maximum(slots, 0)],
-                       np.asarray(gate_frames, np.int64))
-    # limit applies pre-shift; the masked row is then shifted, so express
-    # it post-shift: masked length + shift
-    limits = (limit).astype(np.int32)
+                       np.asarray(gate_frames, np.int64)).astype(np.int32)
     vels_eff = np.where(slots >= 0, np.asarray(vels, np.float32), 0.0)
-    return (np.maximum(slots, 0), starts, shifts, limits,
-            vels_eff.astype(np.float32))
+    live = (vels_eff > 0) & (limit > 0) & (starts < n_frames)
+    chunk_of = (starts // CHUNK).astype(np.int64)
+    nchunks = max(1, -(-n_frames // CHUNK))
+    counts = np.zeros(nchunks, np.int32)
+    order = np.argsort(chunk_of[live], kind="stable")
+    idx_live = np.nonzero(live)[0][order]
+    for i in idx_live:
+        counts[chunk_of[i]] += 1
+    M = max(1, int(counts.max()) if len(idx_live) else 1)
+    shape = (nchunks, M)
+    o_slots = np.zeros(shape, np.int32)
+    o_starts = np.zeros(shape, np.int32)
+    o_shifts = np.zeros(shape, np.int32)
+    o_limits = np.zeros(shape, np.int32)
+    o_vels = np.zeros(shape, np.float32)
+    fill = np.zeros(nchunks, np.int32)
+    for i in idx_live:
+        ci = int(chunk_of[i])
+        k = fill[ci]
+        fill[ci] = k + 1
+        o_slots[ci, k] = max(int(slots[i]), 0)
+        o_starts[ci, k] = int(starts[i] - ci * CHUNK)
+        o_shifts[ci, k] = int(shifts[i])
+        o_limits[ci, k] = int(limit[i])
+        o_vels[ci, k] = float(vels_eff[i])
+    return counts, o_slots, o_starts, o_shifts, o_limits, o_vels

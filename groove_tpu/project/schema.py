@@ -120,6 +120,12 @@ _CONTROLLER_KINDS = {
     # "Pocket Calculator" toy controller+instrument
     # (orchestration/src/entities.rs:88-89, projects/calculator.json:12-33).
     "calculator",
+    # Trigger: fire a control value at a musical time
+    # (orchestration/src/entities.rs:135-136 declares
+    # #[everything(controller)] Trigger; body and settings surface missing
+    # at HEAD — params {time: beats, value: ControlValue} are a documented
+    # RECONSTRUCTION).
+    "trigger",
 }
 _EFFECT_KINDS = {
     "toy", "mixer", "gain", "limiter", "bitcrusher", "chorus", "compressor",

@@ -1,0 +1,155 @@
+"""Controller tail: arpeggiator held-set cycling, Trigger, Calculator,
+MultiLimit voice stealing (VERDICT round-1 item 8)."""
+
+import json
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from groove_tpu.compiler.events import NoteEvent, arpeggiate
+from groove_tpu.compiler.song import compile_song
+from groove_tpu.core.time import Tempo
+from groove_tpu.engine.render import Renderer
+from groove_tpu.models.voices import apply_multilimit_policy
+from groove_tpu.project.schema import SongSettings
+
+REF = Path("/root/reference")
+
+
+def test_arp_chord_cycles_held_set_one_note_at_a_time():
+    """A held chord must produce ONE note per step cycling the held set —
+    NOT simultaneous per-note arp streams (the round-1 reconstruction
+    emitted parallel arps; this test distinguishes the two)."""
+    chord = [
+        NoteEvent(0, 60, 100, Fraction(0), Fraction(4)),
+        NoteEvent(0, 64, 90, Fraction(0), Fraction(4)),
+        NoteEvent(0, 67, 80, Fraction(0), Fraction(4)),
+    ]
+    out = arpeggiate(chord, 120.0, Tempo(120.0), out_channel=1)
+    assert out, "arp emitted nothing"
+    # exactly one note per step time
+    by_start = {}
+    for e in out:
+        by_start.setdefault(e.on_beats, []).append(e)
+    assert all(len(v) == 1 for v in by_start.values()), \
+        "parallel notes at one step — held-set cycling violated"
+    # keys cycle the held set ascending: 60, 64, 67, 60, ...
+    keys = [e.key for e in sorted(out, key=lambda e: e.on_beats)]
+    assert keys[:6] == [60, 64, 67, 60, 64, 67]
+    # velocity follows the sounding note
+    vels = [e.velocity for e in sorted(out, key=lambda e: e.on_beats)][:3]
+    assert vels == [100, 90, 80]
+
+
+def test_arp_single_note_still_arpeggiates():
+    out = arpeggiate(
+        [NoteEvent(0, 60, 127, Fraction(0), Fraction(2))],
+        120.0, Tempo(120.0), out_channel=1,
+    )
+    keys = [e.key for e in sorted(out, key=lambda e: e.on_beats)]
+    assert keys[:4] == [60, 64, 67, 72]
+
+
+def test_arp_set_change_mid_stream():
+    """Releasing a chord member drops it from the cycle."""
+    notes = [
+        NoteEvent(0, 60, 127, Fraction(0), Fraction(4)),
+        NoteEvent(0, 65, 127, Fraction(0), Fraction(1)),  # released early
+    ]
+    out = sorted(arpeggiate(notes, 120.0, Tempo(120.0), 1),
+                 key=lambda e: e.on_beats)
+    early = [e.key for e in out if e.on_beats < 1]
+    late = [e.key for e in out if e.on_beats >= 1]
+    # while both are held the cycle alternates 60/65
+    assert set(early) == {60, 65}
+    # after the release, 65 never sounds again (the single-note extension
+    # of 60 is 60/64/67/72 — 65 is not in it)
+    assert 65 not in late and late
+    assert all(k in (60, 64, 67, 72) for k in late)
+
+
+def test_multilimit_steals_oldest():
+    on = np.array([0, 100, 200, 300], np.int64)
+    off = np.array([1000, 1000, 1000, 1000], np.int64)
+    out = apply_multilimit_policy(on, off, limit=2)
+    # note 0 stolen at 200, note 1 stolen at 300, last two play out
+    assert list(out) == [200, 300, 1000, 1000]
+
+
+def test_multilimit_respects_released_notes():
+    on = np.array([0, 100, 200], np.int64)
+    off = np.array([50, 1000, 1000], np.int64)  # first already released
+    out = apply_multilimit_policy(on, off, limit=2)
+    assert list(out) == [50, 1000, 1000]  # no stealing needed
+
+
+def test_multilimit_patch_applies_in_compile():
+    """banjo.json has polyphony {multi-limit: 5}; 6 overlapping notes on
+    a banjo track must gate the oldest off."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["b", {"welsh": [{"midi-in": 0},
+                                            {"name": "banjo"}]}]},
+        ],
+        "patch-cables": [["b", "main-mixer"]],
+        "patterns": [{"id": "p", "note-value": "whole",
+                      "notes": [[60], [62], [64], [65], [67], [69]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    dev = c.devices["b"]
+    assert dev.voice.polyphony == "multi-limit" and dev.voice.poly_limit == 5
+    n = dev.notes
+    # all 6 notes start at once (one per row, same slot 0) -> oldest stolen
+    starts = n.on_frames
+    assert len(starts) == 6
+    overlap_end = n.off_frames
+    # at most 5 sounding at any time
+    times = np.unique(np.concatenate([starts, overlap_end]))
+    for t in times:
+        sounding = np.sum((starts <= t) & (overlap_end > t))
+        assert sounding <= 5, (t, sounding)
+
+
+def test_trigger_fires_control_value_at_time():
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["i", {"toy-instrument": [{"midi-in": 0},
+                                                     {"fake-value": 0.4}]}]},
+            {"effect": ["g", {"gain": {"ceiling": 1.0}}]},
+            {"controller": ["trig", {"trigger": [
+                {"midi-in": 0, "midi-out": 0},
+                {"time": 2.0, "value": 0.25},
+            ]}]},
+        ],
+        "patch-cables": [["i", "g", "main-mixer"]],
+        "controls": [{"id": "c", "source": "trig",
+                      "target": {"id": "g", "param": "ceiling"}}],
+        "patterns": [{"id": "p", "note-value": "whole", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    curve = c.devices["g"].automation["ceiling"]
+    out = np.asarray(Renderer(c).render())
+    # before beat 2: ceiling 1.0 -> 0.4; after: 0.25 -> 0.1
+    assert abs(curve[0] - 1.0) < 1e-6
+    assert abs(curve[-1] - 0.25) < 1e-6
+    assert abs(out[0, 0] - 0.4) < 1e-5
+    assert abs(out[-1, 0] - 0.1) < 1e-5
+
+
+@pytest.mark.skipif(not REF.is_dir(), reason="reference assets not mounted")
+def test_calculator_project_plays():
+    """projects/calculator.json must produce audible output (VERDICT item:
+    'parsed, renders silence')."""
+    song = SongSettings.from_project_file(REF / "projects" / "calculator.json")
+    c = compile_song(song)
+    dev = c.devices["instrument-1"]
+    assert dev.notes is not None and dev.notes.count > 0
+    out = np.asarray(Renderer(c).render())
+    assert out.shape[0] > 0
+    assert float(np.max(np.abs(out))) > 1e-3, "calculator is silent"
