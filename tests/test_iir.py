@@ -1,6 +1,7 @@
 """IIR engine: associative-scan biquads vs sample-serial float64 reference."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from groove_tpu.ops import iir
@@ -137,3 +138,47 @@ def test_one_pole(rng):
         acc = a * acc + b * x[i]
         y_ref[i] = acc
     assert _rms_db(y - y_ref, y_ref) < -90
+
+
+def test_low_cutoff_static_meets_80dbfs_bar():
+    """VERDICT round-1 item 6: <= -80 dBFS vs the f64 serial reference at
+    a 25 Hz cutoff over 1e5 samples. Static near-critical poles dispatch
+    to the per-sample serial scan on every backend (biquad_best and the
+    blockrate/lp24 wrappers all route through the same check), so this
+    covers the XLA and TPU dispatch paths alike."""
+    n = 100_000
+    coefs = iir.rbj_low_pass(25.0, 0.707, 44100.0)
+    assert iir._near_critical_static(coefs)
+    c64 = tuple(np.float64(np.asarray(c)) for c in np.asarray(coefs))
+    worst = 0.0
+    for seed in range(3):
+        x = (np.random.default_rng(seed).standard_normal(n) * 0.3).astype(
+            np.float32)
+        y_ref = iir.biquad_ref(x.astype(np.float64)[None], c64)[0]
+        y = np.asarray(iir.biquad_best(jnp.asarray(x[None]), coefs))[0]
+        worst = max(worst, float(np.abs(y - y_ref).max()))
+    db = 20 * np.log10(worst)
+    assert db <= -80.0, f"{db:.1f} dBFS"
+
+
+def test_low_cutoff_static_lp24_meets_80dbfs_bar():
+    n = 100_000
+    x = (np.random.default_rng(9).standard_normal(n) * 0.3).astype(np.float32)
+    gain, secs = iir.lp24_sections(jnp.float32(25.0), jnp.float32(0.707),
+                                   44100.0)
+    assert all(iir._near_critical_static(s) for s in secs)
+    x64 = x.astype(np.float64) * float(gain)
+    y_ref = x64[None]
+    for sec in secs:
+        c64 = tuple(np.float64(np.asarray(c)) for c in sec)
+        y_ref = iir.biquad_ref(y_ref, c64)
+    y = np.asarray(iir.lp24_apply_blockrate(
+        jnp.asarray(x[None]), 25.0, 0.707, 44100.0))
+    db = 20 * np.log10(float(np.abs(y - y_ref).max()) + 1e-30)
+    assert db <= -80.0, f"{db:.1f} dBFS"
+
+
+def test_high_cutoff_keeps_blocked_path():
+    """The serial fallback must NOT trigger for ordinary cutoffs."""
+    coefs = iir.rbj_low_pass(1000.0, 0.707, 44100.0)
+    assert not iir._near_critical_static(coefs)
