@@ -33,7 +33,9 @@ from groove_tpu.project.schema import SongSettings
 
 @dataclass
 class Command:
-    kind: str   # open|play|stop|tempo|save|quit|render-wav
+    kind: str   # open|new|play|stop|tempo|save|quit|render-wav|track-*|
+                # device-*  (OrchestratorInput parity,
+                # src/panels/orchestrator_panel.rs:21-56)
     arg: object = None
 
 
@@ -74,6 +76,42 @@ class EngineService:
     def render_wav(self, path):
         self._q.put(Command("render-wav", path))
 
+    # track / entity CRUD (OrchestratorInput::TrackNewMidi /
+    # TrackDeleteSelected / TrackDuplicateSelected / TrackAddEntity /
+    # TrackPatternRemoveSelected — orchestrator_panel.rs:37-51)
+
+    def new_project(self):
+        self._q.put(Command("new"))
+
+    def add_track(self, track_id: Optional[str] = None,
+                  midi_channel: Optional[int] = None):
+        self._q.put(Command("track-new", (track_id, midi_channel)))
+
+    def remove_track(self, track_id: str):
+        self._q.put(Command("track-delete", track_id))
+
+    def duplicate_track(self, track_id: str):
+        self._q.put(Command("track-duplicate", track_id))
+
+    def remove_pattern_from_track(self, track_id: str, pattern_id: str):
+        self._q.put(Command("track-pattern-remove", (track_id, pattern_id)))
+
+    def add_device(self, kind: str, uvid: Optional[str] = None,
+                   midi_channel: int = 0):
+        """Palette drop: instantiate an entity by factory key and patch it
+        to the main mixer (PaletteAction::NewDevice)."""
+        self._q.put(Command("device-add", (kind, uvid, midi_channel)))
+
+    def remove_device(self, uvid: str):
+        self._q.put(Command("device-remove", uvid))
+
+    def sync(self, timeout: float = 600.0) -> bool:
+        """Block until every previously queued command has been processed
+        (used by interactive front ends to refresh views after edits)."""
+        done = threading.Event()
+        self._q.put(Command("sync", done))
+        return done.wait(timeout)
+
     def shutdown(self, timeout: float = 600.0):
         """Stops playback, drains pending commands, joins the worker.
 
@@ -109,15 +147,28 @@ class EngineService:
             try:
                 if cmd.kind == "quit":
                     return
+                if cmd.kind == "sync":
+                    cmd.arg.set()
+                    continue
                 if cmd.kind == "open":
                     self.song = SongSettings.from_project_file(Path(cmd.arg))
                     self._dirty = True
                     self.on_event("project-opened", self.song.title)
+                elif cmd.kind == "new":
+                    self.song = SongSettings.from_json(
+                        {"title": "Untitled", "clock": {"bpm": 128.0}})
+                    self._dirty = True
+                    self.on_event("project-new", None)
                 elif cmd.kind == "tempo":
                     if self.song:
                         self.song.clock.bpm = cmd.arg
                         self._dirty = True
                         self.on_event("tempo", cmd.arg)
+                elif cmd.kind.startswith("track-") or \
+                        cmd.kind.startswith("device-"):
+                    if self.song is not None:
+                        self._edit(cmd)
+                        self._dirty = True
                 elif cmd.kind == "save":
                     if self.song:
                         save_project(self.song, cmd.arg)
@@ -136,6 +187,95 @@ class EngineService:
                     self.on_event("playback-stopped", None)
             except Exception as e:  # surfaced like the reference's toasts
                 self.on_event("error", f"{type(e).__name__}: {e}")
+
+    def _edit(self, cmd: Command):
+        """Track/device mutations on the settings tree (the reference edits
+        its Orchestrator in place; the settings layer is our live model)."""
+        from groove_tpu.engine import factory
+        from groove_tpu.project.schema import (
+            ControllerSettings,
+            DeviceSettings,
+            EffectSettings,
+            InstrumentSettings,
+            TrackSettings,
+        )
+        song = self.song
+        if cmd.kind == "track-new":
+            track_id, channel = cmd.arg
+            used = {t.midi_channel for t in song.tracks}
+            if channel is None:
+                channel = next(c for c in range(16) if c not in used)
+            if track_id is None:
+                ids = {t.id for t in song.tracks}
+                k = len(song.tracks) + 1
+                while f"track-{k}" in ids:
+                    k += 1
+                track_id = f"track-{k}"
+            song.tracks.append(TrackSettings(track_id, int(channel), []))
+            self.on_event("track-added", track_id)
+        elif cmd.kind == "track-delete":
+            song.tracks = [t for t in song.tracks if t.id != cmd.arg]
+            self.on_event("track-deleted", cmd.arg)
+        elif cmd.kind == "track-duplicate":
+            src = next((t for t in song.tracks if t.id == cmd.arg), None)
+            if src is None:
+                self.on_event("error", f"no track {cmd.arg!r}")
+                return
+            ids = {t.id for t in song.tracks}
+            k = 2
+            while f"{src.id}-{k}" in ids:
+                k += 1
+            dup = TrackSettings(f"{src.id}-{k}", src.midi_channel,
+                                list(src.pattern_ids))
+            song.tracks.insert(song.tracks.index(src) + 1, dup)
+            self.on_event("track-added", dup.id)
+        elif cmd.kind == "track-pattern-remove":
+            track_id, pattern_id = cmd.arg
+            for t in song.tracks:
+                if t.id == track_id and pattern_id in t.pattern_ids:
+                    t.pattern_ids.remove(pattern_id)
+                    self.on_event("pattern-removed",
+                                  (track_id, pattern_id))
+        elif cmd.kind == "device-add":
+            kind, uvid, channel = cmd.arg
+            try:
+                proto = factory.prototype(kind)
+            except KeyError:
+                self.on_event("error", f"unknown entity kind {kind!r}")
+                return
+            if uvid is None:
+                existing = {d.uvid for d in song.devices}
+                k = 1
+                while f"{kind}-{k}" in existing:
+                    k += 1
+                uvid = f"{kind}-{k}"
+            params = dict(proto.params)
+            if proto.role == "instrument":
+                dev = DeviceSettings(
+                    "instrument", uvid,
+                    instrument=InstrumentSettings(kind, int(channel), params))
+            elif proto.role == "controller":
+                dev = DeviceSettings(
+                    "controller", uvid,
+                    controller=ControllerSettings(kind, int(channel),
+                                                  int(channel), params))
+            else:
+                dev = DeviceSettings("effect", uvid,
+                                     effect=EffectSettings(kind, params))
+            song.devices.append(dev)
+            if proto.role != "controller" or \
+                    kind in ("signal-passthrough-controller", "calculator"):
+                song.patch_cables.append([uvid, "main-mixer"])
+            self.on_event("device-added", uvid)
+        elif cmd.kind == "device-remove":
+            uvid = cmd.arg
+            song.devices = [d for d in song.devices if d.uvid != uvid]
+            song.patch_cables = [
+                [u for u in cable if u != uvid]
+                for cable in song.patch_cables
+            ]
+            song.patch_cables = [c for c in song.patch_cables if len(c) >= 2]
+            self.on_event("device-removed", uvid)
 
     def _stream(self, samples: np.ndarray):
         self._stop_playback.clear()

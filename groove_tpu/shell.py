@@ -29,6 +29,14 @@ HELP = """commands:
   tempo <bpm>                  change tempo (recompiles)
   render <out.wav>             render to WAV
   save <project.json>          save the project file
+  new                          new blank project
+  tracks                       list tracks
+  track-new [id] [channel]     add a MIDI track
+  track-del <id>               delete a track
+  track-dup <id>               duplicate a track
+  add <kind> [channel]         add an entity (palette kind) to a channel
+  remove <uvid>                remove an entity
+  palette                      list addable entity kinds
   status                       show title/tempo/playing
   help                         this text
   quit                         exit
@@ -72,6 +80,29 @@ def main(argv=None) -> int:
                 svc.render_wav(args[0])
             elif cmd == "save" and args:
                 svc.save(args[0])
+            elif cmd == "new":
+                svc.new_project()
+            elif cmd == "tracks":
+                svc.sync()
+                for t in (svc.song.tracks if svc.song else []):
+                    print(f"{t.id}  ch{t.midi_channel}  "
+                          f"patterns={t.pattern_ids}")
+            elif cmd == "track-new":
+                svc.add_track(args[0] if args else None,
+                              int(args[1]) if len(args) > 1 else None)
+            elif cmd == "track-del" and args:
+                svc.remove_track(args[0])
+            elif cmd == "track-dup" and args:
+                svc.duplicate_track(args[0])
+            elif cmd == "add" and args:
+                svc.add_device(args[0],
+                               midi_channel=int(args[1]) if len(args) > 1
+                               else 0)
+            elif cmd == "remove" and args:
+                svc.remove_device(args[0])
+            elif cmd == "palette":
+                from groove_tpu.engine import factory
+                print(" ".join(factory.sorted_keys()))
             elif cmd == "status":
                 title = svc.song.title if svc.song else None
                 bpm = svc.song.clock.bpm if svc.song else None
