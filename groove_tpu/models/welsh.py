@@ -207,3 +207,166 @@ def render_notes(
 
 def tail_seconds(params: WelshVoiceParams) -> float:
     return max(params.amp_envelope.release, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Live (streaming) voice path: block-at-a-time with carried state, for the
+# interactive MIDI loop (engine/live.py). The reference's live path is the
+# same per-sample voice the offline render uses, pulled by the audio
+# callback in 64-frame buffers (legacy/audio_panel.rs:66-98); here each
+# block is one jitted call over a fixed voice pool with carried oscillator
+# phases and filter state.
+
+
+@dataclass(frozen=True)
+class LiveVoiceState:
+    """Per-voice carried state ([V] each)."""
+
+    phase1: jnp.ndarray     # f32, cycles mod 1
+    phase2: jnp.ndarray
+    s1a: jnp.ndarray        # TDF2 state, filter section A
+    s2a: jnp.ndarray
+    s1b: jnp.ndarray        # section B
+    s2b: jnp.ndarray
+    age: jnp.ndarray        # i32 frames since note-on
+    release_age: jnp.ndarray  # i32 frame of note-off (2**30 while held)
+    keys: jnp.ndarray       # f32 MIDI key
+    vels: jnp.ndarray       # f32 0..127 (0 = inactive)
+
+
+jax.tree_util.register_dataclass(
+    LiveVoiceState,
+    data_fields=["phase1", "phase2", "s1a", "s2a", "s1b", "s2b",
+                 "age", "release_age", "keys", "vels"],
+    meta_fields=[],
+)
+
+
+def live_init_state(n_voices: int) -> LiveVoiceState:
+    z = jnp.zeros((n_voices,), jnp.float32)
+    zi = jnp.zeros((n_voices,), jnp.int32)
+    return LiveVoiceState(z, z, z, z, z, z, zi,
+                          jnp.full((n_voices,), 2**30, jnp.int32), z, z)
+
+
+def live_render_block(
+    params: WelshVoiceParams,
+    state: LiveVoiceState,
+    block: int,
+    sample_rate: float,
+) -> tuple[jnp.ndarray, LiveVoiceState]:
+    """One streaming block: -> (mono [block], next state).
+
+    Oscillator phases integrate per sample and wrap per block (no f32
+    drift on long holds); filter coefficients update at block rate (the
+    reference's 64-frame control cadence) with exact TDF2 state carry via
+    ops/iir.biquad(initial_state=..., return_state=True). LFO phase is
+    derived from voice age, so every routing works in streaming mode."""
+    sr = sample_rate
+    V = state.keys.shape[0]
+    j = jnp.arange(block, dtype=jnp.float32)[None, :]
+    t_abs = (state.age[:, None].astype(jnp.float32) + j) / sr   # [V, block]
+    gate_s = jnp.minimum(
+        state.release_age.astype(jnp.float32), 2.0**30) [:, None] / sr
+    base_freq = note_freqs(state.keys)[:, None]
+
+    lfo = params.lfo
+    routing = lfo.routing
+    if routing != "none" and lfo.frequency > 0.0 and lfo.depth != 0.0 \
+            and lfo.waveform.kind != "noise":
+        lfo_val = osc_ops.evaluate(
+            lfo.waveform.kind, lfo.frequency * t_abs, lfo.waveform.pulse_width
+        ) * lfo.depth
+    else:
+        lfo_val = jnp.zeros((1, 1), jnp.float32)
+
+    def freq_of(osc, fixed_hz, is_osc2):
+        if fixed_hz is not None:
+            f = jnp.full((V, 1), fixed_hz, jnp.float32)
+        else:
+            f = base_freq * osc.tune_ratio
+        if routing == "pitch" or (routing == "pitch-osc2" and is_osc2):
+            f = f * jnp.exp2(lfo_val)
+        return jnp.broadcast_to(f, (V, block))
+
+    f1 = freq_of(params.oscillator_1, None, False)
+    f2 = freq_of(params.oscillator_2, params.oscillator_2_fixed_hz, True)
+    # exclusive cumulative phase: sample j uses phase BEFORE advancing by f_j
+    ph1 = state.phase1[:, None] + (jnp.cumsum(f1, axis=1) - f1) / sr
+    ph2 = state.phase2[:, None] + (jnp.cumsum(f2, axis=1) - f2) / sr
+    new_phase1 = jnp.mod(ph1[:, -1] + f1[:, -1] / sr, 1.0)
+    new_phase2 = jnp.mod(ph2[:, -1] + f2[:, -1] / sr, 1.0)
+    if params.oscillator_2_sync and params.oscillator_1.waveform.kind != "none":
+        ph2 = osc_ops.hard_sync_phase(ph1, f2 / jnp.maximum(f1, 1e-6))
+
+    def sig(osc, ph, which):
+        kind = osc.waveform.kind
+        if kind == "none":
+            return jnp.zeros((V, block), jnp.float32)
+        if kind == "pulse-width":
+            width = osc.waveform.pulse_width
+            if routing == "pulse-width" or routing == f"pw-osc{which}":
+                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
+            return osc_ops.pulse_width(ph, width)
+        if kind == "noise":
+            return osc_ops.noise(jax.random.PRNGKey(which), (V, block))
+        return osc_ops.evaluate(kind, ph)
+
+    s1 = sig(params.oscillator_1, ph1, 1)
+    s2 = sig(params.oscillator_2, ph2, 2)
+    o1 = params.oscillator_1.waveform.kind != "none"
+    o2 = params.oscillator_2.waveform.kind != "none"
+    mix = params.oscillator_mix
+    if o1 and o2:
+        osc_out = mix * s1 + (1.0 - mix) * s2
+    elif o1:
+        osc_out = s1
+    elif o2:
+        osc_out = s2
+    else:
+        osc_out = jnp.zeros((V, block), jnp.float32)
+    if params.noise > 0.0:
+        nz = osc_ops.noise(jax.random.PRNGKey(3), (V, block))
+        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
+
+    # filter coefficients at block start (control cadence)
+    t0 = t_abs[:, :1]
+    fe = params.filter_envelope
+    f_env = env_ops.adsr(t0, gate_s, fe.attack, fe.decay, fe.sustain,
+                         fe.release)
+    cutoff_pct = params.filter_cutoff_start + (
+        params.filter_cutoff_end - params.filter_cutoff_start) * f_env
+    if routing in ("filter-cutoff", "cutoff-amp"):
+        cutoff_pct = cutoff_pct + lfo_val[:, :1] if lfo_val.shape[-1] > 1 \
+            else cutoff_pct + lfo_val
+    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
+    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)        # [V, 1]
+    q = params.filter_q
+    if routing == "resonance":
+        qv = jnp.maximum(q * (1.0 + lfo_val), 0.1)
+        q = qv[:, :1] if qv.ndim == 2 and qv.shape[-1] > 1 else qv
+    gain, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
+    y = osc_out * gain
+    y, (s1a, s2a), _ = iir_ops.biquad(
+        y, sections[0], block=block,
+        initial_state=(state.s1a, state.s2a), return_state=True)
+    y, (s1b, s2b), _ = iir_ops.biquad(
+        y, sections[1], block=block,
+        initial_state=(state.s1b, state.s2b), return_state=True)
+
+    ae = params.amp_envelope
+    a_env = env_ops.adsr(t_abs, gate_s, ae.attack, ae.decay, ae.sustain,
+                         ae.release)
+    amp = a_env * (state.vels[:, None] / 127.0)
+    if routing in ("amplitude", "cutoff-amp"):
+        amp = amp * (1.0 + lfo_val)
+    mono = jnp.sum(y * amp, axis=0)
+
+    new_state = LiveVoiceState(
+        phase1=new_phase1, phase2=new_phase2,
+        s1a=s1a, s2a=s2a, s1b=s1b, s2b=s2b,
+        age=state.age + block,
+        release_age=state.release_age,
+        keys=state.keys, vels=state.vels,
+    )
+    return mono, new_state

@@ -37,6 +37,7 @@ HELP = """commands:
   add <kind> [channel]         add an entity (palette kind) to a channel
   remove <uvid>                remove an entity
   palette                      list addable entity kinds
+  live <patch> [midi-port]     live MIDI synth (FIFO/file byte port)
   status                       show title/tempo/playing
   help                         this text
   quit                         exit
@@ -52,6 +53,7 @@ def main(argv=None) -> int:
         print(f"[{kind}] {data if data is not None else ''}".rstrip())
 
     svc = EngineService(on_event=on_event)
+    live_services = []
     try:
         if argv:
             svc.open_project(argv[0])
@@ -74,6 +76,9 @@ def main(argv=None) -> int:
                 svc.play()
             elif cmd == "stop":
                 svc.stop()
+                for lv in live_services:
+                    lv.stop()
+                live_services.clear()
             elif cmd == "tempo" and args:
                 svc.set_tempo(float(args[0]))
             elif cmd == "render" and args:
@@ -103,6 +108,15 @@ def main(argv=None) -> int:
             elif cmd == "palette":
                 from groove_tpu.engine import factory
                 print(" ".join(factory.sorted_keys()))
+            elif cmd == "live" and args:
+                from groove_tpu.engine.live import LiveMidiService, LiveSynth
+                src = open(args[1], "rb", buffering=0) if len(args) > 1 else None
+                synth = LiveSynth(patch=args[0])
+                live = LiveMidiService(synth, midi_source=src)
+                print(f"live: patch={args[0]} "
+                      f"port={args[1] if len(args) > 1 else '(none)'} — "
+                      f"'stop' to end")
+                live_services.append(live)
             elif cmd == "status":
                 title = svc.song.title if svc.song else None
                 bpm = svc.song.clock.bpm if svc.song else None

@@ -1,0 +1,102 @@
+"""Live MIDI -> streaming synth loop (VERDICT round-1 item 4).
+
+Done criterion: bytes written to a FIFO/pipe port produce audio frames in
+the service with bounded latency, via the file-source transport."""
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from groove_tpu.engine.live import BLOCK, LiveMidiService, LiveSynth
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(not REF.is_dir(),
+                                reason="reference patches not mounted")
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return LiveSynth(patch="piano", n_voices=4)
+
+
+def test_streaming_blocks_are_continuous(synth):
+    """Block-to-block continuity: a held note rendered in 64-frame blocks
+    must not glitch at block boundaries (carried phase + filter state)."""
+    synth.note_on(69, 127)
+    blocks = [synth.render_block()[:, 0] for _ in range(20)]
+    audio = np.concatenate(blocks)
+    assert np.max(np.abs(audio)) > 1e-3
+    # no discontinuity: the max first-difference at block boundaries is of
+    # the same order as within blocks (a phase reset would spike)
+    d = np.abs(np.diff(audio))
+    boundary = d[BLOCK - 1::BLOCK]
+    assert boundary.max() <= d.max() * 1.0 + 1e-6
+    interior_p99 = np.quantile(d, 0.99)
+    assert boundary.max() < 10 * interior_p99 + 1e-6
+    synth.note_off(69)
+
+
+def test_note_off_releases(synth):
+    synth.note_on(60, 127)
+    for _ in range(4):
+        synth.render_block()
+    synth.note_off(60)
+    # piano release is seconds long; amplitude must be non-increasing on
+    # coarse scale after release
+    early = np.abs(synth.render_block()).max()
+    for _ in range(60):
+        last = synth.render_block()
+    late = np.abs(last).max()
+    assert late <= early + 1e-6
+
+
+def test_fifo_bytes_to_audio_with_bounded_latency():
+    """The transport path: raw MIDI bytes through a pipe 'port' reach the
+    voice pool, and the next rendered blocks carry audio. Latency bound =
+    lead_blocks x 64 frames."""
+    r_fd, w_fd = os.pipe()
+    reader = os.fdopen(r_fd, "rb", buffering=0)
+    synth = LiveSynth(patch="cello", n_voices=4)
+    got: list[np.ndarray] = []
+    svc = LiveMidiService(synth, midi_source=reader, sink=got.append,
+                          lead_blocks=4)
+    try:
+        # silence before any MIDI
+        svc.pump(2)
+        assert all(np.max(np.abs(b)) < 1e-7 for b in got)
+        os.write(w_fd, bytes([0x90, 69, 120]))  # note-on A4 ch0
+        deadline = time.time() + 5.0
+        while time.time() < deadline and synth.state.vels[0] == 0:
+            time.sleep(0.005)  # MIDI service thread parses the bytes
+        assert float(np.asarray(synth.state.vels).max()) > 0, \
+            "note-on never reached the voice pool"
+        n_before = len(got)
+        svc.pump(svc.lead_blocks)
+        fresh = got[n_before:]
+        assert any(np.max(np.abs(b)) > 1e-4 for b in fresh), \
+            "no audio within the latency bound"
+        os.write(w_fd, bytes([0x80, 69, 0]))    # note-off
+        deadline = time.time() + 5.0
+        while time.time() < deadline and \
+                float(np.asarray(synth.state.release_age)[0]) >= 2**30:
+            time.sleep(0.005)
+        assert float(np.asarray(synth.state.release_age)[0]) < 2**30
+    finally:
+        os.write(w_fd, b"")
+        os.close(w_fd)
+        svc.stop()
+
+
+def test_voice_stealing_oldest(synth):
+    s = LiveSynth(patch="piano", n_voices=2)
+    s.note_on(60, 100)
+    s.render_block()
+    s.note_on(64, 100)
+    s.render_block()
+    s.note_on(67, 100)  # steals voice holding 60 (oldest)
+    keys = set(np.asarray(s.state.keys)[np.asarray(s.state.vels) > 0])
+    assert keys == {64.0, 67.0}
