@@ -34,6 +34,30 @@ from groove_tpu.project.schema import warn
 
 BLOCK = SAMPLE_BUFFER_SIZE
 
+# Params the registry lists as controllable (compiler/params.py) but whose
+# render reading is static — changing them per-sample would change the
+# program's structure (delay-line lengths, voice counts, comb feedback).
+# None are automated anywhere in the reference corpus; a trip targeting one
+# warns instead of silently pinning the static value.
+STATIC_ONLY_PARAMS = {
+    ("reverb", "seconds"),
+    ("delay", "delay"),
+    ("chorus", "voices"),
+    ("chorus", "delay-seconds"),
+    ("fm-synthesizer", "ratio"),
+    ("fm-synthesizer", "depth"),
+    ("fm-synthesizer", "beta"),
+    ("oscillator", "frequency"),
+    ("toy", "my-value"),
+}
+
+
+def warn_static_only(dev) -> None:
+    for pname in dev.automation:
+        if (dev.kind, pname) in STATIC_ONLY_PARAMS:
+            warn(f"automation of {dev.kind}.{pname} ({dev.uvid}) is not "
+                 f"supported; the static value applies")
+
 
 def _upsample_block(curve, n: int):
     """Block-rate curve [n_blocks] -> per-sample [n] by hold.
@@ -68,6 +92,7 @@ class Renderer:
             if (dev.role == "instrument" or dev.kind == "calculator") \
                     and dev.notes is not None:
                 self._collect_instrument(dev)
+            warn_static_only(dev)
             for pname, curve in dev.automation.items():
                 self.inputs[f"{dev.uvid}/auto/{pname}"] = curve
 
@@ -326,9 +351,13 @@ class Renderer:
         if k == "compressor":
             thr = P("threshold", 1.0)
             ratio = P("ratio", 1.0)
-            att = float(dev.params.get("attack", 0.0))
-            rel = float(dev.params.get("release", 0.0))
-            if att <= 0.0 and rel <= 0.0:
+            # attack/release may be automated (registry lists them as
+            # controllable); an automated trip yields a per-sample array
+            # and drives the time-varying follower in compressor_smoothed.
+            att = P("attack", 0.0)
+            rel = P("release", 0.0)
+            if isinstance(att, float) and isinstance(rel, float) \
+                    and att <= 0.0 and rel <= 0.0:
                 return dynamics.compressor(x, thr, ratio)
             return dynamics.compressor_smoothed(x, thr, ratio, att, rel, sr)
         if k == "delay":
@@ -340,8 +369,11 @@ class Renderer:
                 wet_dry_mix=P("wet-dry-mix", 1.0),
             )
         if k == "reverb":
+            # attenuation is a plain output gain: automated trips apply
+            # per-sample; `seconds` shapes the comb feedback and stays
+            # static (warned at compile, STATIC_ONLY_PARAMS)
             return delayfx.reverb(
-                x, float(dev.params.get("attenuation", 1.0)),
+                x, P("attenuation", 1.0),
                 float(dev.params.get("seconds", 0.0)), sr,
             )
         if k == "toy":

@@ -39,9 +39,16 @@ def _follower_coef(seconds, sample_rate):
 
 
 def envelope_follower(x, attack_s, release_s, sample_rate):
-    """Peak follower: attacks with `attack_s`, releases with `release_s`."""
+    """Peak follower: attacks with `attack_s`, releases with `release_s`.
+
+    attack_s/release_s may be per-sample arrays (automated trips): the
+    recurrence in one_pole is time-varying, and _follower_coef clamps
+    zero-seconds to ~instantaneous, so array inputs that pass through 0
+    degrade gracefully to pass-through rather than diverging.
+    """
     mag = jnp.abs(x)
-    if float(attack_s) <= 0.0 and float(release_s) <= 0.0:
+    if isinstance(attack_s, (int, float)) and isinstance(release_s, (int, float)) \
+            and attack_s <= 0.0 and release_s <= 0.0:
         return mag
     a_att = _follower_coef(attack_s, sample_rate)
     a_rel = _follower_coef(release_s, sample_rate)

@@ -94,7 +94,7 @@ def accumulate_oneshots_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nchunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table off-chip
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table off-chip
         out_specs=pl.BlockSpec((2, CHUNK), lambda c, *_refs: (0, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -28,6 +28,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="CORPUS.md")
     ap.add_argument("--midi", action="store_true", help="include SMF fixtures")
+    ap.add_argument("--golden", default=None, metavar="JSON",
+                    help="also write a full-precision {file: [frames, peak, "
+                         "rms]} fixture for tests/test_corpus_golden.py")
     args = ap.parse_args()
 
     from groove_tpu.compiler.song import compile_midi_file, compile_song
@@ -43,6 +46,7 @@ def main() -> int:
         files += sorted((REF / "test-data/midi").glob("*.mid"))
 
     rows = []
+    golden = {}
     failures = 0
     for p in files:
         rel = p.relative_to(REF)
@@ -63,6 +67,8 @@ def main() -> int:
             rows.append((str(rel), compiled.n_frames,
                          f"{compiled.n_frames / 44100:.2f}",
                          f"{peak:.3f}", f"{rms:.4f}", f"{dt:.1f}", status))
+            if bad == 0:
+                golden[str(rel)] = [int(compiled.n_frames), peak, rms]
             print(f"{rel}: {status} n={compiled.n_frames} peak={peak:.3f} "
                   f"({dt:.1f}s)", flush=True)
         except Exception as e:
@@ -80,6 +86,11 @@ def main() -> int:
         for r in rows:
             f.write("| " + " | ".join(str(c) for c in r) + " |\n")
     print(f"\nwrote {args.out}: {len(files) - failures}/{len(files)} ok")
+    if args.golden:
+        import json
+        with open(args.golden, "w") as f:
+            json.dump(golden, f, indent=1, sort_keys=True)
+        print(f"wrote {args.golden}: {len(golden)} golden entries")
     return 1 if failures else 0
 
 
