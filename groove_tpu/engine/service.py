@@ -48,6 +48,8 @@ class EngineService:
         self.song: Optional[SongSettings] = None
         self.compiled = None
         self.renderer: Optional[Renderer] = None
+        self.loop_range: Optional[tuple[float, float]] = None  # beats
+        self.is_loop_enabled = False
         self._samples: Optional[np.ndarray] = None
         self._dirty = True
         self._q: "queue.Queue[Command]" = queue.Queue()
@@ -75,6 +77,25 @@ class EngineService:
 
     def render_wav(self, path):
         self._q.put(Command("render-wav", path))
+
+    # loop range (orchestrator.rs:983-1000 set_loop/clear_loop/
+    # set_loop_enabled; beat-unit fields in the control bar,
+    # src/panels/control_panel.rs:143-170)
+
+    def set_loop(self, start_beats: float, end_beats: float):
+        self._q.put(Command("set-loop", (float(start_beats),
+                                         float(end_beats))))
+
+    def set_loop_enabled(self, enabled: bool):
+        self._q.put(Command("loop-enabled", bool(enabled)))
+
+    def clear_loop(self):
+        self._q.put(Command("clear-loop"))
+
+    def render_loop_wav(self, path, iterations: int = 4):
+        """Bounce the looped performance ([0, end) then `iterations` passes
+        of [start, end), state carried across seams) to a WAV."""
+        self._q.put(Command("render-loop-wav", (path, int(iterations))))
 
     # track / entity CRUD (OrchestratorInput::TrackNewMidi /
     # TrackDeleteSelected / TrackDuplicateSelected / TrackAddEntity /
@@ -178,7 +199,41 @@ class EngineService:
                     from groove_tpu.io.wav import write_wav_16bit_stereo
                     write_wav_16bit_stereo(cmd.arg, samples, self.sample_rate)
                     self.on_event("rendered", str(cmd.arg))
+                elif cmd.kind == "set-loop":
+                    self.loop_range = cmd.arg
+                    self.is_loop_enabled = True
+                    self.on_event("loop-set", cmd.arg)
+                elif cmd.kind == "loop-enabled":
+                    self.is_loop_enabled = bool(cmd.arg)
+                    self.on_event("loop-enabled", self.is_loop_enabled)
+                elif cmd.kind == "clear-loop":
+                    self.loop_range = None
+                    self.is_loop_enabled = False
+                    self.on_event("loop-cleared", None)
+                elif cmd.kind == "render-loop-wav":
+                    path, iterations = cmd.arg
+                    samples = self._loop_samples(iterations)
+                    if samples is not None:
+                        from groove_tpu.io.wav import write_wav_16bit_stereo
+                        write_wav_16bit_stereo(path, samples,
+                                               self.sample_rate)
+                        self.on_event("rendered", str(path))
                 elif cmd.kind == "play":
+                    if self.is_loop_enabled and self.loop_range is not None:
+                        # seek-looped playback: infinite like the reference's
+                        # tick loop (orchestrator.rs:868-874), until stop
+                        if self._dirty or self.renderer is None:
+                            self._recompile()
+                        from groove_tpu.engine.stream import StreamingRenderer
+                        sr_ = StreamingRenderer(self.compiled)
+                        chunks = sr_.stream_loop(*self.loop_range,
+                                                 iterations=None)
+                        self.on_event("playback-started", None)
+                        self._playing.set()
+                        self._stream_chunks(chunks)
+                        self._playing.clear()
+                        self.on_event("playback-stopped", None)
+                        continue
                     samples = self._ensure_rendered()
                     self.on_event("playback-started", None)
                     self._playing.set()
@@ -276,6 +331,50 @@ class EngineService:
             ]
             song.patch_cables = [c for c in song.patch_cables if len(c) >= 2]
             self.on_event("device-removed", uvid)
+
+    def _loop_samples(self, iterations: int) -> Optional[np.ndarray]:
+        """Bounded loop bounce: [0, end) + `iterations` x [start, end)."""
+        if self.loop_range is None:
+            self.on_event("error", "no loop range set")
+            return None
+        if self._dirty or self.renderer is None:
+            self._recompile()
+        from groove_tpu.engine.stream import StreamingRenderer
+        sr_ = StreamingRenderer(self.compiled)
+        chunks = list(sr_.stream_loop(*self.loop_range,
+                                      iterations=iterations))
+        return np.concatenate(chunks, axis=0)
+
+    def _stream_chunks(self, chunk_iter):
+        """Stream an (possibly unbounded) iterator of [n, 2] chunks to the
+        audio service, stopping on the stop event."""
+        self._stop_playback.clear()
+        if not self.use_audio:
+            return
+        try:
+            from groove_tpu.io import native
+        except Exception:
+            return
+        if not native.available():
+            return
+        svc = native.AudioService(sample_rate=self.sample_rate,
+                                  buffer_frames=64)
+        try:
+            import time as _time
+            for chunk in chunk_iter:
+                pos, n = 0, len(chunk)
+                while pos < n:
+                    if self._stop_playback.is_set():
+                        return
+                    need = svc.needs_frames()
+                    if need > 0:
+                        part = chunk[pos:pos + min(need, n - pos)]
+                        svc.write(np.asarray(part, np.float32))
+                        pos += len(part)
+                    else:
+                        _time.sleep(0.001)
+        finally:
+            svc.stop()
 
     def _stream(self, samples: np.ndarray):
         self._stop_playback.clear()

@@ -1,0 +1,617 @@
+"""Streaming segmented render + loop-range playback.
+
+The reference renders incrementally: `Orchestrator::tick` fills one sample
+slice at a time, carrying all entity state in the object graph, and — when
+a loop range is set — seeks the clock back to the loop start on crossing
+the end (orchestration/src/orchestrator.rs:855-877). The whole-timeline
+Renderer (engine/render.py) compiles the song into ONE program instead,
+which is the fast path but binds device memory to the song length.
+
+StreamingRenderer is the TPU-native tick loop: the song renders in
+fixed-size segments through ONE jitted step function with an explicit
+carried-state pytree (filter states, delay-line tails, follower states,
+the sidechain one-block value). Segment boundaries are invisible in the
+output: every stateful op comes from ops/stream.py, whose float schedule
+is segmentation-invariant for 64-frame-multiple segments, so rendering the
+song as ONE segment and as MANY segments is bit-identical
+(tests/test_stream.py) — an unbounded song streams with device memory
+bounded by the segment size plus carried state.
+
+Loop-range seek rides the same machinery: play [0, loop_end), then
+repeatedly [loop_start, loop_end), state (reverb tails, filter ring-out)
+carrying ACROSS the seam exactly like the reference's clock seek — loop
+boundaries quantize to the 64-frame buffer grid, the reference's own seek
+granularity (it checks `clock.beats() >= range.end` once per tick batch).
+Notes gated past the loop end truncate at the seam (our events are
+precompiled to absolute frames; the reference's live sequencer would
+similarly never deliver their note-offs inside the loop — documented in
+DECISIONS.md).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groove_tpu.compiler.song import CompiledSong, DeviceIR, MAIN_MIXER_UVID
+from groove_tpu.core.time import SAMPLE_BUFFER_SIZE, SampleRate, Tempo, beats_to_frames
+from groove_tpu.models import fm as fm_model
+from groove_tpu.models import sampler as sampler_model
+from groove_tpu.models import simple as simple_model
+from groove_tpu.models import welsh as welsh_model
+from groove_tpu.models.voices import scatter_notes, span_for
+from groove_tpu.ops import delayfx, dynamics, effects, iir
+from groove_tpu.ops import stream as sops
+from groove_tpu.ops.dca import pan_gains
+from groove_tpu.project.schema import warn
+
+BLOCK = SAMPLE_BUFFER_SIZE  # 64
+
+
+def _upsample(curve, n: int):
+    nb = curve.shape[0]
+    out = jnp.broadcast_to(curve[:, None], (nb, BLOCK)).reshape(nb * BLOCK)
+    return out[:n]
+
+
+def _round_block(frames: int) -> int:
+    return -(-int(frames) // BLOCK) * BLOCK
+
+
+class StreamingRenderer:
+    """Segment-streamed render of one compiled song.
+
+    segment_frames must be a multiple of 64 and at least 64.
+    """
+
+    def __init__(self, compiled: CompiledSong, segment_frames: int = 65536):
+        assert segment_frames % BLOCK == 0 and segment_frames >= BLOCK
+        self.c = compiled
+        self.S = int(segment_frames)
+        self.n_segs = max(1, -(-compiled.n_frames // self.S))
+        self.plan_frames = self.n_segs * self.S
+        self.inputs: dict[str, np.ndarray] = {}
+        self._spans: dict[str, int] = {}
+        self._notes_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._caps: dict[str, int] = {}
+        self._collect_inputs()
+        self.inputs = jax.device_put(self.inputs)
+        self._state0 = self._init_state()
+        self._steps: dict[int, callable] = {}
+
+    # ---- host-side collection ---------------------------------------------
+
+    def _note_span(self, dev: DeviceIR) -> int:
+        notes = dev.notes
+        sr = self.c.sample_rate
+        gate = notes.off_frames - notes.on_frames
+        max_gate = int(gate.max()) if notes.count else 0
+        if dev.kind == "welsh" and dev.voice is not None:
+            tail = welsh_model.tail_seconds(dev.voice)
+        elif dev.kind == "fm-synthesizer":
+            tail = fm_model.tail_seconds(dev.voice)
+        elif dev.kind in ("drumkit", "calculator"):
+            tail = float(dev.sample_table.lengths.max()) / sr
+        elif dev.kind == "envelope":
+            tail = float(dev.params.get("release", 0.0))
+        else:
+            tail = 0.0
+        span = span_for(max_gate, tail, sr)
+        # same timeline crop as the whole-song Renderer: a window never
+        # usefully outlives the song (memory bound for streamed songs is
+        # max note span — a pathological hours-long drone is the one shape
+        # this path does not bound)
+        return min(span, -(-self.c.n_frames // 128) * 128)
+
+    def _collect_inputs(self) -> None:
+        from groove_tpu.engine.render import warn_static_only
+
+        c = self.c
+        nb_plan = self.plan_frames // BLOCK
+        for dev in c.devices.values():
+            u = dev.uvid
+            warn_static_only(dev)
+            for pname, curve in dev.automation.items():
+                cv = np.asarray(curve, np.float32)
+                if cv.shape[0] < nb_plan:  # hold the final value
+                    pad = np.full(nb_plan - cv.shape[0],
+                                  cv[-1] if cv.size else 0.0, np.float32)
+                    cv = np.concatenate([cv, pad])
+                self.inputs[f"{u}/auto/{pname}"] = cv
+            if dev.kind == "oscillator":
+                # closed-form/noise track precomputed over the whole plan:
+                # exact equality with the one-shot path, sliced per segment
+                wf = dev.params.get("waveform", "sine")
+                pw = 0.5
+                if isinstance(wf, dict):
+                    pw = float(wf.get("pulse-width", 0.5))
+                    wf = "pulse-width"
+                freq = float(dev.params.get("frequency", 440.0))
+                if wf == "pulse-width":
+                    from groove_tpu.ops import oscillator as osc_ops
+                    t = jnp.arange(self.plan_frames, dtype=jnp.float32)
+                    mono = osc_ops.pulse_width(freq * t / c.sample_rate, pw)
+                else:
+                    mono = simple_model.oscillator_instrument(
+                        str(wf), freq, self.plan_frames, float(c.sample_rate)
+                    )
+                self.inputs[f"{u}/osc"] = mono
+                continue
+            if (dev.role != "instrument" and dev.kind != "calculator") \
+                    or dev.notes is None or dev.notes.count == 0:
+                continue
+            if dev.kind == "toy-instrument":
+                continue
+            notes = dev.notes
+            span = self._note_span(dev)
+            self._spans[u] = span
+            gate = (notes.off_frames - notes.on_frames).astype(np.int32)
+            self.inputs[f"{u}/keys"] = notes.keys
+            self.inputs[f"{u}/vels"] = notes.vels
+            self.inputs[f"{u}/on"] = notes.on_frames
+            self.inputs[f"{u}/gate"] = gate
+            self._notes_np[u] = (np.asarray(notes.on_frames, np.int64), span)
+            if dev.sample_table is not None:
+                self.inputs[f"{u}/table"] = dev.sample_table.data
+                self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
+                self.inputs[f"{u}/rates"] = dev.sample_table.rates
+                self.inputs[f"{u}/slots"] = dev.slots
+            if dev.kind == "sampler":
+                self.inputs[f"{u}/ratios"] = np.asarray(
+                    sampler_model.sampler_ratios(
+                        notes.keys, float(dev.params.get("root", 440.0))
+                    ),
+                    np.float32,
+                )
+        # per-device capacity = max notes overlapping any linear segment
+        for u, (on, span) in self._notes_np.items():
+            cap = 1
+            for k in range(self.n_segs):
+                t0 = k * self.S
+                cap = max(cap, int(self._overlap(u, t0, self.S).size))
+            self._caps[u] = cap
+
+    def _overlap(self, u: str, t0: int, seg_len: int) -> np.ndarray:
+        on, span = self._notes_np[u]
+        return np.nonzero((on < t0 + seg_len) & (on + span > t0))[0]
+
+    def _seg_xs(self, t0: int, seg_len: int) -> dict:
+        """Per-segment traced inputs: playhead + padded note index lists."""
+        xs = {"t0": np.int32(t0)}
+        for u, cap in self._caps.items():
+            idx = self._overlap(u, t0, seg_len)
+            if idx.size > cap:
+                # loop windows can overlap more notes than any linear
+                # segment; widen the capacity (step re-jits once)
+                self._caps[u] = cap = int(idx.size)
+                self._steps.clear()
+            mask = np.zeros(cap, np.float32)
+            mask[: idx.size] = 1.0
+            full = np.zeros(cap, np.int32)
+            full[: idx.size] = idx
+            xs[f"{u}/idx"] = full
+            xs[f"{u}/m"] = mask
+        return xs
+
+    # ---- state -------------------------------------------------------------
+
+    def _smoothed_compressor(self, dev: DeviceIR) -> bool:
+        att = float(dev.params.get("attack", 0.0))
+        rel = float(dev.params.get("release", 0.0))
+        if att > 0.0 or rel > 0.0:
+            return True
+        if "attack" in dev.automation or "release" in dev.automation:
+            return True
+        return any(tgt == dev.uvid and p in ("attack", "release")
+                   for _, tgt, p in self.c.sidechain)
+
+    def _init_state(self) -> dict:
+        c = self.c
+        sr = float(c.sample_rate)
+        st: dict[str, jnp.ndarray] = {}
+
+        def z(*shape):
+            return jnp.zeros(shape, jnp.float32)
+
+        for dev in c.devices.values():
+            u, k = dev.uvid, dev.kind
+            if dev.role == "controller" and k != "signal-passthrough-controller":
+                continue
+            if k == "compressor" and self._smoothed_compressor(dev):
+                st[f"{u}/catt"] = z(2)
+                st[f"{u}/crel"] = z(2)
+            elif k == "delay":
+                d = int(round(float(dev.params.get("delay", 0.0)) * sr))
+                if d > 0:
+                    st[f"{u}/dl"] = z(2, d)
+            elif k == "chorus":
+                d = int(round(
+                    float(dev.params.get("delay-seconds", 0.0)) * sr))
+                if d > 0:
+                    st[f"{u}/ch"] = z(2, d)
+            elif k == "reverb":
+                for i, d_s in enumerate(delayfx.COMB_DELAYS_S):
+                    d = max(1, int(round(d_s * sr)))
+                    st[f"{u}/comb{i}/x"] = z(2, d)
+                    st[f"{u}/comb{i}/y"] = z(2, d)
+                for i, d_s in enumerate(delayfx.ALLPASS_DELAYS_S):
+                    st[f"{u}/ap{i}/w"] = z(2, max(1, int(round(d_s * sr))))
+            elif k == "filter-low-pass-24db":
+                for i in range(2):
+                    st[f"{u}/lp24/{i}/s1"] = z(2)
+                    st[f"{u}/lp24/{i}/s2"] = z(2)
+            elif k.startswith("filter-"):
+                st[f"{u}/bq/s1"] = z(2)
+                st[f"{u}/bq/s2"] = z(2)
+        for src, _, _ in c.sidechain:
+            st[f"{src}/sc"] = z()
+        return st
+
+    # ---- traced step -------------------------------------------------------
+
+    def _step_for(self, seg_len: int):
+        fn = self._steps.get(seg_len)
+        if fn is None:
+            fn = jax.jit(
+                lambda state, xs, inputs, n=seg_len:
+                self._step_impl(state, xs, inputs, n)
+            )
+            self._steps[seg_len] = fn
+        return fn
+
+    def _param_seg(self, inputs, dev, name, default, t0, n, override=None):
+        if override is not None:
+            return override
+        key = f"{dev.uvid}/auto/{name}"
+        if key in inputs:
+            nb = n // BLOCK
+            blk = jax.lax.dynamic_slice(inputs[key], (t0 // BLOCK,), (nb,))
+            return _upsample(blk, n)
+        return float(dev.params.get(name, default))
+
+    def _render_instrument_seg(self, inputs, dev: DeviceIR, xs, t0, n: int):
+        u = dev.uvid
+        sr = float(self.c.sample_rate)
+        if dev.kind == "oscillator":
+            mono = jax.lax.dynamic_slice(inputs[f"{u}/osc"], (t0,), (n,))
+            return jnp.stack([mono, mono])
+        if dev.kind == "toy-instrument":
+            mono = simple_model.toy_instrument(
+                float(dev.params.get("fake-value", 0.0)), n
+            )
+            return jnp.stack([mono, mono])
+        if u not in self._caps:
+            return jnp.zeros((2, n), jnp.float32)
+
+        span = self._spans[u]
+        idx = xs[f"{u}/idx"]
+        m = xs[f"{u}/m"]
+        keys = jnp.take(inputs[f"{u}/keys"], idx, axis=0)
+        vels = jnp.take(inputs[f"{u}/vels"], idx, axis=0) * m
+        on = jnp.take(inputs[f"{u}/on"], idx, axis=0)
+        gate = jnp.take(inputs[f"{u}/gate"], idx, axis=0)
+        on_rel = (on - t0 + span).astype(jnp.int32)
+
+        def place(note_audio):
+            # padding rows are zeroed via the mask so their scatter adds
+            # exact zeros (bit-exact segmentation invariance)
+            mshape = (m.shape[0],) + (1,) * (note_audio.ndim - 1)
+            note_audio = note_audio * m.reshape(mshape)
+            out = scatter_notes(note_audio, on_rel, n + span)
+            return out[..., span:span + n]
+
+        if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
+            render = (welsh_model.render_notes
+                      if dev.kind != "fm-synthesizer"
+                      else fm_model.render_notes)
+            mono = place(render(dev.voice, keys, vels, gate, span, sr))
+            P = lambda name, default: self._param_seg(  # noqa: E731
+                inputs, dev, name, default, t0, n)
+            if dev.kind == "fm-synthesizer":
+                left, right = pan_gains(P("pan", dev.voice.pan))
+                g = P("gain", dev.voice.gain)
+                return jnp.stack([mono * left * g, mono * right * g])
+            lv, rv = pan_gains(0.0)
+            ls, rs = pan_gains(P("pan", 0.0))
+            g = P("gain", 1.0)
+            return jnp.stack([mono * lv * ls * g, mono * rv * rs * g])
+        if dev.kind in ("drumkit", "sampler", "calculator"):
+            if dev.kind == "sampler":
+                gate_eff = gate
+                ratios = jnp.take(inputs[f"{u}/ratios"], idx, axis=0)
+            else:
+                gate_eff = jnp.full_like(gate, span)  # one-shots
+                ratios = jnp.ones((keys.shape[0],), jnp.float32)
+            slots = jnp.take(inputs[f"{u}/slots"], idx, axis=0)
+            stereo = sampler_model.render_notes(
+                inputs[f"{u}/table"], inputs[f"{u}/lengths"],
+                inputs[f"{u}/rates"], slots, ratios, gate_eff, vels,
+                span, sr,
+            )
+            return place(stereo)
+        if dev.kind == "envelope":
+            adsr = (
+                float(dev.params.get("attack", 0.0)),
+                float(dev.params.get("decay", 0.0)),
+                float(dev.params.get("sustain", 1.0)),
+                float(dev.params.get("release", 0.0)),
+            )
+            mono = place(simple_model.envelope_instrument(
+                adsr, keys, vels, gate, span, sr
+            ))
+            return jnp.stack([mono, mono])
+        warn(f"unknown instrument kind {dev.kind}; silent")
+        return jnp.zeros((2, n), jnp.float32)
+
+    def _apply_effect_seg(self, inputs, dev: DeviceIR, x, t0, n: int,
+                          overrides, state, new_state):
+        sr = float(self.c.sample_rate)
+        k = dev.kind
+        u = dev.uvid
+        P = lambda name, default, ov=None: self._param_seg(  # noqa: E731
+            inputs, dev, name, default, t0, n,
+            override=overrides.get((u, name)) if ov is None else ov,
+        )
+        if k == "mixer" or k == "signal-passthrough-controller":
+            return x
+        if k == "gain":
+            return effects.gain(x, P("ceiling", 1.0))
+        if k == "limiter":
+            return effects.limiter(x, P("minimum", 0.0), P("maximum", 1.0))
+        if k == "bitcrusher":
+            bits = overrides.get((u, "bits-to-crush"))
+            if bits is None:
+                key = f"{u}/auto/bits-to-crush"
+                if key in inputs:
+                    bits = P("bits-to-crush", 8.0)
+                else:
+                    bits = float(dev.params.get("bits", 8))
+            return effects.bitcrusher(x, bits)
+        if k == "compressor":
+            thr = P("threshold", 1.0)
+            ratio = P("ratio", 1.0)
+            if not self._smoothed_compressor(dev):
+                return dynamics.compressor(x, thr, ratio)
+            att = P("attack", 0.0)
+            rel = P("release", 0.0)
+            y, sa, sr_ = sops.compressor_smoothed_stream(
+                x, thr, ratio, att, rel, sr,
+                state[f"{u}/catt"], state[f"{u}/crel"],
+            )
+            new_state[f"{u}/catt"] = sa
+            new_state[f"{u}/crel"] = sr_
+            return y
+        if k == "delay":
+            if f"{u}/dl" not in state:
+                return x
+            y, h = sops.delay_stream(x, state[f"{u}/dl"])
+            new_state[f"{u}/dl"] = h
+            return y
+        if k == "chorus":
+            if f"{u}/ch" not in state:
+                return x
+            total_d = state[f"{u}/ch"].shape[-1]
+            y, h = sops.chorus_stream(
+                x, state[f"{u}/ch"], int(dev.params.get("voices", 1)),
+                total_d, P("wet-dry-mix", 1.0),
+            )
+            new_state[f"{u}/ch"] = h
+            return y
+        if k == "reverb":
+            y, new = sops.reverb_stream(
+                x, state, P("attenuation", 1.0),
+                float(dev.params.get("seconds", 0.0)), sr, u,
+            )
+            new_state.update(new)
+            return y
+        if k == "toy":
+            return simple_model.toy_effect(x)
+        if k.startswith("filter-"):
+            def PB(name, default):
+                ov = overrides.get((u, name))
+                if ov is not None:
+                    return ov[::BLOCK]
+                key = f"{u}/auto/{name}"
+                if key in inputs:
+                    return jax.lax.dynamic_slice(
+                        inputs[key], (t0 // BLOCK,), (n // BLOCK,))
+                return float(dev.params.get(name, default))
+
+            cutoff = PB("cutoff", 1000.0)
+            if k == "filter-low-pass-24db":
+                q = PB("passband-ripple", 0.707)
+                if jnp.ndim(cutoff) == 0 and jnp.ndim(q) == 0:
+                    gain_s, secs = iir.lp24_sections(
+                        cutoff, max(float(q), 1e-3), sr)
+                    y = x * gain_s
+                else:
+                    nb = n // BLOCK
+                    cutoff_b = jnp.broadcast_to(
+                        jnp.asarray(cutoff, jnp.float32), (nb,))
+                    q_b = jnp.maximum(jnp.asarray(q, jnp.float32), 1e-3)
+                    gain_b, secs_b = iir.lp24_sections(cutoff_b, q_b, sr)
+                    y = x * _upsample(jnp.broadcast_to(gain_b, (nb,)), n)
+                    secs = [
+                        tuple(_upsample(jnp.broadcast_to(
+                            jnp.asarray(c, jnp.float32), (nb,)), n)
+                            for c in sec)
+                        for sec in secs_b
+                    ]
+                for i, sec in enumerate(secs):
+                    y, (s1, s2) = sops.biquad_stream(
+                        y, sec,
+                        (state[f"{u}/lp24/{i}/s1"], state[f"{u}/lp24/{i}/s2"]),
+                    )
+                    new_state[f"{u}/lp24/{i}/s1"] = s1
+                    new_state[f"{u}/lp24/{i}/s2"] = s2
+                return y
+            # identical coefficient construction to render.py:377-398
+            if k == "filter-low-pass-12db":
+                coefs_b = iir.rbj_low_pass(
+                    cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
+            elif k == "filter-high-pass-12db":
+                coefs_b = iir.rbj_high_pass(
+                    cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
+            elif k == "filter-all-pass-12db":
+                coefs_b = iir.rbj_all_pass(
+                    cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
+            elif k == "filter-band-pass-12db":
+                coefs_b = iir.rbj_band_pass(
+                    cutoff, jnp.maximum(PB("bandwidth", 1.0), 1e-3), sr)
+            elif k == "filter-band-stop-12db":
+                coefs_b = iir.rbj_band_stop(
+                    cutoff, jnp.maximum(PB("bandwidth", 1.0), 1e-3), sr)
+            elif k == "filter-peaking-eq-12db":
+                coefs_b = iir.rbj_peaking_eq(
+                    cutoff, jnp.maximum(PB("q", 1.0), 1e-3),
+                    PB("db-gain", 0.0), sr)
+            elif k == "filter-low-shelf-12db":
+                coefs_b = iir.rbj_low_shelf(cutoff, PB("db-gain", 0.0), sr)
+            elif k == "filter-high-shelf-12db":
+                coefs_b = iir.rbj_high_shelf(cutoff, PB("db-gain", 0.0), sr)
+            else:
+                warn(f"unknown filter kind {k}; passthrough")
+                return x
+            # block-rate coefficient entries upsample to per-sample; static
+            # scalars stay scalar (so the serial near-critical path applies)
+            coefs = tuple(
+                c if jnp.ndim(c) == 0
+                else _upsample(jnp.broadcast_to(
+                    jnp.asarray(c, jnp.float32), (n // BLOCK,)), n)
+                for c in coefs_b
+            )
+            y, (s1, s2) = sops.biquad_stream(
+                x, coefs, (state[f"{u}/bq/s1"], state[f"{u}/bq/s2"]))
+            new_state[f"{u}/bq/s1"] = s1
+            new_state[f"{u}/bq/s2"] = s2
+            return y
+        warn(f"unknown effect kind {k}; passthrough")
+        return x
+
+    def _step_impl(self, state, xs, inputs, n: int):
+        c = self.c
+        t0 = xs["t0"]
+        new_state = dict(state)
+        outputs: dict[str, jnp.ndarray] = {}
+        overrides: dict[tuple, jnp.ndarray] = {}
+        sidechain_by_src = {}
+        for src, tgt, pname in c.sidechain:
+            sidechain_by_src.setdefault(src, []).append((tgt, pname))
+        sends_by_aux = {}
+        for src, aux, amount in c.sends:
+            sends_by_aux.setdefault(aux, []).append((src, amount))
+
+        for uvid in c.order:
+            dev = c.devices[uvid]
+            if dev.role == "instrument" or dev.kind == "calculator":
+                outputs[uvid] = self._render_instrument_seg(
+                    inputs, dev, xs, t0, n)
+                continue
+            sources = c.sinks.get(uvid, [])
+            acc = jnp.zeros((2, n), jnp.float32)
+            for s in sources:
+                if s in outputs:
+                    acc = acc + outputs[s]
+            for s, amount in sends_by_aux.get(uvid, []):
+                if s in outputs:
+                    acc = acc + amount * outputs[s]
+            if dev.role == "controller" \
+                    and dev.kind != "signal-passthrough-controller":
+                continue
+            outputs[uvid] = self._apply_effect_seg(
+                inputs, dev, acc, t0, n, overrides, state, new_state)
+            if uvid in sidechain_by_src:
+                # one-block-delayed |mean| (render.py:437-444), the carried
+                # scalar is the value exiting the previous segment
+                last = acc[:, BLOCK - 1::BLOCK]
+                val = jnp.abs(jnp.mean(last, axis=0))
+                shifted = jnp.concatenate(
+                    [state[f"{uvid}/sc"][None], val[:-1]])
+                new_state[f"{uvid}/sc"] = val[-1]
+                per_sample = _upsample(shifted, n)
+                for tgt, pname in sidechain_by_src[uvid]:
+                    overrides[(tgt, pname)] = per_sample
+
+        out = outputs.get(MAIN_MIXER_UVID, jnp.zeros((2, n), jnp.float32))
+        return new_state, out.T  # [n, 2]
+
+    # ---- drivers -----------------------------------------------------------
+
+    def stream(self):
+        """Python-loop driver: yields host [seg, 2] arrays covering exactly
+        n_frames. Device memory is bounded by one segment + carried state
+        regardless of song length."""
+        state = self._state0
+        emitted = 0
+        for k in range(self.n_segs):
+            t0 = k * self.S
+            xs = jax.device_put(self._seg_xs(t0, self.S))
+            state, audio = self._step_for(self.S)(state, xs, self.inputs)
+            take = min(self.S, self.c.n_frames - emitted)
+            emitted += take
+            yield np.asarray(audio)[:take]
+
+    def render(self) -> np.ndarray:
+        """Streamed render concatenated on the host."""
+        if self.c.n_frames == 0:
+            return np.zeros((0, 2), np.float32)
+        return np.concatenate(list(self.stream()), axis=0)
+
+    def render_scan(self) -> np.ndarray:
+        """One-shot driver: the SAME step function under lax.scan, entire
+        song in one device program (for the bitwise segmentation tests)."""
+        rows = [self._seg_xs(k * self.S, self.S) for k in range(self.n_segs)]
+        xs = {key: np.stack([r[key] for r in rows]) for key in rows[0]}
+
+        def run(st, xs_, inputs):
+            def body(state, xrow):
+                return self._step_impl(state, xrow, inputs, self.S)
+            return jax.lax.scan(body, st, xs_)
+
+        _, segs = jax.jit(run)(
+            self._state0, jax.device_put(xs), self.inputs)
+        out = np.asarray(segs).reshape(self.n_segs * self.S, 2)
+        return out[: self.c.n_frames]
+
+    # ---- loop-range playback ------------------------------------------------
+
+    def loop_frames(self, start_beats: float, end_beats: float):
+        """Loop range beats -> 64-frame-quantized frame window (the
+        reference seeks at tick-batch granularity, orchestrator.rs:868-874)."""
+        tempo = Tempo(self.c.bpm)
+        sr = SampleRate(self.c.sample_rate)
+        ls = _round_block(beats_to_frames(tempo, sr, Fraction(start_beats)))
+        le = _round_block(beats_to_frames(tempo, sr, Fraction(end_beats)))
+        le = min(le, self.plan_frames)
+        ls = max(0, min(ls, le - BLOCK))
+        return ls, le
+
+    def stream_loop(self, start_beats: float, end_beats: float,
+                    iterations: int | None = None):
+        """Loop-range playback: [0, end), then [start, end) repeatedly,
+        carried state crossing every seam (the reference's clock seek,
+        orchestrator.rs:868-874). iterations=None loops forever; the
+        generator yields host [seg, 2] arrays."""
+        ls, le = self.loop_frames(start_beats, end_beats)
+        state = self._state0
+
+        def play_window(state, lo, hi):
+            t0 = lo
+            while t0 < hi:
+                n = min(self.S, hi - t0)  # multiple of 64 by construction
+                xs = jax.device_put(self._seg_xs(t0, n))
+                state, audio = self._step_for(n)(state, xs, self.inputs)
+                yield_chunk = np.asarray(audio)
+                t0 += n
+                yield state, yield_chunk
+
+        for state, chunk in play_window(state, 0, le):
+            yield chunk
+        it = 0
+        while iterations is None or it < iterations:
+            for state, chunk in play_window(state, ls, le):
+                yield chunk
+            it += 1

@@ -1,0 +1,269 @@
+"""Stateful (segment-streaming) variants of the stateful DSP ops.
+
+The engine's streaming renderer (engine/stream.py) renders a song in
+fixed-size segments with an explicit carried-state pytree — the TPU-native
+equivalent of the reference's incremental tick loop
+(orchestration/src/orchestrator.rs:855-877, `tick` over sample slices),
+which carries entity state implicitly in the object graph.
+
+Every op here is **segmentation-invariant bit-exactly**: for segment
+lengths that are multiples of 64 frames, the float operations applied to
+each sample are identical regardless of where segment boundaries fall,
+because every recurrence is evaluated on a fixed 64-sample (or
+delay-length) grid with strictly serial cross-grid state propagation:
+
+  - biquads run the blocked two-level scheme with block=64 (the
+    reference's control cadence), entry/exit state via ops.iir.biquad;
+  - feedback combs / all-passes are first-order recurrences in
+    delay-length block space, evaluated as a serial lax.scan over blocks
+    whose body is elementwise per lane — each output sample is literally
+    `x[t-D] + g*y[t-D]` (one multiply-add), so ANY segmentation that
+    hands over the last D samples reproduces the same floats;
+  - the envelope follower's one-pole runs associative *within* fixed
+    64-sample blocks and serial across blocks.
+
+This is what makes "one segment covering the whole song" vs "many small
+segments" produce bit-identical audio (tests/test_stream.py), the honest
+version of "streamed output must equal the one-shot render".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from groove_tpu.ops import iir
+
+STREAM_BLOCK = 64  # the reference's SAMPLE_BUFFER_SIZE / control cadence
+
+
+# --------------------------------------------------------------------------
+# biquad with state handoff (block = 64, segmentation-invariant)
+
+
+def biquad_stream(x, coefs, state):
+    """One biquad section over a segment; x: [..., S] with S % 64 == 0.
+
+    state: (s1, s2) TDF2 state entering the segment (each [...batch]).
+    Returns (y, (s1', s2')). Static near-critical poles take the strictly
+    serial per-sample scan (the −80 dBFS fidelity bar, ops/iir.py) — also
+    segmentation-invariant since it is fully serial.
+    """
+    if iir._near_critical_static(coefs):
+        return biquad_serial_stream(x, coefs, state)
+    y, exit_state, _ = iir.biquad(
+        x, coefs, block=STREAM_BLOCK,
+        initial_state=state, return_state=True,
+    )
+    return y, (exit_state[0], exit_state[1])
+
+
+def biquad_serial_stream(x, coefs, state):
+    """Per-sample TDF2 serial scan with entry/exit state (cf.
+    iir.biquad_serial, which is the zero-state version)."""
+    b0, b1, b2, a1, a2 = [jnp.asarray(c, x.dtype) for c in coefs]
+    xt = jnp.moveaxis(x, -1, 0)  # [S, ...]
+    s1 = jnp.broadcast_to(jnp.asarray(state[0], x.dtype), xt[0].shape)
+    s2 = jnp.broadcast_to(jnp.asarray(state[1], x.dtype), xt[0].shape)
+
+    def step(carry, xn):
+        c1, c2 = carry
+        yn = b0 * xn + c1
+        n1 = b1 * xn - a1 * yn + c2
+        n2 = b2 * xn - a2 * yn
+        return (n1, n2), yn
+
+    (s1, s2), yt = jax.lax.scan(step, (s1, s2), xt, unroll=8)
+    return jnp.moveaxis(yt, 0, -1), (s1, s2)
+
+
+# --------------------------------------------------------------------------
+# one-pole with state: associative within fixed 64-blocks, serial across
+
+
+def one_pole_stream(x, a, b, y0):
+    """y[n] = a[n]*y[n-1] + b[n]*x[n] with y[-1] = y0; x: [..., S],
+    S % 64 == 0. Returns (y, y_last). Op order is fixed per 64-block, so
+    results are segmentation-invariant for 64-multiple segments."""
+    B = STREAM_BLOCK
+    n = x.shape[-1]
+    assert n % B == 0
+    nb = n // B
+    shape = x.shape[:-1] + (nb, B)
+    a = jnp.broadcast_to(jnp.asarray(a, x.dtype), x.shape).reshape(shape)
+    bx = (jnp.asarray(b, x.dtype) * x).reshape(shape)
+
+    def combine(e1, e2):
+        a1_, c1 = e1
+        a2_, c2 = e2
+        return (a2_ * a1_, a2_ * c1 + c2)
+
+    # in-block: prefix (A, C) pairs over the 64 samples of every block
+    A, C = jax.lax.associative_scan(combine, (a, bx), axis=-1)
+    # cross-block: serial state propagation y_exit[b] = A[b,-1]*y_in + C[b,-1]
+    A_blk = jnp.moveaxis(A[..., -1], -1, 0)   # [nb, ...]
+    C_blk = jnp.moveaxis(C[..., -1], -1, 0)
+
+    def cross(yc, ac):
+        ab, cb = ac
+        return ab * yc + cb, yc  # emit the state ENTERING block b
+
+    y0b = jnp.broadcast_to(jnp.asarray(y0, x.dtype), A_blk[0].shape)
+    y_last, y_entry = jax.lax.scan(cross, y0b, (A_blk, C_blk))
+    y_entry = jnp.moveaxis(y_entry, 0, -1)    # [..., nb]
+    y = C + A * y_entry[..., None]
+    return y.reshape(x.shape), y_last
+
+
+# --------------------------------------------------------------------------
+# pure delay lines (exact: y[n] = x[n-D])
+
+
+def delay_stream(x, hist):
+    """y[n] = x[n-D] with D = hist.shape[-1] (the carried input tail).
+    Returns (y, hist'). Exact at any segmentation."""
+    d = hist.shape[-1]
+    if d == 0:
+        return x, hist
+    z = jnp.concatenate([hist, x], axis=-1)
+    n = x.shape[-1]
+    return z[..., :n], z[..., -d:]
+
+
+def chorus_stream(x, hist, voices: int, total_delay: int, wet_dry_mix):
+    """Multi-tap chorus over a segment (cf. delayfx.chorus): taps at
+    v*total_delay//voices, tap 0 dry. hist: [..., total_delay] input tail."""
+    voices = max(1, int(voices))
+    d = hist.shape[-1]
+    z = jnp.concatenate([hist, x], axis=-1)
+    n = x.shape[-1]
+    wet = jnp.zeros_like(x)
+    for v in range(voices):
+        dv = v * total_delay // voices
+        wet = wet + jax.lax.dynamic_slice_in_dim(z, d - dv, n, axis=-1)
+    wet = wet / voices
+    y = x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
+    return y, (z[..., -d:] if d else hist)
+
+
+# --------------------------------------------------------------------------
+# feedback comb / all-pass with carried delay-line tails
+#
+# Chunked evaluation: the segment is processed in chunks of exactly D
+# samples (the comb delay). Chunk c's output is elementwise in the lane
+# dimension: y[t] = x[t-D] + g*y[t-D], where both operands live in chunk
+# c-1 (chunk -1 = the carried history). One multiply-add per sample, in a
+# serial lax.scan over ceil(S/D) chunks — identical floats per sample for
+# any segmentation.
+
+
+def _chunked(x, d: int):
+    n = x.shape[-1]
+    nc = -(-n // d)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, nc * d - n)]
+    xp = jnp.pad(x, pad)
+    return xp.reshape(x.shape[:-1] + (nc, d)), n
+
+
+def _tail(hist, y_valid):
+    """Last D valid samples: concat(history, segment)[-D:]."""
+    d = hist.shape[-1]
+    return jnp.concatenate([hist, y_valid], axis=-1)[..., -d:]
+
+
+def comb_feedback_stream(x, hist_x, hist_y, g):
+    """y[n] = x[n-D] + g*y[n-D]; hist_x/hist_y: [..., D] carried tails of
+    the input/output. Returns (y, hist_x', hist_y')."""
+    d = hist_x.shape[-1]
+    xc, n = _chunked(x, d)
+    nc = xc.shape[-2]
+    # inputs to chunk c are x chunk c-1; chunk 0 uses the carried hist_x
+    x_prev = jnp.concatenate(
+        [hist_x[..., None, :], xc[..., :-1, :]], axis=-2
+    )
+    x_prev = jnp.moveaxis(x_prev, -2, 0)  # [nc, ..., d]
+
+    def step(y_prev, xp):
+        y = xp + g * y_prev
+        return y, y
+
+    _, yc = jax.lax.scan(step, hist_y, x_prev)
+    y = jnp.moveaxis(yc, 0, -2).reshape(
+        x.shape[:-1] + (nc * d,))[..., :n]
+    return y, _tail(hist_x, x), _tail(hist_y, y)
+
+
+def allpass_stream(x, hist_w, g: float):
+    """Schroeder all-pass, one-multiply form (cf. delayfx.allpass):
+    w[n] = x[n] + g*w[n-D]; y[n] = -g*x[n] + (1-g^2)*w[n-D].
+    hist_w: [..., D] carried tail of w. Returns (y, hist_w')."""
+    d = hist_w.shape[-1]
+    xc, n = _chunked(x, d)
+    nc = xc.shape[-2]
+    xcs = jnp.moveaxis(xc, -2, 0)  # [nc, ..., d]
+
+    def step(w_prev, xch):
+        w = xch + g * w_prev
+        y = -g * xch + (1.0 - g * g) * w_prev
+        return w, (y, w)
+
+    _, (yc, wc) = jax.lax.scan(step, hist_w, xcs)
+    y = jnp.moveaxis(yc, 0, -2).reshape(x.shape[:-1] + (nc * d,))[..., :n]
+    w = jnp.moveaxis(wc, 0, -2).reshape(x.shape[:-1] + (nc * d,))[..., :n]
+    return y, _tail(hist_w, w)
+
+
+def reverb_stream(x, state: dict, attenuation, seconds: float,
+                  sample_rate: float, prefix: str):
+    """Schroeder reverb (delayfx.reverb topology) with carried delay-line
+    tails. `state` holds f"{prefix}/comb{i}/x|y" and f"{prefix}/ap{i}/w"
+    entries (see stream_state.reverb_state). Returns (y, new_entries)."""
+    from groove_tpu.ops.delayfx import ALLPASS_DELAYS_S, ALLPASS_G, COMB_DELAYS_S
+
+    new = {}
+    combs = jnp.zeros_like(x)
+    for i, d_s in enumerate(COMB_DELAYS_S):
+        d = max(1, int(round(d_s * sample_rate)))
+        g = 0.001 ** (d / (seconds * sample_rate)) if seconds > 0 else 0.0
+        hx = state[f"{prefix}/comb{i}/x"]
+        hy = state[f"{prefix}/comb{i}/y"]
+        y, hx2, hy2 = comb_feedback_stream(x, hx, hy, g)
+        new[f"{prefix}/comb{i}/x"] = hx2
+        new[f"{prefix}/comb{i}/y"] = hy2
+        combs = combs + y
+    y = combs
+    for i, d_s in enumerate(ALLPASS_DELAYS_S):
+        hw = state[f"{prefix}/ap{i}/w"]
+        y, hw2 = allpass_stream(y, hw, ALLPASS_G)
+        new[f"{prefix}/ap{i}/w"] = hw2
+    return attenuation * y, new
+
+
+# --------------------------------------------------------------------------
+# envelope follower / smoothed compressor with state
+
+
+def follower_stream(x, attack_s, release_s, sample_rate, st_att, st_rel):
+    """Peak follower (ops/dynamics.envelope_follower semantics) with
+    carried one-pole states. attack_s/release_s: scalars or [S] arrays.
+    Returns (env, st_att', st_rel')."""
+    from groove_tpu.ops.dynamics import _follower_coef
+
+    mag = jnp.abs(x)
+    a_att = _follower_coef(attack_s, sample_rate)
+    a_rel = _follower_coef(release_s, sample_rate)
+    env_att, st_att2 = one_pole_stream(mag, a_att, 1.0 - a_att, st_att)
+    env_rel, st_rel2 = one_pole_stream(mag, a_rel, 1.0 - a_rel, st_rel)
+    rising = mag >= jnp.maximum(env_att, env_rel)
+    return jnp.where(rising, env_att, env_rel), st_att2, st_rel2
+
+
+def compressor_smoothed_stream(x, threshold, ratio, attack_s, release_s,
+                               sample_rate, st_att, st_rel):
+    env, st_att2, st_rel2 = follower_stream(
+        x, attack_s, release_s, sample_rate, st_att, st_rel
+    )
+    over = env > threshold
+    target = threshold + (env - threshold) * ratio
+    g = jnp.where(over, target / jnp.maximum(env, 1e-9), 1.0)
+    return x * g, st_att2, st_rel2

@@ -38,7 +38,9 @@ HELP = """commands:
   remove <uvid>                remove an entity
   palette                      list addable entity kinds
   live <patch> [midi-port]     live MIDI synth (FIFO/file byte port)
-  status                       show title/tempo/playing
+  loop <start> <end> | loop off  set/clear the loop range (beats)
+  bounce-loop <out.wav> [n]    render n looped passes to WAV
+  status                       show title/tempo/playing/loop
   help                         this text
   quit                         exit
 """
@@ -117,11 +119,25 @@ def main(argv=None) -> int:
                       f"port={args[1] if len(args) > 1 else '(none)'} — "
                       f"'stop' to end")
                 live_services.append(live)
+            elif cmd == "loop":
+                # loop <start-beats> <end-beats> | loop off
+                # (the control bar's Loop checkbox + range fields,
+                # src/panels/control_panel.rs:143-170)
+                if args and args[0] == "off":
+                    svc.clear_loop()
+                elif len(args) >= 2:
+                    svc.set_loop(float(args[0]), float(args[1]))
+                else:
+                    print("usage: loop <start-beats> <end-beats> | loop off")
+            elif cmd == "bounce-loop" and args:
+                svc.render_loop_wav(
+                    args[0], iterations=int(args[1]) if len(args) > 1 else 4)
             elif cmd == "status":
                 title = svc.song.title if svc.song else None
                 bpm = svc.song.clock.bpm if svc.song else None
                 print(f"title={title!r} bpm={bpm} "
-                      f"playing={svc.is_playing()}")
+                      f"playing={svc.is_playing()} "
+                      f"loop={svc.loop_range if svc.is_loop_enabled else None}")
             elif cmd == "help":
                 print(HELP)
             else:

@@ -74,3 +74,36 @@ def test_service_tempo_change_recompiles():
         assert svc.compiled.n_frames == pytest.approx(2 * 44100, abs=64)
     finally:
         svc.shutdown()
+
+
+def test_service_loop_bounce(tmp_path):
+    """set_loop + render_loop_wav: bounce [0, end) plus N looped passes of
+    [start, end) with carried effect state (orchestrator.rs:868-874,
+    set_loop at :983)."""
+    from groove_tpu.engine.stream import StreamingRenderer
+    from groove_tpu.io.wav import read_wav
+
+    src = Path("/root/reference/projects/demos/effects/drums-reverb.json")
+    events = []
+    svc = EngineService(on_event=lambda k, d: events.append((k, d)),
+                        use_audio=False)
+    try:
+        svc.open_project(src)
+        svc.set_loop(4.0, 8.0)
+        out = tmp_path / "loop.wav"
+        svc.render_loop_wav(out, iterations=2)
+        assert svc.sync()
+        assert ("loop-set", (4.0, 8.0)) in events
+        assert any(k == "rendered" for k, _ in events)
+        assert svc.is_loop_enabled and svc.loop_range == (4.0, 8.0)
+        # length = le + 2 * (le - ls), on the 64-frame loop grid
+        sr_ = StreamingRenderer(svc.compiled)
+        ls, le = sr_.loop_frames(4.0, 8.0)
+        audio, rate = read_wav(out)
+        assert rate == 44100
+        assert audio.shape[0] == le + 2 * (le - ls)
+        svc.clear_loop()
+        assert svc.sync()
+        assert not svc.is_loop_enabled and svc.loop_range is None
+    finally:
+        svc.shutdown()

@@ -1,0 +1,159 @@
+"""Streaming segmented render (VERDICT r1 #10): segment boundaries must be
+invisible — rendering a song as ONE segment and as MANY small segments is
+bit-identical, because every stateful op in ops/stream.py has a
+segmentation-invariant float schedule (see its module docstring). Also:
+the lax.scan one-shot driver equals the Python-loop streamed driver
+bitwise, the streamed result matches the whole-timeline Renderer to float
+tolerance, and loop-range playback carries effect state across the seek
+seam like the reference (orchestrator.rs:868-874)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from groove_tpu.compiler.song import compile_song
+from groove_tpu.engine.render import Renderer
+from groove_tpu.engine.stream import StreamingRenderer
+from groove_tpu.project.schema import SongSettings
+
+REF = Path("/root/reference")
+
+# fixtures chosen to exercise every carried state: reverb delay-line
+# tails, the 24 dB cascade + drum one-shots, automated-threshold
+# compressor, sidechain one-block value, pure delay, chorus taps with an
+# automated wet-dry-mix, and welsh notes spanning segment boundaries
+FIXTURES = [
+    "projects/demos/effects/drums-reverb.json",
+    "projects/demos/effects/drums-filtered-24db.json",
+    "projects/demos/effects/compressor.json",
+    "projects/demos/controllers/sidechain.json",
+    "projects/demos/effects/delay.json",
+    "projects/demos/effects/chorus.json",
+    "projects/scale-c4-major.json",
+]
+
+
+def _compiled(rel):
+    return compile_song(SongSettings.from_project_file(REF / rel))
+
+
+@pytest.mark.parametrize("rel", FIXTURES,
+                         ids=[f.split("/")[-1] for f in FIXTURES])
+def test_segmentation_is_invisible_bitwise(rel):
+    c = _compiled(rel)
+    one_seg = -(-c.n_frames // 64) * 64
+    one = StreamingRenderer(c, segment_frames=one_seg).render()
+    many = StreamingRenderer(c, segment_frames=8192).render()
+    assert one.shape == many.shape == (c.n_frames, 2)
+    assert np.array_equal(one, many), (
+        f"segment seams visible: max diff {np.abs(one - many).max()}"
+    )
+
+
+@pytest.mark.parametrize("rel", FIXTURES[:3],
+                         ids=[f.split("/")[-1] for f in FIXTURES[:3]])
+def test_scan_driver_equals_stream_driver(rel):
+    """The lax.scan driver runs the same step function, but XLA may fuse a
+    scan body differently from a standalone program (measured ~3e-5 on the
+    welsh voice's transcendentals), so this one is tolerance, not bitwise;
+    the bitwise segmentation claim is the test above."""
+    c = _compiled(rel)
+    r = StreamingRenderer(c, segment_frames=8192)
+    a = r.render_scan()
+    b = r.render()
+    peak = max(1.0, float(np.abs(b).max()))
+    assert float(np.abs(a - b).max()) < 1e-4 * peak
+
+
+@pytest.mark.parametrize("rel", FIXTURES,
+                         ids=[f.split("/")[-1] for f in FIXTURES])
+def test_streamed_matches_whole_timeline(rel):
+    """The streamed path reproduces the one-program Renderer. Not bitwise
+    (the whole-timeline path groups its scans by total length, block_for);
+    tolerance covers float-reassociation only."""
+    c = _compiled(rel)
+    whole = np.asarray(Renderer(c).render())
+    streamed = StreamingRenderer(c, segment_frames=8192).render()
+    peak = max(1.0, float(np.abs(whole).max()))
+    # drums-filtered-24db sweeps the cascade through near-critical cutoffs
+    # with TRACED coefficients, where the two blocked f32 schemes (whole
+    # path block=128, stream block=64) legitimately differ at the ~-43 dB
+    # level (the f64-accuracy story for that corner lives in test_iir);
+    # everything else agrees to ~1e-4.
+    tol = 1e-2 if "24db" in rel else 1e-4
+    assert float(np.abs(whole - streamed).max()) < tol * peak
+
+
+def test_stream_bounded_memory_path_yields_segments():
+    c = _compiled("projects/demos/effects/drums-reverb.json")
+    r = StreamingRenderer(c, segment_frames=16384)
+    segs = list(r.stream())
+    assert sum(s.shape[0] for s in segs) == c.n_frames
+    assert all(s.shape[1] == 2 for s in segs)
+    assert segs[0].shape[0] == 16384  # full segments until the trim
+
+
+def test_loop_range_carries_state_across_the_seam():
+    """Reverb tails must ring across the loop seek (the reference seeks
+    only the clock; delay lines keep their content). With an RT60 longer
+    than the loop window, every iteration accumulates tail energy, so
+    consecutive iterations audibly differ at the seam."""
+    import json
+
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["i1", {"welsh": [{"midi-in": 0},
+                                             {"name": "piano"}]}]},
+            {"effect": ["rv", {"reverb": {"attenuation": 1.0,
+                                          "seconds": 3.0}}]},
+        ],
+        "patch-cables": [["i1", "rv", "main-mixer"]],
+        "patterns": [{"id": "p", "note-value": "quarter",
+                      "notes": [[60, 0, 0, 0]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    r = StreamingRenderer(c, segment_frames=16384)
+    ls, le = r.loop_frames(0.0, 2.0)
+    assert ls % 64 == 0 and le % 64 == 0 and ls < le
+    audio = np.concatenate(list(r.stream_loop(0.0, 2.0, iterations=2)),
+                           axis=0)
+    L = le - ls
+    assert audio.shape[0] == le + 2 * L
+    it1 = audio[le:le + L]
+    it2 = audio[le + L:le + 2 * L]
+    # the seam carries audible state: the second pass rides the first
+    # pass's accumulated tail (RT60 3 s vs a 0.5 s window)
+    head = slice(0, 4096)
+    assert float(np.abs(it1[head] - it2[head]).max()) > 1e-3
+    # and the linear prefix [0, le) matches a plain stream exactly
+    linear = StreamingRenderer(c, segment_frames=16384).render()
+    assert np.array_equal(audio[:le], linear[:le])
+
+
+def test_loop_range_stateless_song_repeats_exactly():
+    """With no stateful effects in the chain, every loop iteration is the
+    same audio — the seek itself must not disturb anything."""
+    import json
+
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["i1", {"toy-instrument": [{"midi-in": 0},
+                                                      {"fake-value": 0.25}]}]},
+            {"effect": ["g1", {"gain": {"ceiling": 0.5}}]},
+        ],
+        "patch-cables": [["i1", "g1", "main-mixer"]],
+        "patterns": [{"id": "p", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    r = StreamingRenderer(c, segment_frames=4096)
+    ls, le = r.loop_frames(1.0, 3.0)
+    L = le - ls
+    audio = np.concatenate(list(r.stream_loop(1.0, 3.0, iterations=3)),
+                           axis=0)
+    it = [audio[le + k * L: le + (k + 1) * L] for k in range(3)]
+    assert np.array_equal(it[0], it[1]) and np.array_equal(it[1], it[2])
