@@ -58,32 +58,47 @@ def _pick_l(n: int) -> int:
     return block_for(n, max_block=L)
 
 
-def _geom(B: int, n: int):
+def _pick_r(B: int, max_r: int) -> int:
+    """Sublane-axis batch rows per grid step. The serial phases are
+    latency-bound dependency chains; issuing R/8 VREG ops per dependent
+    step (R=16/24 for big note batches) fills the pipeline bubbles with
+    independent rows — numerics per row are unchanged. max_r is the
+    VMEM-budget cap per kernel family (the 16 MB scoped-vmem limit bounds
+    full-tile scratch+IO count x ln x R x cb x 4 B; per-sample-coefficient
+    kernels carry 6 full IO tiles and stay at 8)."""
+    for r in (max_r, 24, 16, 8):
+        if r <= max_r and B > r // 2:
+            return r
+    return 8
+
+
+def _geom(B: int, n: int, max_r: int = 8):
     ln = _pick_l(n)
     nb = -(-n // ln)
     cb = CB
     nchunks = -(-nb // cb)
     nbp = nchunks * cb
-    G = -(-B // 8)
+    R = _pick_r(B, max_r)
+    G = -(-B // R)
     # phase-2 sweep count: the longest real chain inside one chunk
     T = nb if nchunks == 1 else cb
-    return ln, nb, cb, nchunks, nbp, G, T
+    return ln, nb, cb, nchunks, nbp, G, T, R
 
 
-def _fold(v, G, ln, nbp):
-    """[G*8, nbp*ln] -> [G, ln, 8, nbp]: (g, j, s, k) = v[8g+s, k*ln+j]."""
-    return v.reshape(G, 8, nbp, ln).transpose(0, 3, 1, 2)
+def _fold(v, G, ln, nbp, R):
+    """[G*R, nbp*ln] -> [G, ln, R, nbp]: (g, j, s, k) = v[Rg+s, k*ln+j]."""
+    return v.reshape(G, R, nbp, ln).transpose(0, 3, 1, 2)
 
 
 def _unfold(y, B, n):
-    """[G, ln, 8, nbp] -> [B, n]."""
-    G, ln, _, nbp = y.shape
-    return y.transpose(0, 2, 3, 1).reshape(G * 8, nbp * ln)[:B, :n]
+    """[G, ln, R, nbp] -> [B, n]."""
+    G, ln, R, nbp = y.shape
+    return y.transpose(0, 2, 3, 1).reshape(G * R, nbp * ln)[:B, :n]
 
 
-def _pad_fold(v, B, n, G, ln, nbp):
-    vp = jnp.pad(v, [(0, G * 8 - B), (0, nbp * ln - n)])
-    return _fold(vp, G, ln, nbp)
+def _pad_fold(v, B, n, G, ln, nbp, R):
+    vp = jnp.pad(v, [(0, G * R - B), (0, nbp * ln - n)])
+    return _fold(vp, G, ln, nbp, R)
 
 
 def _phase1(read_c1c2, ln, w8, p11_s, p12_s, q1_s):
@@ -317,8 +332,8 @@ def _make_kernel_lp24_blk(ln, T, cblock):
     return kernel, lb
 
 
-def _spec(ln, cb):
-    return pl.BlockSpec((1, ln, 8, cb), lambda g, i: (g, 0, 0, i),
+def _spec(ln, R, cb):
+    return pl.BlockSpec((1, ln, R, cb), lambda g, i: (g, 0, 0, i),
                         memory_space=pltpu.VMEM)
 
 
@@ -326,25 +341,25 @@ def _spec(ln, cb):
 def _biquad_ps_2d(x, coefs, interpret: bool = False):
     """Per-sample coefficients over [B, n]."""
     B, n = x.shape
-    ln, nb, cb, nchunks, nbp, G, T = _geom(B, n)
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom(B, n)  # 6 full IO tiles: R=8
     b0, b1, b2, a1, a2 = [
         jnp.broadcast_to(jnp.asarray(c, jnp.float32), x.shape) for c in coefs
     ]
-    fold = lambda v: _pad_fold(v, B, n, G, ln, nbp)  # noqa: E731
+    fold = lambda v: _pad_fold(v, B, n, G, ln, nbp, R)  # noqa: E731
     tiles = (fold(-a1), fold(-a2), fold((b1 - a1 * b0) * x),
              fold((b2 - a2 * b0) * x), fold(b0 * x))
-    spec = _spec(ln, cb)
+    spec = _spec(ln, R, cb)
     y = pl.pallas_call(
         _make_kernel_ps(ln, T),
         grid=(G, nchunks),
         in_specs=[spec] * 5,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, cb), jnp.float32),    # carried state
-            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p11 rows
-            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p12 rows
-            pltpu.VMEM((ln, 8, cb), jnp.float32),   # q1 rows
+            pltpu.VMEM((2, R, cb), jnp.float32),    # carried state
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # p11 rows
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # p12 rows
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # q1 rows
         ],
         interpret=interpret,
     )(*tiles)
@@ -355,52 +370,52 @@ def _biquad_ps_2d(x, coefs, interpret: bool = False):
 def _biquad_scalar_2d(x, coefs, interpret: bool = False):
     """Scalar coefficients over [B, n]; coefs ride in SMEM."""
     B, n = x.shape
-    ln, nb, cb, nchunks, nbp, G, T = _geom(B, n)
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom(B, n, max_r=24)
     b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs]
     smem = jnp.stack([-a1, -a2, b1 - a1 * b0, b2 - a2 * b0, b0])
-    spec = _spec(ln, cb)
+    spec = _spec(ln, R, cb)
     y = pl.pallas_call(
         _make_kernel_scalar(ln, T),
         grid=(G, nchunks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((2, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(smem, _pad_fold(x, B, n, G, ln, nbp))
+    )(smem, _pad_fold(x, B, n, G, ln, nbp, R))
     return _unfold(y, B, n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _lp24_2d(x, na1a, na2a, na1b, na2b, interpret: bool = False):
     B, n = x.shape
-    ln, nb, cb, nchunks, nbp, G, T = _geom(B, n)
-    fold = lambda v: _pad_fold(v, B, n, G, ln, nbp)  # noqa: E731
-    spec = _spec(ln, cb)
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom(B, n)
+    fold = lambda v: _pad_fold(v, B, n, G, ln, nbp, R)  # noqa: E731
+    spec = _spec(ln, R, cb)
     y = pl.pallas_call(
         _make_kernel_lp24(ln, T),
         grid=(G, nchunks),
         in_specs=[spec] * 5,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, 8, cb), jnp.float32),    # state x2 sections
-            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p11 rows
-            pltpu.VMEM((ln, 8, cb), jnp.float32),   # p12 rows
-            pltpu.VMEM((ln, 8, cb), jnp.float32),   # q1 rows
-            pltpu.VMEM((ln, 8, cb), jnp.float32),   # section-1 staging
+            pltpu.VMEM((4, R, cb), jnp.float32),    # state x2 sections
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # p11 rows
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # p12 rows
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # q1 rows
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # section-1 staging
         ],
         interpret=interpret,
     )(fold(x), fold(na1a), fold(na2a), fold(na1b), fold(na2b))
     return _unfold(y, B, n)
 
 
-def _geom_blk(B: int, n: int, cblock: int):
+def _geom_blk(B: int, n: int, cblock: int, max_r: int = 24):
     """Geometry for block-rate-coefficient kernels: ln must be a multiple
     of cblock so coef rows tile evenly."""
     from groove_tpu.ops.iir import block_for
@@ -409,43 +424,44 @@ def _geom_blk(B: int, n: int, cblock: int):
     cb = CB
     nchunks = -(-nb // cb)
     nbp = nchunks * cb
-    G = -(-B // 8)
+    R = _pick_r(B, max_r)
+    G = -(-B // R)
     T = nb if nchunks == 1 else cb
-    return ln, nb, cb, nchunks, nbp, G, T
+    return ln, nb, cb, nchunks, nbp, G, T, R
 
 
-def _pad_fold_blk(vb, B, nb64, G, lb, nbp):
-    """Block-rate array [B, nb64] -> [G, lb, 8, nbp] (same fold, coarser)."""
-    vp = jnp.pad(vb, [(0, G * 8 - B), (0, nbp * lb - nb64)])
-    return _fold(vp, G, lb, nbp)
+def _pad_fold_blk(vb, B, nb64, G, lb, nbp, R):
+    """Block-rate array [B, nb64] -> [G, lb, R, nbp] (same fold, coarser)."""
+    vp = jnp.pad(vb, [(0, G * R - B), (0, nbp * lb - nb64)])
+    return _fold(vp, G, lb, nbp, R)
 
 
 @functools.partial(jax.jit, static_argnames=("cblock", "interpret"))
 def _biquad_blk_2d(x, coefs_b, cblock: int, interpret: bool = False):
     """x: [B, n]; coefs_b: 5 block-rate arrays [B, ceil(n/cblock)]."""
     B, n = x.shape
-    ln, nb, cb, nchunks, nbp, G, T = _geom_blk(B, n, cblock)
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock)
     kernel, lb = _make_kernel_ps_blk(ln, T, cblock)
     nb64 = coefs_b[0].shape[-1]
     b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs_b]
-    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp)  # noqa: E731
-    tiles = (_pad_fold(x, B, n, G, ln, nbp),
+    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp, R)  # noqa: E731
+    tiles = (_pad_fold(x, B, n, G, ln, nbp, R),
              foldb(-a1), foldb(-a2),
              foldb(b1 - a1 * b0), foldb(b2 - a2 * b0), foldb(b0))
-    spec = _spec(ln, cb)
-    bspec = pl.BlockSpec((1, lb, 8, cb), lambda g, i: (g, 0, 0, i),
+    spec = _spec(ln, R, cb)
+    bspec = pl.BlockSpec((1, lb, R, cb), lambda g, i: (g, 0, 0, i),
                          memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         kernel,
         grid=(G, nchunks),
         in_specs=[spec] + [bspec] * 5,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((2, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
         ],
         interpret=interpret,
     )(*tiles)
@@ -456,28 +472,28 @@ def _biquad_blk_2d(x, coefs_b, cblock: int, interpret: bool = False):
 def _lp24_blk_2d(x, na1a, na2a, na1b, na2b, cblock: int,
                  interpret: bool = False):
     B, n = x.shape
-    ln, nb, cb, nchunks, nbp, G, T = _geom_blk(B, n, cblock)
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock)
     kernel, lb = _make_kernel_lp24_blk(ln, T, cblock)
     nb64 = na1a.shape[-1]
-    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp)  # noqa: E731
-    spec = _spec(ln, cb)
-    bspec = pl.BlockSpec((1, lb, 8, cb), lambda g, i: (g, 0, 0, i),
+    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp, R)  # noqa: E731
+    spec = _spec(ln, R, cb)
+    bspec = pl.BlockSpec((1, lb, R, cb), lambda g, i: (g, 0, 0, i),
                          memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         kernel,
         grid=(G, nchunks),
         in_specs=[spec] + [bspec] * 4,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((G, ln, 8, nbp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
-            pltpu.VMEM((ln, 8, cb), jnp.float32),
+            pltpu.VMEM((4, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
         ],
         interpret=interpret,
-    )(_pad_fold(x, B, n, G, ln, nbp), foldb(na1a), foldb(na2a),
+    )(_pad_fold(x, B, n, G, ln, nbp, R), foldb(na1a), foldb(na2a),
       foldb(na1b), foldb(na2b))
     return _unfold(y, B, n)
 
