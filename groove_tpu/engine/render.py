@@ -78,7 +78,9 @@ class Renderer:
         self.inputs: dict[str, np.ndarray] = {}
         self._spans: dict[str, int] = {}
         self._buckets: dict[str, list] = {}
+        self._refine_filters: set[str] = set()
         self._collect_inputs()
+        self._plan_filters()
         # Pin inputs on-device once; sample tables are tens of MB and must
         # not be re-shipped per render call.
         self.inputs = jax.device_put(self.inputs)
@@ -204,6 +206,70 @@ class Renderer:
         mono0 = jnp.zeros((n,), jnp.float32)
         mono, _ = jax.lax.scan(body, mono0, (keys_c, vels_c, gate_c, on_c))
         return mono
+
+    def _plan_filters(self) -> None:
+        """Host-side fidelity check for AUTOMATED filters (the automation
+        curves are compile-time data): a filter whose sweep touches
+        near-critical poles gets one defect-correction refinement pass
+        (iir.biquad_blockrate_refined) for the -80 dBFS bar — still fully
+        parallel. Static filters already route via biquad_best;
+        sidechain-overridden filters have traced coefficients and keep
+        the plain blocked path (documented)."""
+        nb = -(-self.c.n_frames // BLOCK)
+        sr = float(self.c.sample_rate)
+        sidechain_targets = {tgt for _, tgt, _ in self.c.sidechain}
+        for dev in self.c.devices.values():
+            k = dev.kind
+            if not k.startswith("filter-") or not dev.automation \
+                    or dev.uvid in sidechain_targets or nb == 0:
+                continue
+
+            def pb(name, default, d=dev):
+                if name in d.automation:
+                    c = np.asarray(d.automation[name], np.float32)
+                    if len(c) < nb:
+                        c = np.pad(c, (0, nb - len(c)), mode="edge")
+                    return c[:nb]
+                return np.float32(d.params.get(name, default))
+
+            cutoff = pb("cutoff", 1000.0)
+            if k == "filter-low-pass-24db":
+                q = np.maximum(pb("passband-ripple", 0.707), 1e-3)
+                _, secs = iir.lp24_sections(cutoff, q, sr)
+                # OR the two sections per block (leading dim is OR'd by
+                # near_critical_plan)
+                a1 = np.stack([np.broadcast_to(np.asarray(s[3]), (nb,))
+                               for s in secs])
+                a2 = np.stack([np.broadcast_to(np.asarray(s[4]), (nb,))
+                               for s in secs])
+            else:
+                mk = {
+                    "filter-low-pass-12db": iir.rbj_low_pass,
+                    "filter-high-pass-12db": iir.rbj_high_pass,
+                    "filter-all-pass-12db": iir.rbj_all_pass,
+                }.get(k)
+                if mk is not None:
+                    coefs = mk(cutoff, np.maximum(pb("q", 0.707), 1e-3), sr)
+                elif k == "filter-band-pass-12db":
+                    coefs = iir.rbj_band_pass(
+                        cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
+                elif k == "filter-band-stop-12db":
+                    coefs = iir.rbj_band_stop(
+                        cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
+                elif k == "filter-peaking-eq-12db":
+                    coefs = iir.rbj_peaking_eq(
+                        cutoff, np.maximum(pb("q", 1.0), 1e-3),
+                        pb("db-gain", 0.0), sr)
+                elif k == "filter-low-shelf-12db":
+                    coefs = iir.rbj_low_shelf(cutoff, pb("db-gain", 0.0), sr)
+                elif k == "filter-high-shelf-12db":
+                    coefs = iir.rbj_high_shelf(cutoff, pb("db-gain", 0.0), sr)
+                else:
+                    continue
+                a1 = np.atleast_1d(np.asarray(coefs[3]))
+                a2 = np.atleast_1d(np.asarray(coefs[4]))
+            if iir.needs_refinement(a1, a2):
+                self._refine_filters.add(dev.uvid)
 
     def _param(self, inputs, dev: DeviceIR, name: str, default: float,
                n: int, override=None):
@@ -397,10 +463,11 @@ class Renderer:
                 return float(dev.params.get(name, default))
 
             cutoff = PB("cutoff", 1000.0)
+            refine = dev.uvid in self._refine_filters
             if k == "filter-low-pass-24db":
                 q = PB("passband-ripple", 0.707)
                 return iir.lp24_apply_blockrate(
-                    x, cutoff, jnp.maximum(q, 1e-3), sr
+                    x, cutoff, jnp.maximum(q, 1e-3), sr, refine=refine
                 )
             if k == "filter-low-pass-12db":
                 coefs = iir.rbj_low_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
@@ -427,7 +494,7 @@ class Renderer:
             else:
                 warn(f"unknown filter kind {k}; passthrough")
                 return x
-            return iir.biquad_blockrate(x, coefs)
+            return iir.biquad_blockrate(x, coefs, refine=refine)
         warn(f"unknown effect kind {k}; passthrough")
         return x
 

@@ -205,30 +205,65 @@ def _pallas_available() -> bool:
         return False
 
 
-def biquad_serial(x: jax.Array, coefs, axis: int = -1) -> jax.Array:
+def biquad_serial(x: jax.Array, coefs, axis: int = -1,
+                  initial_state=None, return_state: bool = False):
     """Per-sample TDF2 lax.scan in f32 — the numerically safest
     formulation: roundoff follows the filter's own contracting dynamics
     (measured -94 dBFS at the 25 Hz corner over 1e5 samples, vs -84 for
     the blocked two-level scheme whose in-block prefix products of
-    near-identity maps lose ~10 dB). O(n) sequential — reserved for
-    static near-critical poles, where fidelity beats throughput."""
+    near-identity maps lose ~10 dB; -101 dBFS on the automated 25 Hz->
+    20 kHz sweep where the blocked scheme reaches only -60). O(n)
+    sequential — reserved for near-critical poles, where fidelity beats
+    throughput.
+
+    coefs entries may be scalars or per-sample arrays broadcastable to
+    x's shape (time-varying near-critical segments of an automation
+    plan, see near_critical_plan). initial_state/return_state carry the
+    TDF2 state across plan segments exactly."""
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
-    b0, b1, b2, a1, a2 = [jnp.asarray(c, x.dtype) for c in coefs]
+    per_sample = any(jnp.ndim(c) > 0 for c in coefs)
+    coefs = [jnp.asarray(c, x.dtype) for c in coefs]
     xt = jnp.moveaxis(x, -1, 0)  # [n, ...]
     zeros = jnp.zeros_like(xt[0])
+    if initial_state is not None:
+        s1_0 = jnp.broadcast_to(jnp.asarray(initial_state[0], x.dtype),
+                                zeros.shape)
+        s2_0 = jnp.broadcast_to(jnp.asarray(initial_state[1], x.dtype),
+                                zeros.shape)
+    else:
+        s1_0, s2_0 = zeros, zeros
 
-    def step(carry, xn):
-        s1, s2 = carry
-        yn = b0 * xn + s1
-        s1n = b1 * xn - a1 * yn + s2
-        s2n = b2 * xn - a2 * yn
-        return (s1n, s2n), yn
+    if per_sample:
+        cb = [jnp.moveaxis(jnp.broadcast_to(c, x.shape), -1, 0)
+              for c in coefs]
 
-    _, yt = jax.lax.scan(step, (zeros, zeros), xt, unroll=8)
+        def step_tv(carry, xs):
+            s1, s2 = carry
+            xn, b0, b1, b2, a1, a2 = xs
+            yn = b0 * xn + s1
+            s1n = b1 * xn - a1 * yn + s2
+            s2n = b2 * xn - a2 * yn
+            return (s1n, s2n), yn
+
+        (s1e, s2e), yt = jax.lax.scan(
+            step_tv, (s1_0, s2_0), (xt, *cb), unroll=8)
+    else:
+        b0, b1, b2, a1, a2 = coefs
+
+        def step(carry, xn):
+            s1, s2 = carry
+            yn = b0 * xn + s1
+            s1n = b1 * xn - a1 * yn + s2
+            s2n = b2 * xn - a2 * yn
+            return (s1n, s2n), yn
+
+        (s1e, s2e), yt = jax.lax.scan(step, (s1_0, s2_0), xt, unroll=8)
     y = jnp.moveaxis(yt, 0, -1)
     if axis != -1:
         y = jnp.moveaxis(y, -1, axis)
+    if return_state:
+        return y, (s1e, s2e)
     return y
 
 
@@ -236,6 +271,11 @@ def biquad_serial(x: jax.Array, coefs, axis: int = -1) -> jax.Array:
 # through the blocked scheme's prefix products; route static cases serial.
 _CRITICAL_A1 = -1.98
 _CRITICAL_A2 = 0.975
+# Plan thresholds are WIDER than the static ones: on the 25 Hz -> 20 kHz
+# sweep, flagging only a1 < -1.98 left the just-under-threshold blocks at
+# -79.4 dBFS; -1.95/0.95 measures -92.7 (sweep fidelity test).
+_PLAN_A1 = -1.95
+_PLAN_A2 = 0.95
 
 
 def _near_critical_static(coefs) -> bool:
@@ -273,29 +313,117 @@ def upsample_hold(c, n: int, cblock: int = CONTROL_BLOCK):
     return out.reshape(c.shape[:-1] + (nb * cblock,))[..., :n]
 
 
-def biquad_blockrate(x: jax.Array, coefs_b, cblock: int = CONTROL_BLOCK):
+def needs_refinement(a1_b, a2_b) -> bool:
+    """Host-side check for an AUTOMATED filter whose block-rate
+    denominators are known at compile time (automation curves are host
+    data): True when any block's poles are near z = 1, where the blocked
+    scheme's f32 prefix products lose accuracy (measured -60 dBFS on the
+    25 Hz -> 20 kHz sweep). Such filters add one defect-correction pass
+    (biquad_blockrate_refined): -87.8 dBFS on the same sweep, still fully
+    parallel. The threshold is WIDER than the static-serial one: flagging
+    only a1 < -1.98 left just-under-threshold blocks at -79.4."""
+    import numpy as np
+
+    a1 = np.asarray(a1_b, np.float64)
+    a2 = np.asarray(a2_b, np.float64)
+    return bool(((a1 < _PLAN_A1) & (a2 > _PLAN_A2)).any())
+
+
+def _roll0(v, k: int):
+    """Shift right along the last axis with zero history."""
+    if k == 0:
+        return v
+    pad = [(0, 0)] * (v.ndim - 1) + [(k, 0)]
+    return jnp.pad(v, pad)[..., :-k]
+
+
+def _blockrate_fast(x, coefs_full, cblock: int):
+    """The fast block-rate dispatch: Pallas on TPU, the blocked scan with
+    identical grouping elsewhere. coefs_full broadcast to
+    x.shape[:-1] + (nb,)."""
+    n = x.shape[-1]
+    if _pallas_available():
+        from groove_tpu.ops.pallas_iir import biquad_blockrate_pallas
+        return biquad_blockrate_pallas(x, coefs_full, cblock)
+    coefs = tuple(upsample_hold(c, n, cblock) for c in coefs_full)
+    return biquad(x, coefs, block=max(block_for(n), cblock))
+
+
+def biquad_blockrate_refined(x, coefs_b, cblock: int = CONTROL_BLOCK):
+    """Blocked solve + ONE defect-correction pass, for automated filters
+    that sweep through near-critical poles.
+
+    The blocked two-level scheme's error at poles near z = 1 comes from
+    f32 prefix products of near-identity maps (-60 dBFS on the 25 Hz ->
+    20 kHz sweep). Instead of serializing (a 165k-step lax.scan measured
+    143 ms on TPU — 400x the whole render), refine: the TDF2 engine with
+    time-varying coefficients realizes
+
+        y[n] = b0[n] x[n] + b1[n-1] x[n-1] + b2[n-2] x[n-2]
+                         - a1[n-1] y[n-1] - a2[n-2] y[n-2]
+
+    (coefficients indexed at state-ENTRY time — the defect MUST use this
+    shifted form, the plain DF1 indexing reads 0.005 of false defect).
+    Compute the per-sample defect d of y0 against that recurrence, solve
+    L(c) = d with the same fast engine (numerator (1,0,0) keeps it
+    block-rate aligned), and return y0 + c. The defect is evaluated in an
+    epsilon-regrouped form — second difference of the smooth output plus
+    (a1+2)/(a2-1) products — so its f32 rounding stays relative to the
+    (tiny) defect rather than to |y|, which a resonant correction filter
+    would amplify ~1e5x. Cost: 2x the blocked solve + elementwise, fully
+    parallel. Measured -87.8 dBFS on the sweep (tests/test_iir.py)."""
+    n = x.shape[-1]
+    nb = -(-n // cblock)
+    cshape = x.shape[:-1] + (nb,)
+    cb_f = tuple(
+        jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape)
+        for c in coefs_b
+    )
+    y0 = _blockrate_fast(x, cb_f, cblock)
+    b0u, b1u, b2u, a1u, a2u = (upsample_hold(c, n, cblock) for c in cb_f)
+    b1s, b2s = _roll0(b1u, 1), _roll0(b2u, 2)
+    a1s, a2s = _roll0(a1u, 1), _roll0(a2u, 2)
+    y1v, y2v = _roll0(y0, 1), _roll0(y0, 2)
+    e1 = a1s + 2.0   # exact in f32 for near-critical a1 (Sterbenz)
+    e2 = a2s - 1.0
+    second = (y0 - y1v) - (y1v - y2v)   # nearly exact: y0 is smooth there
+    d = (b0u * x + b1s * _roll0(x, 1) + b2s * _roll0(x, 2)) \
+        - second - e1 * y1v - e2 * y2v
+    ones_b = jnp.ones(cshape, jnp.float32)
+    zeros_b = jnp.zeros(cshape, jnp.float32)
+    c = _blockrate_fast(d, (ones_b, zeros_b, zeros_b, cb_f[3], cb_f[4]),
+                        cblock)
+    return y0 + c
+
+
+def biquad_blockrate(x: jax.Array, coefs_b, cblock: int = CONTROL_BLOCK,
+                     refine: bool = False):
     """Biquad with BLOCK-RATE coefficients (held for cblock samples — the
     reference recomputes filter coefficients at 64-frame control
     granularity, orchestrator.rs:631-708). coefs_b entries broadcast
     against x.shape[:-1] + (ceil(n/cblock),). Pallas on TPU; on other
     backends the coefs are upsampled and run through the blocked scan with
-    the same grouping, so results are bit-identical."""
+    the same grouping, so results are bit-identical. `refine` (from
+    needs_refinement) adds the defect-correction pass for near-critical
+    automation sweeps (the -80 dBFS fidelity bar)."""
     n = x.shape[-1]
     if all(jnp.ndim(c) == 0 for c in coefs_b):
         # static filter: no block-rate machinery needed (and the serial
         # low-cutoff fidelity path applies)
         return biquad_best(x, coefs_b)
-    if _pallas_available():
-        from groove_tpu.ops.pallas_iir import biquad_blockrate_pallas
-        return biquad_blockrate_pallas(x, coefs_b, cblock)
-    coefs = tuple(upsample_hold(jnp.broadcast_to(
-        jnp.asarray(c, jnp.float32), x.shape[:-1] + (-(-n // cblock),)), n,
-        cblock) for c in coefs_b)
-    return biquad(x, coefs, block=max(block_for(n), cblock))
+    nb = -(-n // cblock)
+    if refine:
+        return biquad_blockrate_refined(x, coefs_b, cblock)
+    cshape = x.shape[:-1] + (nb,)
+    cb_f = tuple(
+        jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape)
+        for c in coefs_b
+    )
+    return _blockrate_fast(x, cb_f, cblock)
 
 
 def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
-                         cblock: int = CONTROL_BLOCK):
+                         cblock: int = CONTROL_BLOCK, refine: bool = False):
     """24 dB cascade with block-rate cutoff/q ([..., ceil(n/cblock)] or
     scalar). The per-sample gain (x * gain) is applied identically on both
     paths; the fused Pallas kernel then runs both sections in VMEM."""
@@ -319,6 +447,10 @@ def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
     cutoff_b = jnp.broadcast_to(jnp.asarray(cutoff_b, jnp.float32), cshape)
     gain_b, sections_b = lp24_sections(cutoff_b, q_b, sample_rate)
     y = x * upsample_hold(jnp.broadcast_to(gain_b, cshape), n, cblock)
+    if refine:
+        for sec in sections_b:
+            y = biquad_blockrate_refined(y, sec, cblock)
+        return y
     if _pallas_available():
         from groove_tpu.ops.pallas_iir import lp24_blockrate_pallas
         return lp24_blockrate_pallas(y, sections_b, cblock)
