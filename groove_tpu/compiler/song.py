@@ -193,6 +193,13 @@ def compile_song(
             last = max((e.off_beats for e in calc_events), default=Fraction(0))
             bpm_measure = Fraction(ts.beats_per_measure)
             end_beats = max(end_beats, -(-last // bpm_measure) * bpm_measure)
+        elif dev.kind == "timer":
+            # the performance runs until EVERY controller is finished; a
+            # Timer finishes after its duration (orchestrator.rs run loop
+            # :803-846; tests :1678-1737 — 4 beats @240 BPM = exactly 1 s
+            # of samples, no measure rounding)
+            end_beats = max(end_beats,
+                            Fraction(str(dev.params.get("beats", 0))))
 
     n_frames = render_length_frames(tempo, sr, MusicalTime.from_beats(end_beats))
     n_blocks = n_frames // SAMPLE_BUFFER_SIZE

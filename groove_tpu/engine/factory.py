@@ -66,6 +66,7 @@ _PROTOS = [
     EntityProto("lfo", "controller", {"waveform": "sine", "frequency": 1.0}),
     EntityProto("signal-passthrough-controller", "controller", {}),
     EntityProto("trigger", "controller", {"time": 0.0, "value": 1.0}),
+    EntityProto("timer", "controller", {"beats": 4}),
     EntityProto("calculator", "controller", {}),
 ]
 

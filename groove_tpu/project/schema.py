@@ -126,6 +126,12 @@ _CONTROLLER_KINDS = {
     # at HEAD — params {time: beats, value: ControlValue} are a documented
     # RECONSTRUCTION).
     "trigger",
+    # Timer: the performance runs until every controller is finished; a
+    # Timer is finished after its MusicalTime duration
+    # (orchestrator.rs:1678-1737 tests: Timer(4 beats) at 240 BPM ->
+    # exactly 1 s of samples; Timer(default/zero) -> 0 samples). No serde
+    # surface at HEAD — params {beats} are a documented RECONSTRUCTION.
+    "timer",
 }
 _EFFECT_KINDS = {
     "toy", "mixer", "gain", "limiter", "bitcrusher", "chorus", "compressor",

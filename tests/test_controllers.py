@@ -153,3 +153,53 @@ def test_calculator_project_plays():
     out = np.asarray(Renderer(c).render())
     assert out.shape[0] > 0
     assert float(np.max(np.abs(out))) > 1e-3, "calculator is silent"
+
+
+def test_timer_sets_render_length_exactly():
+    """Timer(4 beats) at 240 BPM => 1 s of samples on the 64-frame buffer
+    grid (the reference's non-ignored accounting tests: Timer 4 beats @
+    240 BPM / 24 kHz = exactly 24,000 = 375 buffers, orchestrator.rs:
+    1722-1737; at 44.1 kHz the end falls mid-buffer and the run rounds to
+    whole buffers, core/time.render_length_frames)."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"controller": ["t1", {"timer": [{}, {"beats": 4}]}]},
+        ],
+    }))
+    c = compile_song(song)
+    assert c.n_frames == -(-44100 // 64) * 64  # 44160
+
+
+def test_zero_timer_renders_zero_samples():
+    """orchestrator.rs:1689-1701: a default (zero) Timer alone produces
+    an empty performance."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"controller": ["t1", {"timer": [{}, {"beats": 0}]}]},
+        ],
+    }))
+    c = compile_song(song)
+    assert c.n_frames == 0
+    out = np.asarray(Renderer(c).render())
+    assert out.shape == (0, 2)
+
+
+def test_timer_extends_past_patterns():
+    """All controllers must finish before the run ends: a timer longer
+    than the stamped patterns extends the render."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["i1", {"toy-instrument": [{"midi-in": 0},
+                                                      {"fake-value": 0.2}]}]},
+            {"controller": ["t1", {"timer": [{}, {"beats": 12}]}]},
+        ],
+        "patch-cables": [["i1", "main-mixer"]],
+        "patterns": [{"id": "p", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    # patterns stamp 1 measure (4 beats); the 12-beat timer wins: 3 s
+    assert c.n_frames == -(-3 * 44100 // 64) * 64
