@@ -150,6 +150,11 @@ class TuiModel:
         if key == "s":
             self.save_project()
             return
+        if key == "l":
+            # the ControlBar's Loop checkbox (control_panel.rs:143-145);
+            # a default 4-beat range applies when none was set yet
+            self.toggle_loop()
+            return
         if key == "n":
             self.svc.add_track()
             self.svc.sync()
@@ -207,13 +212,34 @@ class TuiModel:
             if c < len(self.browser_files):
                 self.open_project(self.browser_files[c])
 
+    # -- loop range (ControlBar checkbox + range fields,
+    #    src/panels/control_panel.rs:143-170) ------------------------------
+
+    def toggle_loop(self) -> None:
+        if self.svc.is_loop_enabled:
+            self.svc.set_loop_enabled(False)
+        elif self.svc.loop_range is not None:
+            self.svc.set_loop_enabled(True)
+        else:
+            self.svc.set_loop(0.0, 4.0)
+        self.svc.sync()
+
+    def set_loop_range(self, start_beats: float, end_beats: float) -> None:
+        self.svc.set_loop(start_beats, end_beats)
+        self.svc.sync()
+
     # -- rendering --------------------------------------------------------
 
     def control_bar(self) -> str:
         title = self.song.title if self.song else "(no project)"
         bpm = f"{self.song.clock.bpm:7.2f}" if self.song else "    ---"
         state = "PLAYING" if self.svc.is_playing() else "stopped"
-        return f" {title}  |  {bpm} BPM [+/-]  |  {state} [space]"
+        if self.svc.is_loop_enabled and self.svc.loop_range is not None:
+            ls, le = self.svc.loop_range
+            loop = f"loop {ls:g}..{le:g} [l]"
+        else:
+            loop = "loop off [l]"
+        return f" {title}  |  {bpm} BPM [+/-]  |  {state} [space]  |  {loop}"
 
     def panel_lines(self, panel: str) -> list[str]:
         mark = "▸" if self.focus == panel else " "

@@ -157,3 +157,22 @@ def test_service_remove_device_cleans_cables(tmp_path, monkeypatch):
         assert all(d.uvid != "gain-1" for d in svc.song.devices)
     finally:
         svc.shutdown()
+
+
+def test_loop_toggle_and_range_in_control_bar():
+    """The ControlBar's Loop checkbox + range fields
+    (control_panel.rs:143-170): 'l' toggles, range shows in the bar."""
+    m = TuiModel(use_audio=False)
+    assert "loop off" in m.control_bar()
+    m.handle_key("l")            # default 4-beat range
+    assert m.svc.is_loop_enabled and m.svc.loop_range == (0.0, 4.0)
+    assert "loop 0..4" in m.control_bar()
+    m.set_loop_range(2.0, 6.0)
+    assert m.svc.loop_range == (2.0, 6.0)
+    assert "loop 2..6" in m.control_bar()
+    m.handle_key("l")            # toggle off keeps the range
+    assert not m.svc.is_loop_enabled and m.svc.loop_range == (2.0, 6.0)
+    assert "loop off" in m.control_bar()
+    m.handle_key("l")            # re-enable restores the stored range
+    assert m.svc.is_loop_enabled and m.svc.loop_range == (2.0, 6.0)
+    m.svc.shutdown()
