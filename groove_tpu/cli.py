@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--play", action="store_true",
                    help="stream the render through the native audio service "
                         "in real time (null sink when no audio HW)")
+    p.add_argument("--stream", action="store_true",
+                   help="render segment-streamed with bounded device memory "
+                        "(unbounded song length); WAV is written "
+                        "incrementally as segments arrive")
+    p.add_argument("--segment-frames", type=int, default=65536,
+                   help="streamed segment length (multiple of 64)")
     return p
 
 
@@ -65,6 +71,8 @@ def output_path(input_filename: str, out_dir: str | None) -> Path:
 
 
 def main(argv=None) -> int:
+    from groove_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     args = build_parser().parse_args(argv)
     if args.version:
         print(f"groove-tpu {__version__}")
@@ -84,6 +92,9 @@ def main(argv=None) -> int:
         else:
             song = SongSettings.from_project_file(Path(input_filename))
             compiled = compile_song(song, paths, sample_rate=args.sample_rate)
+        if args.stream:
+            _render_streamed(compiled, input_filename, args)
+            continue
         renderer = Renderer(compiled)
         if args.perf:
             print(f"Orchestrator instantiation time: "
@@ -126,6 +137,42 @@ def main(argv=None) -> int:
         if args.play:
             _stream_realtime(samples, args.sample_rate, args.quiet)
     return 0
+
+
+def _render_streamed(compiled, input_filename: str, args) -> None:
+    """Segment-streamed render path (--stream): bounded device memory for
+    unbounded songs; segments land in the WAV as they are produced
+    (engine/stream.StreamingRenderer + io.wav incremental writer)."""
+    from groove_tpu.engine.stream import StreamingRenderer
+    from groove_tpu.io.wav import write_wav_16bit_stereo_stream
+
+    t0 = time.perf_counter()
+    r = StreamingRenderer(compiled, segment_frames=args.segment_frames)
+    if not args.quiet:
+        print(f"Streaming {compiled.n_frames} frames in "
+              f"{r.n_segs} x {r.S}-frame segments ", end="", flush=True)
+
+    def progress(chunks):
+        for c in chunks:
+            if not args.quiet:
+                print(".", end="", flush=True)
+            yield c
+
+    if args.wav:
+        out = output_path(input_filename, args.out_dir)
+        total = write_wav_16bit_stereo_stream(
+            out, progress(r.stream()), args.sample_rate)
+        if not args.quiet:
+            print(f"\nStreamed {total} frames to {out}")
+    else:
+        total = sum(len(c) for c in progress(r.stream()))
+        if not args.quiet:
+            print(f"\nStreamed {total} frames")
+    if args.perf:
+        wall = time.perf_counter() - t0
+        audio_s = compiled.n_frames / args.sample_rate
+        print(f" Streamed wall: {wall:.2f}s (incl. compile) — "
+              f"{audio_s / max(wall, 1e-9):.1f}x realtime end-to-end")
 
 
 def _stream_realtime(samples, sample_rate: int, quiet: bool) -> None:

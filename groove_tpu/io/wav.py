@@ -33,6 +33,28 @@ def write_wav_16bit_stereo(path, samples: np.ndarray, sample_rate: int) -> None:
         w.writeframes(scaled.tobytes())
 
 
+def write_wav_16bit_stereo_stream(path, chunks, sample_rate: int) -> int:
+    """Incremental writer for segment-streamed renders: consumes an
+    iterator of [n, 2] float chunks, writing each as it arrives (constant
+    memory for unbounded songs; the wave module patches the RIFF sizes on
+    close). Same scale/trunc/saturate spec as write_wav_16bit_stereo.
+    Returns total frames written."""
+    total = 0
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        for chunk in chunks:
+            c = np.asarray(chunk, np.float64)
+            if c.ndim == 1:
+                c = np.stack([c, c], axis=-1)
+            scaled = np.clip(np.trunc(c * 32767.0),
+                             -32768, 32767).astype("<i2")
+            w.writeframes(scaled.tobytes())
+            total += len(c)
+    return total
+
+
 def read_wav(path) -> tuple[np.ndarray, int]:
     """Returns ([n, channels] float32 in [-1, 1), sample_rate).
 

@@ -47,6 +47,8 @@ HELP = """commands:
 
 
 def main(argv=None) -> int:
+    from groove_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     events = []
 

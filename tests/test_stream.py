@@ -157,3 +157,33 @@ def test_loop_range_stateless_song_repeats_exactly():
                            axis=0)
     it = [audio[le + k * L: le + (k + 1) * L] for k in range(3)]
     assert np.array_equal(it[0], it[1]) and np.array_equal(it[1], it[2])
+
+
+def test_cli_stream_writes_identical_wav(tmp_path):
+    """--stream writes the WAV incrementally; bytes must equal the
+    whole-render path's WAV for a short fixture (same trunc/saturate
+    spec, same audio modulo the documented float tolerance — compare the
+    decoded samples at 1 LSB)."""
+    import shutil
+
+    from groove_tpu.cli import main as cli_main
+    from groove_tpu.io.wav import read_wav
+
+    src = REF / "projects/demos/effects/drums-reverb.json"
+    a_dir = tmp_path / "whole"
+    b_dir = tmp_path / "streamed"
+    a_dir.mkdir()
+    b_dir.mkdir()
+    proj = tmp_path / "drums-reverb.json"
+    shutil.copy(src, proj)
+    assert cli_main([str(proj), "--wav", "--quiet",
+                     "--out-dir", str(a_dir)]) == 0
+    assert cli_main([str(proj), "--wav", "--quiet", "--stream",
+                     "--segment-frames", "16384",
+                     "--out-dir", str(b_dir)]) == 0
+    wa, ra = read_wav(a_dir / "drums-reverb.wav")
+    wb, rb = read_wav(b_dir / "drums-reverb.wav")
+    assert ra == rb == 44100
+    assert wa.shape == wb.shape
+    # 16-bit quantized: float-path differences can flip at most 1 LSB
+    assert float(np.abs(wa - wb).max()) <= (1.0 / 32768) + 1e-9
