@@ -70,6 +70,75 @@ def _upsample_block(curve, n: int):
     return out[:n]
 
 
+def compute_refine_filters(compiled) -> set:
+    """Host-side fidelity check for AUTOMATED filters (the automation
+    curves are compile-time data): a filter whose sweep touches
+    near-critical poles gets one defect-correction refinement pass
+    (iir.biquad_blockrate_refined) for the -80 dBFS bar — still fully
+    parallel. Static filters already route via biquad_best;
+    sidechain-overridden filters have traced coefficients and keep
+    the plain blocked path (documented). Shared by the whole-timeline
+    Renderer and the StreamingRenderer."""
+    out: set = set()
+    nb = -(-compiled.n_frames // BLOCK)
+    sr = float(compiled.sample_rate)
+    sidechain_targets = {tgt for _, tgt, _ in compiled.sidechain}
+    for dev in compiled.devices.values():
+        k = dev.kind
+        if not k.startswith("filter-") or not dev.automation \
+                or dev.uvid in sidechain_targets or nb == 0:
+            continue
+
+        def pb(name, default, d=dev):
+            if name in d.automation:
+                c = np.asarray(d.automation[name], np.float32)
+                if len(c) < nb:
+                    c = np.pad(c, (0, nb - len(c)), mode="edge")
+                return c[:nb]
+            return np.float32(d.params.get(name, default))
+
+        cutoff = pb("cutoff", 1000.0)
+        if k == "filter-low-pass-24db":
+            q = np.maximum(pb("passband-ripple", 0.707), 1e-3)
+            _, secs = iir.lp24_sections(cutoff, q, sr)
+            # OR the two sections per block (leading dim is OR'd by
+            # near_critical_plan)
+            a1 = np.stack([np.broadcast_to(np.asarray(s[3]), (nb,))
+                           for s in secs])
+            a2 = np.stack([np.broadcast_to(np.asarray(s[4]), (nb,))
+                           for s in secs])
+        else:
+            mk = {
+                "filter-low-pass-12db": iir.rbj_low_pass,
+                "filter-high-pass-12db": iir.rbj_high_pass,
+                "filter-all-pass-12db": iir.rbj_all_pass,
+            }.get(k)
+            if mk is not None:
+                coefs = mk(cutoff, np.maximum(pb("q", 0.707), 1e-3), sr)
+            elif k == "filter-band-pass-12db":
+                coefs = iir.rbj_band_pass(
+                    cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
+            elif k == "filter-band-stop-12db":
+                coefs = iir.rbj_band_stop(
+                    cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
+            elif k == "filter-peaking-eq-12db":
+                coefs = iir.rbj_peaking_eq(
+                    cutoff, np.maximum(pb("q", 1.0), 1e-3),
+                    pb("db-gain", 0.0), sr)
+            elif k == "filter-low-shelf-12db":
+                coefs = iir.rbj_low_shelf(cutoff, pb("db-gain", 0.0), sr)
+            elif k == "filter-high-shelf-12db":
+                coefs = iir.rbj_high_shelf(cutoff, pb("db-gain", 0.0), sr)
+            else:
+                continue
+            a1 = np.atleast_1d(np.asarray(coefs[3]))
+            a2 = np.atleast_1d(np.asarray(coefs[4]))
+        if iir.needs_refinement(a1, a2):
+            out.add(dev.uvid)
+
+    return out
+
+
 class Renderer:
     """Builds and runs the jitted render program for one compiled song."""
 
@@ -208,68 +277,7 @@ class Renderer:
         return mono
 
     def _plan_filters(self) -> None:
-        """Host-side fidelity check for AUTOMATED filters (the automation
-        curves are compile-time data): a filter whose sweep touches
-        near-critical poles gets one defect-correction refinement pass
-        (iir.biquad_blockrate_refined) for the -80 dBFS bar — still fully
-        parallel. Static filters already route via biquad_best;
-        sidechain-overridden filters have traced coefficients and keep
-        the plain blocked path (documented)."""
-        nb = -(-self.c.n_frames // BLOCK)
-        sr = float(self.c.sample_rate)
-        sidechain_targets = {tgt for _, tgt, _ in self.c.sidechain}
-        for dev in self.c.devices.values():
-            k = dev.kind
-            if not k.startswith("filter-") or not dev.automation \
-                    or dev.uvid in sidechain_targets or nb == 0:
-                continue
-
-            def pb(name, default, d=dev):
-                if name in d.automation:
-                    c = np.asarray(d.automation[name], np.float32)
-                    if len(c) < nb:
-                        c = np.pad(c, (0, nb - len(c)), mode="edge")
-                    return c[:nb]
-                return np.float32(d.params.get(name, default))
-
-            cutoff = pb("cutoff", 1000.0)
-            if k == "filter-low-pass-24db":
-                q = np.maximum(pb("passband-ripple", 0.707), 1e-3)
-                _, secs = iir.lp24_sections(cutoff, q, sr)
-                # OR the two sections per block (leading dim is OR'd by
-                # near_critical_plan)
-                a1 = np.stack([np.broadcast_to(np.asarray(s[3]), (nb,))
-                               for s in secs])
-                a2 = np.stack([np.broadcast_to(np.asarray(s[4]), (nb,))
-                               for s in secs])
-            else:
-                mk = {
-                    "filter-low-pass-12db": iir.rbj_low_pass,
-                    "filter-high-pass-12db": iir.rbj_high_pass,
-                    "filter-all-pass-12db": iir.rbj_all_pass,
-                }.get(k)
-                if mk is not None:
-                    coefs = mk(cutoff, np.maximum(pb("q", 0.707), 1e-3), sr)
-                elif k == "filter-band-pass-12db":
-                    coefs = iir.rbj_band_pass(
-                        cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
-                elif k == "filter-band-stop-12db":
-                    coefs = iir.rbj_band_stop(
-                        cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
-                elif k == "filter-peaking-eq-12db":
-                    coefs = iir.rbj_peaking_eq(
-                        cutoff, np.maximum(pb("q", 1.0), 1e-3),
-                        pb("db-gain", 0.0), sr)
-                elif k == "filter-low-shelf-12db":
-                    coefs = iir.rbj_low_shelf(cutoff, pb("db-gain", 0.0), sr)
-                elif k == "filter-high-shelf-12db":
-                    coefs = iir.rbj_high_shelf(cutoff, pb("db-gain", 0.0), sr)
-                else:
-                    continue
-                a1 = np.atleast_1d(np.asarray(coefs[3]))
-                a2 = np.atleast_1d(np.asarray(coefs[4]))
-            if iir.needs_refinement(a1, a2):
-                self._refine_filters.add(dev.uvid)
+        self._refine_filters = compute_refine_filters(self.c)
 
     def _param(self, inputs, dev: DeviceIR, name: str, default: float,
                n: int, override=None):

@@ -77,6 +77,8 @@ class StreamingRenderer:
         self._spans: dict[str, int] = {}
         self._notes_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._caps: dict[str, int] = {}
+        from groove_tpu.engine.render import compute_refine_filters
+        self._refine_filters = compute_refine_filters(compiled)
         self._collect_inputs()
         self.inputs = jax.device_put(self.inputs)
         self._state0 = self._init_state()
@@ -240,12 +242,21 @@ class StreamingRenderer:
                 for i, d_s in enumerate(delayfx.ALLPASS_DELAYS_S):
                     st[f"{u}/ap{i}/w"] = z(2, max(1, int(round(d_s * sr))))
             elif k == "filter-low-pass-24db":
-                for i in range(2):
-                    st[f"{u}/lp24/{i}/s1"] = z(2)
-                    st[f"{u}/lp24/{i}/s2"] = z(2)
+                if u in self._refine_filters:
+                    for i in range(2):
+                        for name, v in sops.refined_state_init((2,)).items():
+                            st[f"{u}/rf{i}/{name}"] = v
+                else:
+                    for i in range(2):
+                        st[f"{u}/lp24/{i}/s1"] = z(2)
+                        st[f"{u}/lp24/{i}/s2"] = z(2)
             elif k.startswith("filter-"):
-                st[f"{u}/bq/s1"] = z(2)
-                st[f"{u}/bq/s2"] = z(2)
+                if u in self._refine_filters:
+                    for name, v in sops.refined_state_init((2,)).items():
+                        st[f"{u}/rf/{name}"] = v
+                else:
+                    st[f"{u}/bq/s1"] = z(2)
+                    st[f"{u}/bq/s2"] = z(2)
         for src, _, _ in c.sidechain:
             st[f"{src}/sc"] = z()
         return st
@@ -440,13 +451,31 @@ class StreamingRenderer:
                             for c in sec)
                         for sec in secs_b
                     ]
+                refined = u in self._refine_filters
                 for i, sec in enumerate(secs):
-                    y, (s1, s2) = sops.biquad_stream(
-                        y, sec,
-                        (state[f"{u}/lp24/{i}/s1"], state[f"{u}/lp24/{i}/s2"]),
-                    )
-                    new_state[f"{u}/lp24/{i}/s1"] = s1
-                    new_state[f"{u}/lp24/{i}/s2"] = s2
+                    if refined:
+                        # defect-correction pass with carried histories
+                        # (sops.biquad_stream_refined; flag from the
+                        # host-visible curve, engine/render.compute_
+                        # refine_filters — same -80 dBFS bar as the
+                        # whole-timeline path)
+                        sec = tuple(
+                            jnp.broadcast_to(jnp.asarray(cf, jnp.float32),
+                                             (n,)) for cf in sec)
+                        st = {name: state[f"{u}/rf{i}/{name}"]
+                              for name in ("ss1", "ss2", "cs1", "cs2",
+                                           "xh", "yh", "ch")}
+                        y, st2 = sops.biquad_stream_refined(y, sec, st)
+                        for name, v in st2.items():
+                            new_state[f"{u}/rf{i}/{name}"] = v
+                    else:
+                        y, (s1, s2) = sops.biquad_stream(
+                            y, sec,
+                            (state[f"{u}/lp24/{i}/s1"],
+                             state[f"{u}/lp24/{i}/s2"]),
+                        )
+                        new_state[f"{u}/lp24/{i}/s1"] = s1
+                        new_state[f"{u}/lp24/{i}/s2"] = s2
                 return y
             # identical coefficient construction to render.py:377-398
             if k == "filter-low-pass-12db":
@@ -483,6 +512,17 @@ class StreamingRenderer:
                     jnp.asarray(c, jnp.float32), (n // BLOCK,)), n)
                 for c in coefs_b
             )
+            if u in self._refine_filters:
+                coefs = tuple(
+                    jnp.broadcast_to(jnp.asarray(cf, jnp.float32), (n,))
+                    for cf in coefs)
+                st = {name: state[f"{u}/rf/{name}"]
+                      for name in ("ss1", "ss2", "cs1", "cs2",
+                                   "xh", "yh", "ch")}
+                y, st2 = sops.biquad_stream_refined(x, coefs, st)
+                for name, v in st2.items():
+                    new_state[f"{u}/rf/{name}"] = v
+                return y
             y, (s1, s2) = sops.biquad_stream(
                 x, coefs, (state[f"{u}/bq/s1"], state[f"{u}/bq/s2"]))
             new_state[f"{u}/bq/s1"] = s1

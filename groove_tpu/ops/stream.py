@@ -267,3 +267,59 @@ def compressor_smoothed_stream(x, threshold, ratio, attack_s, release_s,
     target = threshold + (env - threshold) * ratio
     g = jnp.where(over, target / jnp.maximum(env, 1e-9), 1.0)
     return x * g, st_att2, st_rel2
+
+
+# --------------------------------------------------------------------------
+# defect-correction refinement, streaming form (ops/iir.biquad_blockrate_
+# refined with carried histories — same recurrence/defect algebra, see its
+# docstring; segmentation-invariant because the solver runs on the fixed
+# 64-grid and the defect is elementwise with exact 2-sample histories)
+
+
+def refined_state_init(batch_shape):
+    """Zero state for biquad_stream_refined: solver TDF2 state, correction
+    TDF2 state, 2-sample input/output histories, 2-sample histories of the
+    (b1, b2, a1, a2) per-sample coefficient streams."""
+    z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+    b = tuple(batch_shape)
+    return {
+        "ss1": z(*b), "ss2": z(*b), "cs1": z(*b), "cs2": z(*b),
+        "xh": z(*b, 2), "yh": z(*b, 2), "ch": z(4, 2),
+    }
+
+
+def _roll_hist(v, hist, k: int):
+    """Shift right along the last axis by k, filling from carried history
+    (hist[..., -k:] are the k samples immediately before this segment)."""
+    return jnp.concatenate([hist[..., -k:], v[..., :-k]], axis=-1)
+
+
+def biquad_stream_refined(x, coefs, st: dict):
+    """One biquad section with per-sample coefficients + the
+    defect-correction pass, segment-streamed. x: [..., S]; coefs entries
+    [S] (shared across batch rows); st from refined_state_init.
+    Returns (y, st')."""
+    b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs]
+    y0, (ss1, ss2) = biquad_stream(x, coefs, (st["ss1"], st["ss2"]))
+    b1s = _roll_hist(b1, st["ch"][0], 1)
+    b2s = _roll_hist(b2, st["ch"][1], 2)
+    a1s = _roll_hist(a1, st["ch"][2], 1)
+    a2s = _roll_hist(a2, st["ch"][3], 2)
+    x1 = _roll_hist(x, st["xh"], 1)
+    x2 = _roll_hist(x, st["xh"], 2)
+    y1v = _roll_hist(y0, st["yh"], 1)
+    y2v = _roll_hist(y0, st["yh"], 2)
+    e1 = a1s + 2.0   # exact for near-critical a1 (Sterbenz)
+    e2 = a2s - 1.0
+    second = (y0 - y1v) - (y1v - y2v)
+    d = (b0 * x + b1s * x1 + b2s * x2) - second - e1 * y1v - e2 * y2v
+    ones = jnp.ones_like(a1)
+    zeros = jnp.zeros_like(a1)
+    c, (cs1, cs2) = biquad_stream(
+        d, (ones, zeros, zeros, a1, a2), (st["cs1"], st["cs2"]))
+    st2 = {
+        "ss1": ss1, "ss2": ss2, "cs1": cs1, "cs2": cs2,
+        "xh": x[..., -2:], "yh": y0[..., -2:],
+        "ch": jnp.stack([b1[-2:], b2[-2:], a1[-2:], a2[-2:]]),
+    }
+    return y0 + c, st2

@@ -76,12 +76,11 @@ def test_streamed_matches_whole_timeline(rel):
     whole = np.asarray(Renderer(c).render())
     streamed = StreamingRenderer(c, segment_frames=8192).render()
     peak = max(1.0, float(np.abs(whole).max()))
-    # drums-filtered-24db sweeps the cascade through near-critical cutoffs
-    # with TRACED coefficients, where the two blocked f32 schemes (whole
-    # path block=128, stream block=64) legitimately differ at the ~-43 dB
-    # level (the f64-accuracy story for that corner lives in test_iir);
-    # everything else agrees to ~1e-4.
-    tol = 1e-2 if "24db" in rel else 1e-4
+    # drums-filtered-24db sweeps the cascade through near-critical
+    # cutoffs: BOTH paths apply the defect-correction refinement (each
+    # accurate to ~-88 dBFS vs f64), so they agree to ~2e-4 — the residual
+    # is block grouping (whole path 128 vs stream 64).
+    tol = 5e-4 if "24db" in rel else 1e-4
     assert float(np.abs(whole - streamed).max()) < tol * peak
 
 
