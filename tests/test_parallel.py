@@ -9,7 +9,13 @@ import pytest
 from groove_tpu.models import welsh as welsh_model
 from groove_tpu.models.voices import scatter_notes
 from groove_tpu.ops import iir
+from pathlib import Path
+
+from groove_tpu.compiler.song import compile_song
 from groove_tpu.parallel.mesh import make_mesh, sharded_welsh_mix_step
+from groove_tpu.project.schema import SongSettings
+
+REF = Path("/root/reference")
 from groove_tpu.project.paths import Paths
 from groove_tpu.project.patches import WelshPatchSettings
 
@@ -73,3 +79,47 @@ def test_timesharded_biquad_matches_serial():
     )
     err = np.max(np.abs(y_shard - y_serial))
     assert err < 1e-5, err
+
+
+def test_multidevice_components_weld_sidechain():
+    """The sidechain edge must place the observed bus and the compressed
+    chain in ONE component (a nonlinear compressor must see its full
+    sidechain input on one device)."""
+    from groove_tpu.parallel.multidevice import partition_components
+
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/controllers/sidechain.json"))
+    comps = partition_components(c)
+    by_dev = {u: i for i, comp in enumerate(comps) for u in comp}
+    for src, tgt, _ in c.sidechain:
+        assert by_dev[src] == by_dev[tgt]
+
+
+@pytest.mark.parametrize("rel", [
+    "projects/demos/controllers/sidechain.json",
+    "test-data/perf-1.json",
+    "projects/demos/effects/delay.json",
+])
+def test_multidevice_render_matches_single(rel):
+    """Concurrent per-component rendering across the virtual 8-device mesh
+    equals the single-device Renderer up to mix-bus float reassociation."""
+    import numpy as np
+
+    from groove_tpu.engine.render import Renderer
+    from groove_tpu.parallel.multidevice import (
+        MultiDeviceRenderer,
+        partition_components,
+    )
+
+    c = compile_song(SongSettings.from_project_file(REF / rel))
+    comps = partition_components(c)
+    assert len(comps) >= 2  # these fixtures genuinely fan out
+    # every AUDIO-PATH device is covered (controllers like arps/LFOs/trips
+    # act at compile time and never render)
+    audio_devs = [u for u in c.order if u != "main-mixer"]
+    assert sorted(u for comp in comps for u in comp) == sorted(audio_devs)
+    single = np.asarray(Renderer(c).render())
+    multi = MultiDeviceRenderer(c).render()
+    assert single.shape == multi.shape
+    peak = max(1.0, float(np.abs(single).max()))
+    assert float(np.abs(single - multi).max()) <= 1e-6 * peak
