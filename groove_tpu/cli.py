@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "incrementally as segments arrive")
     p.add_argument("--segment-frames", type=int, default=65536,
                    help="streamed segment length (multiple of 64)")
+    p.add_argument("--loop", nargs=2, type=float, metavar=("START", "END"),
+                   help="bounce a loop range (beats): renders [0, END) then "
+                        "--loop-iterations passes of [START, END) with "
+                        "effect state carried across the seam")
+    p.add_argument("--loop-iterations", type=int, default=4)
     return p
 
 
@@ -92,6 +97,9 @@ def main(argv=None) -> int:
         else:
             song = SongSettings.from_project_file(Path(input_filename))
             compiled = compile_song(song, paths, sample_rate=args.sample_rate)
+        if args.loop:
+            _render_loop(compiled, input_filename, args)
+            continue
         if args.stream:
             _render_streamed(compiled, input_filename, args)
             continue
@@ -137,6 +145,27 @@ def main(argv=None) -> int:
         if args.play:
             _stream_realtime(samples, args.sample_rate, args.quiet)
     return 0
+
+
+def _render_loop(compiled, input_filename: str, args) -> None:
+    """--loop START END: bounce the looped performance, state carried
+    across every seek seam (orchestrator.rs:868-874 semantics; the shell's
+    bounce-loop, CLI edition)."""
+    from groove_tpu.engine.stream import StreamingRenderer
+    from groove_tpu.io.wav import write_wav_16bit_stereo_stream
+
+    start_beats, end_beats = args.loop
+    r = StreamingRenderer(compiled, segment_frames=args.segment_frames)
+    ls, le = r.loop_frames(start_beats, end_beats)
+    chunks = r.stream_loop(start_beats, end_beats,
+                           iterations=args.loop_iterations)
+    out = output_path(input_filename, args.out_dir)
+    total = write_wav_16bit_stereo_stream(out, chunks, args.sample_rate)
+    if not args.quiet:
+        n_expect = le + args.loop_iterations * (le - ls)
+        print(f"Looped [{start_beats:g}, {end_beats:g}) beats x"
+              f"{args.loop_iterations}: {total} frames (expected {n_expect}) "
+              f"-> {out}")
 
 
 def _render_streamed(compiled, input_filename: str, args) -> None:

@@ -186,3 +186,23 @@ def test_cli_stream_writes_identical_wav(tmp_path):
     assert wa.shape == wb.shape
     # 16-bit quantized: float-path differences can flip at most 1 LSB
     assert float(np.abs(wa - wb).max()) <= (1.0 / 32768) + 1e-9
+
+
+def test_cli_loop_bounce(tmp_path):
+    """--loop START END bounces [0, end) + N looped passes to WAV."""
+    import shutil
+
+    from groove_tpu.cli import main as cli_main
+    from groove_tpu.engine.stream import StreamingRenderer
+    from groove_tpu.io.wav import read_wav
+
+    src = REF / "projects/demos/effects/drums-reverb.json"
+    proj = tmp_path / "drums-reverb.json"
+    shutil.copy(src, proj)
+    assert cli_main([str(proj), "--loop", "4", "8", "--loop-iterations", "2",
+                     "--quiet", "--out-dir", str(tmp_path)]) == 0
+    c = compile_song(SongSettings.from_project_file(src))
+    ls, le = StreamingRenderer(c).loop_frames(4.0, 8.0)
+    audio, rate = read_wav(tmp_path / "drums-reverb.wav")
+    assert rate == 44100
+    assert audio.shape[0] == le + 2 * (le - ls)
