@@ -97,15 +97,59 @@ def _audio_roles(dev: DeviceIR) -> tuple[bool, bool]:
     return (is_instrument or is_effect, is_effect)
 
 
+def swap_test_entities(song: SongSettings) -> SongSettings:
+    """The reference's `load_only_test_entities` loader mode
+    (settings/src/instruments.rs:47-65, effects.rs:59-62,
+    controllers.rs:119-158): every instrument becomes a
+    ToyInstrument(fake_value=0.23498239), every effect a ToyEffect
+    (negator), every controller a ToyController — so project-loading and
+    graph-routing tests run without any real DSP. MIDI channels are
+    preserved; everything else about the song (cables, patterns, tracks,
+    trips) is untouched."""
+    import copy
+
+    from groove_tpu.project.schema import (
+        ControllerSettings,
+        EffectSettings,
+        InstrumentSettings,
+    )
+
+    s = copy.deepcopy(song)
+    for d in s.devices:
+        if d.instrument is not None:
+            d.instrument = InstrumentSettings(
+                kind="toy-instrument", midi_in=d.instrument.midi_in,
+                params={"fake-value": 0.23498239})
+        elif d.effect is not None:
+            d.effect = EffectSettings(kind="toy", params={})
+        elif d.controller is not None:
+            # audio-hybrid controllers stay (a swapped-in ToyController
+            # outputs no audio, so corpus files that patch a passthrough
+            # or calculator mid-cable would hard-error — the point of
+            # this mode is that every shipped project still loads)
+            if d.controller.kind in ("signal-passthrough-controller",
+                                     "calculator"):
+                continue
+            d.controller = ControllerSettings(
+                kind="test", midi_in=d.controller.midi_in,
+                midi_out=d.controller.midi_out, params={})
+    return s
+
+
 def compile_song(
     song: SongSettings,
     paths: Optional[Paths] = None,
     sample_rate: int = 44100,
     events_override: Optional[list] = None,
     end_beats_override=None,
+    load_only_test_entities: bool = False,
 ) -> CompiledSong:
     """events_override/end_beats_override: supply precomputed NoteEvents
-    (e.g. from an SMF import) instead of stamping the song's patterns."""
+    (e.g. from an SMF import) instead of stamping the song's patterns.
+    load_only_test_entities: swap every device for its toy test double
+    before compiling (see swap_test_entities)."""
+    if load_only_test_entities:
+        song = swap_test_entities(song)
     paths = paths or Paths()
     sr = SampleRate(sample_rate)
     tempo = song.clock.tempo

@@ -3,6 +3,7 @@
 but through the real project-file surface."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -135,3 +136,37 @@ def test_sidechain_compiles_and_orders():
     assert ("sidechain-2", "compressor-2", "threshold") in c.sidechain
     # passthrough must be evaluated before its target
     assert c.order.index("sidechain-2") < c.order.index("compressor-2")
+
+
+def test_load_only_test_entities_mode():
+    """The reference loader can swap EVERY device for a toy test double
+    (instruments.rs:47-65 ToyInstrument 0.23498239, effects.rs:59-62
+    ToyEffect negator, controllers.rs:119-158) so graph/routing tests run
+    without real DSP. Every corpus project must still compile and render
+    in this mode, with exactly-predictable audio: each chain contributes
+    (-1)^n_effects * 0.23498239 while its notes gate."""
+    import numpy as np
+
+    from groove_tpu.engine.render import Renderer
+
+    song = SongSettings.from_project_file(
+        Path("/root/reference/projects/demos/effects/drums-filtered-24db.json"))
+    c = compile_song(song, load_only_test_entities=True)
+    dev_kinds = {d.kind for d in c.devices.values()}
+    assert "drumkit" not in dev_kinds and "filter-low-pass-24db" not in dev_kinds
+    out = np.asarray(Renderer(c).render())
+    # one chain: toy-instrument through ONE toy negator
+    nz = out[np.abs(out[:, 0]) > 0]
+    assert nz.size > 0
+    assert np.allclose(np.abs(nz), 0.23498239, atol=1e-6)
+    assert np.all(nz <= 0)  # single negation
+
+
+def test_load_only_test_entities_corpus_loads():
+    """Spot the trickier corpus files: sidechain (passthrough mid-cable)
+    and kitchen-sink (every effect) still compile in toy mode."""
+    for rel in ("projects/demos/controllers/sidechain.json",
+                "test-data/kitchen-sink.json"):
+        song = SongSettings.from_project_file(Path("/root/reference") / rel)
+        c = compile_song(song, load_only_test_entities=True)
+        assert c.n_frames > 0
