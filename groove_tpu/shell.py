@@ -135,6 +135,7 @@ def main(argv=None) -> int:
                 svc.render_loop_wav(
                     args[0], iterations=int(args[1]) if len(args) > 1 else 4)
             elif cmd == "status":
+                svc.sync()  # drain queued edits so the snapshot is current
                 title = svc.song.title if svc.song else None
                 bpm = svc.song.clock.bpm if svc.song else None
                 print(f"title={title!r} bpm={bpm} "
