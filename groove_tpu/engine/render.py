@@ -70,23 +70,25 @@ def _upsample_block(curve, n: int):
     return out[:n]
 
 
-def compute_refine_filters(compiled) -> set:
-    """Host-side fidelity check for AUTOMATED filters (the automation
-    curves are compile-time data): a filter whose sweep touches
-    near-critical poles gets one defect-correction refinement pass
-    (iir.biquad_blockrate_refined) for the -80 dBFS bar — still fully
-    parallel. Static filters already route via biquad_best;
-    sidechain-overridden filters have traced coefficients and keep
-    the plain blocked path (documented). Shared by the whole-timeline
-    Renderer and the StreamingRenderer."""
-    out: set = set()
-    nb = -(-compiled.n_frames // BLOCK)
+def compute_filter_fidelity(compiled) -> dict:
+    """Host-side fidelity routing for EVERY filter device (the automation
+    curves and static params are compile-time data; inside the traced
+    program the coefficients are tracers, so `float(a1)`-style checks can
+    never fire there — the decision MUST happen here). Returns
+    uvid -> "serial" (static deep-corner poles: per-sample scan) or
+    "refine" (near-critical poles anywhere on the trajectory, or the
+    static high-q resonance band: one parallel defect-correction pass).
+    Absent uvids keep the single-pass blocked/Pallas path. Sidechain-
+    overridden filters have truly unknowable coefficients and stay on the
+    blocked path (documented). Shared by the whole-timeline Renderer and
+    the StreamingRenderer."""
+    out: dict = {}
+    nb = max(1, -(-compiled.n_frames // BLOCK))
     sr = float(compiled.sample_rate)
     sidechain_targets = {tgt for _, tgt, _ in compiled.sidechain}
     for dev in compiled.devices.values():
         k = dev.kind
-        if not k.startswith("filter-") or not dev.automation \
-                or dev.uvid in sidechain_targets or nb == 0:
+        if not k.startswith("filter-") or dev.uvid in sidechain_targets:
             continue
 
         def pb(name, default, d=dev):
@@ -133,8 +135,12 @@ def compute_refine_filters(compiled) -> set:
                 continue
             a1 = np.atleast_1d(np.asarray(coefs[3]))
             a2 = np.atleast_1d(np.asarray(coefs[4]))
-        if iir.needs_refinement(a1, a2):
-            out.add(dev.uvid)
+        static = not dev.automation
+        if static and bool(np.all(a1 < iir._CRITICAL_A1)
+                           & np.all(a2 > iir._CRITICAL_A2)):
+            out[dev.uvid] = "serial"
+        elif iir.needs_refinement(a1, a2):
+            out[dev.uvid] = "refine"
 
     return out
 
@@ -147,7 +153,7 @@ class Renderer:
         self.inputs: dict[str, np.ndarray] = {}
         self._spans: dict[str, int] = {}
         self._buckets: dict[str, list] = {}
-        self._refine_filters: set[str] = set()
+        self._filter_modes: dict[str, str] = {}
         self._collect_inputs()
         self._plan_filters()
         # Pin inputs on-device once; sample tables are tens of MB and must
@@ -277,7 +283,15 @@ class Renderer:
         return mono
 
     def _plan_filters(self) -> None:
-        self._refine_filters = compute_refine_filters(self.c)
+        self._filter_modes = compute_filter_fidelity(self.c)
+        # welsh internal-cascade fidelity flags (host decision: the traced
+        # per-note coefficients can't be inspected in-graph)
+        sr = float(self.c.sample_rate)
+        self._welsh_refine = {
+            dev.uvid: welsh_model.needs_filter_refinement(dev.voice, sr)
+            for dev in self.c.devices.values()
+            if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None
+        }
 
     def _param(self, inputs, dev: DeviceIR, name: str, default: float,
                n: int, override=None):
@@ -320,9 +334,15 @@ class Renderer:
         if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
             if dev.voice is None:
                 return jnp.zeros((2, n), jnp.float32)
-            render = (welsh_model.render_notes
-                      if dev.kind != "fm-synthesizer"
-                      else fm_model.render_notes)
+            if dev.kind == "fm-synthesizer":
+                render = fm_model.render_notes
+            else:
+                # host fidelity decision for the voice's internal cascade
+                # (precomputed at init: can't run eager jnp inside trace)
+                rf = self._welsh_refine.get(u, False)
+                render = (lambda p_, k, v, g, s_, sr_, rf_=rf:
+                          welsh_model.render_notes(p_, k, v, g, s_, sr_,
+                                                   refine_filter=rf_))
             mono = jnp.zeros((n,), jnp.float32)
             for j, span in enumerate(self._buckets[u]):
                 mono = mono + self._chunked_mono(
@@ -471,11 +491,11 @@ class Renderer:
                 return float(dev.params.get(name, default))
 
             cutoff = PB("cutoff", 1000.0)
-            refine = dev.uvid in self._refine_filters
+            fidelity = self._filter_modes.get(dev.uvid)
             if k == "filter-low-pass-24db":
                 q = PB("passband-ripple", 0.707)
                 return iir.lp24_apply_blockrate(
-                    x, cutoff, jnp.maximum(q, 1e-3), sr, refine=refine
+                    x, cutoff, jnp.maximum(q, 1e-3), sr, fidelity=fidelity
                 )
             if k == "filter-low-pass-12db":
                 coefs = iir.rbj_low_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
@@ -502,7 +522,7 @@ class Renderer:
             else:
                 warn(f"unknown filter kind {k}; passthrough")
                 return x
-            return iir.biquad_blockrate(x, coefs, refine=refine)
+            return iir.biquad_blockrate(x, coefs, fidelity=fidelity)
         warn(f"unknown effect kind {k}; passthrough")
         return x
 

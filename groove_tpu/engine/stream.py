@@ -77,8 +77,14 @@ class StreamingRenderer:
         self._spans: dict[str, int] = {}
         self._notes_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._caps: dict[str, int] = {}
-        from groove_tpu.engine.render import compute_refine_filters
-        self._refine_filters = compute_refine_filters(compiled)
+        from groove_tpu.engine.render import compute_filter_fidelity
+        self._filter_modes = compute_filter_fidelity(compiled)
+        self._welsh_refine = {
+            dev.uvid: welsh_model.needs_filter_refinement(
+                dev.voice, float(compiled.sample_rate))
+            for dev in compiled.devices.values()
+            if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None
+        }
         self._collect_inputs()
         self.inputs = jax.device_put(self.inputs)
         self._state0 = self._init_state()
@@ -242,7 +248,7 @@ class StreamingRenderer:
                 for i, d_s in enumerate(delayfx.ALLPASS_DELAYS_S):
                     st[f"{u}/ap{i}/w"] = z(2, max(1, int(round(d_s * sr))))
             elif k == "filter-low-pass-24db":
-                if u in self._refine_filters:
+                if self._filter_modes.get(u) == "refine":
                     for i in range(2):
                         for name, v in sops.refined_state_init((2,)).items():
                             st[f"{u}/rf{i}/{name}"] = v
@@ -251,7 +257,7 @@ class StreamingRenderer:
                         st[f"{u}/lp24/{i}/s1"] = z(2)
                         st[f"{u}/lp24/{i}/s2"] = z(2)
             elif k.startswith("filter-"):
-                if u in self._refine_filters:
+                if self._filter_modes.get(u) == "refine":
                     for name, v in sops.refined_state_init((2,)).items():
                         st[f"{u}/rf/{name}"] = v
                 else:
@@ -315,9 +321,13 @@ class StreamingRenderer:
             return out[..., span:span + n]
 
         if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
-            render = (welsh_model.render_notes
-                      if dev.kind != "fm-synthesizer"
-                      else fm_model.render_notes)
+            if dev.kind == "fm-synthesizer":
+                render = fm_model.render_notes
+            else:
+                rf = self._welsh_refine.get(u, False)
+                render = (lambda p_, k, v, g, s_, sr_, rf_=rf:
+                          welsh_model.render_notes(p_, k, v, g, s_, sr_,
+                                                   refine_filter=rf_))
             mono = place(render(dev.voice, keys, vels, gate, span, sr))
             P = lambda name, default: self._param_seg(  # noqa: E731
                 inputs, dev, name, default, t0, n)
@@ -451,7 +461,8 @@ class StreamingRenderer:
                             for c in sec)
                         for sec in secs_b
                     ]
-                refined = u in self._refine_filters
+                refined = self._filter_modes.get(u) == "refine"
+                serial = self._filter_modes.get(u) == "serial"
                 for i, sec in enumerate(secs):
                     if refined:
                         # defect-correction pass with carried histories
@@ -473,6 +484,7 @@ class StreamingRenderer:
                             y, sec,
                             (state[f"{u}/lp24/{i}/s1"],
                              state[f"{u}/lp24/{i}/s2"]),
+                            serial=serial,
                         )
                         new_state[f"{u}/lp24/{i}/s1"] = s1
                         new_state[f"{u}/lp24/{i}/s2"] = s2
@@ -512,7 +524,7 @@ class StreamingRenderer:
                     jnp.asarray(c, jnp.float32), (n // BLOCK,)), n)
                 for c in coefs_b
             )
-            if u in self._refine_filters:
+            if self._filter_modes.get(u) == "refine":
                 coefs = tuple(
                     jnp.broadcast_to(jnp.asarray(cf, jnp.float32), (n,))
                     for cf in coefs)
@@ -524,7 +536,8 @@ class StreamingRenderer:
                     new_state[f"{u}/rf/{name}"] = v
                 return y
             y, (s1, s2) = sops.biquad_stream(
-                x, coefs, (state[f"{u}/bq/s1"], state[f"{u}/bq/s2"]))
+                x, coefs, (state[f"{u}/bq/s1"], state[f"{u}/bq/s2"]),
+                serial=self._filter_modes.get(u) == "serial")
             new_state[f"{u}/bq/s1"] = s1
             new_state[f"{u}/bq/s2"] = s2
             return y

@@ -63,6 +63,41 @@ class WelshNoteBatch:
     gate_frames: jnp.ndarray  # [n] int32
 
 
+def needs_filter_refinement(params: WelshVoiceParams,
+                            sample_rate: float = 44100.0) -> bool:
+    """Host-side fidelity check for the voice's internal 24 dB cascade:
+    the filter envelope can PARK the poles near the unit circle, where
+    the blocked f32 scheme misses the -80 dBFS bar (measured: acid-bass
+    holds 330 Hz at q 4.3 — a2 0.99 — at -62 dBFS over 1.5 s; the
+    defect-correction pass reads -124).
+
+    The flag tests the SUSTAINED cutoff operating points — resting
+    (env = 0 -> start pct) and held (env = sustain level) — ±LFO depth
+    when the LFO routes to the cutoff. Transient attack/decay extremes
+    are excluded: the blocked error accumulates with residence time
+    (the 25 Hz -> 20 kHz sweep passes the corner in milliseconds and
+    measures fine; a parked pole does not), and flagging on the full
+    transient range taxed nearly every patch with the 2x refined solve
+    for corners their notes only brush. HOST-only (eager jnp): call it
+    at renderer init, never inside a trace."""
+    import numpy as np
+
+    fe = params.filter_envelope
+    sustained_envs = [0.0, float(fe.sustain)]
+    pts = [params.filter_cutoff_start
+           + (params.filter_cutoff_end - params.filter_cutoff_start) * e
+           for e in sustained_envs]
+    if params.lfo.routing in ("filter-cutoff", "cutoff-amp"):
+        pts = [p + s * params.lfo.depth for p in pts for s in (-1.0, 1.0)]
+    pcts = np.clip(np.asarray(pts, np.float64), 0.0, 1.0)
+    hz = np.exp(LN_COEF + pcts * LN_BASE).astype(np.float32)
+    q = np.float32(max(params.filter_q, 1e-3))
+    _, secs = iir_ops.lp24_sections(hz, q, sample_rate)
+    a1 = np.stack([np.asarray(s[3]) for s in secs])
+    a2 = np.stack([np.asarray(s[4]) for s in secs])
+    return iir_ops.needs_refinement(a1, a2)
+
+
 def render_notes(
     params: WelshVoiceParams,
     keys,
@@ -71,8 +106,12 @@ def render_notes(
     span: int,
     sample_rate: float,
     noise_seed: int = 0,
+    refine_filter: bool = False,
 ) -> jnp.ndarray:
-    """Render all notes -> mono [n_notes, span]."""
+    """Render all notes -> mono [n_notes, span]. refine_filter: add the
+    defect-correction pass to the cascade (host decision via
+    needs_filter_refinement; the coefficients here are traced, so the
+    in-graph code cannot decide)."""
     keys = jnp.asarray(keys, jnp.float32)
     n_notes = keys.shape[0]
     t = jnp.arange(span, dtype=jnp.float32)[None, :] / sample_rate  # [1, span]
@@ -193,7 +232,8 @@ def render_notes(
         q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
     # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU)
     y = iir_ops.lp24_apply_blockrate(
-        osc_out, jnp.broadcast_to(cutoff_hz, (n_notes, nb)), q, sample_rate
+        osc_out, jnp.broadcast_to(cutoff_hz, (n_notes, nb)), q, sample_rate,
+        refine=refine_filter,
     )
 
     # Amp envelope + velocity + amplitude LFO.

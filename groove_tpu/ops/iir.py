@@ -289,12 +289,30 @@ def _near_critical_static(coefs) -> bool:
     return a1 < _CRITICAL_A1 and a2 > _CRITICAL_A2
 
 
+def _near_refinable_static(coefs) -> bool:
+    """Static poles in the band between the plan thresholds and the
+    serial thresholds: high-q resonant filters (measured: 1 kHz q=20 is
+    -78.6 dBFS through the blocked scheme — a1 -1.973, a2 0.993 — while
+    the serial corner check doesn't fire). These get the parallel
+    defect-correction pass instead of the serial scan."""
+    try:
+        a1 = float(coefs[3])
+        a2 = float(coefs[4])
+    except Exception:
+        return False
+    return a1 < _PLAN_A1 and a2 > _PLAN_A2
+
+
 def biquad_best(x: jax.Array, coefs, axis: int = -1) -> jax.Array:
     """biquad via the Pallas kernel on TPU (bit-identical to the XLA
-    blocked scan), the blocked scan elsewhere; static near-critical poles
-    take the serial scan on all backends for the -80 dBFS fidelity bar."""
+    blocked scan), the blocked scan elsewhere. Fidelity dispatch for the
+    -80 dBFS bar: static near-critical poles (deep corner) take the
+    serial scan; the refinable band (high-q resonances) takes the
+    parallel defect-correction pass."""
     if _near_critical_static(coefs):
         return biquad_serial(x, coefs, axis=axis)
+    if axis == -1 and _near_refinable_static(coefs):
+        return biquad_blockrate_refined(x, coefs)
     if axis == -1 and _pallas_available():
         from groove_tpu.ops.pallas_iir import biquad_pallas
         return biquad_pallas(x, coefs)
@@ -397,23 +415,35 @@ def biquad_blockrate_refined(x, coefs_b, cblock: int = CONTROL_BLOCK):
 
 
 def biquad_blockrate(x: jax.Array, coefs_b, cblock: int = CONTROL_BLOCK,
-                     refine: bool = False):
+                     fidelity=None):
     """Biquad with BLOCK-RATE coefficients (held for cblock samples — the
     reference recomputes filter coefficients at 64-frame control
     granularity, orchestrator.rs:631-708). coefs_b entries broadcast
     against x.shape[:-1] + (ceil(n/cblock),). Pallas on TPU; on other
     backends the coefs are upsampled and run through the blocked scan with
-    the same grouping, so results are bit-identical. `refine` (from
-    needs_refinement) adds the defect-correction pass for near-critical
-    automation sweeps (the -80 dBFS fidelity bar)."""
+    the same grouping, so results are bit-identical.
+
+    fidelity: None | "refine" | "serial" — the HOST-side routing decision
+    (engine/render.compute_filter_fidelity). It must be passed in:
+    coefficients are tracers inside the compiled program, so the
+    `_near_critical_static` checks below can only fire for EAGER calls
+    (the ops-level tests); in-graph they are inert by construction."""
     n = x.shape[-1]
+    if fidelity == "serial":
+        if any(jnp.ndim(c) > 0 for c in coefs_b):
+            coefs_b = tuple(
+                upsample_hold(jnp.broadcast_to(
+                    jnp.asarray(c, jnp.float32),
+                    x.shape[:-1] + (-(-n // cblock),)), n, cblock)
+                for c in coefs_b)
+        return biquad_serial(x, coefs_b)
+    if fidelity == "refine":
+        return biquad_blockrate_refined(x, coefs_b, cblock)
     if all(jnp.ndim(c) == 0 for c in coefs_b):
-        # static filter: no block-rate machinery needed (and the serial
-        # low-cutoff fidelity path applies)
+        # static filter: no block-rate machinery needed (eager callers
+        # also get the fidelity dispatch inside biquad_best)
         return biquad_best(x, coefs_b)
     nb = -(-n // cblock)
-    if refine:
-        return biquad_blockrate_refined(x, coefs_b, cblock)
     cshape = x.shape[:-1] + (nb,)
     cb_f = tuple(
         jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape)
@@ -423,18 +453,30 @@ def biquad_blockrate(x: jax.Array, coefs_b, cblock: int = CONTROL_BLOCK,
 
 
 def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
-                         cblock: int = CONTROL_BLOCK, refine: bool = False):
+                         cblock: int = CONTROL_BLOCK, refine: bool = False,
+                         fidelity=None):
     """24 dB cascade with block-rate cutoff/q ([..., ceil(n/cblock)] or
     scalar). The per-sample gain (x * gain) is applied identically on both
     paths; the fused Pallas kernel then runs both sections in VMEM."""
     n = x.shape[-1]
+    if fidelity is None and refine:
+        fidelity = "refine"
     if jnp.ndim(cutoff_b) == 0 and jnp.ndim(q_b) == 0:
-        # static cascade: plain sections; near-critical cutoffs go serial
+        # static cascade; fidelity is the HOST routing decision (tracer
+        # coefficients make the _near_*_static checks inert in-graph —
+        # they still serve eager ops-level callers)
         gain_s, secs_s = lp24_sections(cutoff_b, q_b, sample_rate)
         y = x * gain_s
-        if all(_near_critical_static(s) for s in secs_s):
+        if fidelity == "serial" \
+                or all(_near_critical_static(s) for s in secs_s):
             for sec in secs_s:
                 y = biquad_serial(y, sec)
+            return y
+        if fidelity == "refine" \
+                or any(_near_refinable_static(s) for s in secs_s):
+            # high-q resonance band: parallel defect correction
+            for sec in secs_s:
+                y = biquad_blockrate_refined(y, sec, cblock)
             return y
         if _pallas_available():
             from groove_tpu.ops.pallas_iir import lp24_cascade_pallas
@@ -447,7 +489,16 @@ def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
     cutoff_b = jnp.broadcast_to(jnp.asarray(cutoff_b, jnp.float32), cshape)
     gain_b, sections_b = lp24_sections(cutoff_b, q_b, sample_rate)
     y = x * upsample_hold(jnp.broadcast_to(gain_b, cshape), n, cblock)
-    if refine:
+    if fidelity in ("refine", "serial"):
+        # "serial" can only arrive for a static device; an automated one
+        # always classifies as refine — refined is the parallel answer
+        if _pallas_available():
+            # fused kernel: both sections' solve+defect+correction in one
+            # launch with the correction reusing the solve prefix rows —
+            # the 4-launch XLA formulation measured 2.4x the unrefined
+            # cascade on the welsh-heavy SMF workload
+            from groove_tpu.ops.pallas_iir import lp24_refined_blockrate_pallas
+            return lp24_refined_blockrate_pallas(y, sections_b, cblock)
         for sec in sections_b:
             y = biquad_blockrate_refined(y, sec, cblock)
         return y

@@ -588,3 +588,244 @@ def cascade2_pallas(x, coefs_a, coefs_b, interpret: bool = False):
         biquad_pallas(x, coefs_a, interpret=interpret), coefs_b,
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused REFINED lp24 cascade (block-rate coefficients): both sections'
+# solve + defect + correction in ONE kernel. The naive refined path costs
+# 4 single-section kernel launches (2 solves + 2 correction solves) plus
+# full-tile defect traffic through HBM; here the correction REUSES the
+# solve's in-block prefix rows (p11/p12 — the homogeneous part depends
+# only on the denominators, which solve and correction share), so its
+# phase 1 is an r-only scan (~60% cheaper), the defect is computed
+# in-VMEM, and nothing but x and y touch HBM. Defect algebra matches
+# ops/iir.biquad_blockrate_refined (see its docstring for why the
+# shifted-coefficient TDF2 form and the epsilon regrouping are load-
+# bearing); the numerators here are the cascade's constant (1, 2, 1).
+
+
+def _corr_phase1(read_nad, ln, w8, q1c_s):
+    """r-only in-block scan for the correction filter (numerator (1,0,0)):
+    the prefix MAPS are the solve's (same denominators); only the c-term
+    accumulation runs. Writes SHIFTED r1 prefixes; returns the block-end
+    (r1, r2)."""
+
+    def step(j, carry):
+        r1, r2 = carry
+        na1, na2, dj = read_nad(j)
+        q1c_s[j] = r1
+        r1n = na1 * r1 + r2 + na1 * dj
+        r2n = na2 * r1 + na2 * dj
+        return (r1n, r2n)
+
+    zeros = jnp.zeros(w8, jnp.float32)
+    return jax.lax.fori_loop(0, ln, step, (zeros, zeros))
+
+
+def _make_kernel_lp24_refined_blk(ln, T, cblock):
+    shift = cblock.bit_length() - 1
+    lb = ln // cblock
+
+    def kernel(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
+               s_ref, p11_s, p12_s, q1_s, y0_s, ya_s, d_s, edge_s):
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _init():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            edge_s[...] = jnp.zeros_like(edge_s)
+
+        w8 = x_ref.shape[-2:]
+        cb = w8[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, w8, 1)
+
+        def shifted_rows(tile, lag1_edge, lag2_edge):
+            """[ln, R, cb] -> (shift-by-1, shift-by-2) along the absolute
+            sample order (j fastest, k next, chunks via edges; edge rows
+            are [R, cb] lane-broadcasts of the previous chunk's last
+            samples, consumed at lane 0)."""
+            top1 = jnp.where(lane == 0, lag1_edge,
+                             pltpu.roll(tile[ln - 1], 1, 1))
+            top2 = jnp.where(lane == 0, lag2_edge,
+                             pltpu.roll(tile[ln - 2], 1, 1))
+            sh1 = jnp.concatenate([top1[None], tile[:-1]], axis=0)
+            sh2 = jnp.concatenate([top2[None], sh1[:-1]], axis=0)
+            return sh1, sh2
+
+        def coef_shifted(c_ref, ce_edge):
+            """Per-sample-shifted block-rate coefficient rows: value at
+            sample i is the coef of block (i-1)>>6. Returns a list of lb+1
+            row values: index r covers samples j with (j-1)>>6 == r-1,
+            i.e. rows[0] is the j=0 special row."""
+            prev = jnp.where(lane == 0, ce_edge,
+                             pltpu.roll(c_ref[0, lb - 1], 1, 1))
+            return [prev] + [c_ref[0, r] for r in range(lb)]
+
+        def defect_into(d_s, z_tile, y0_tile, na1_ref, na2_ref,
+                        ze1, ze2, ye1, ye2, ce1, ce2):
+            """d = (z + 2 z1 + z2) - ((y0-y1)-(y1-y2)) - e1 y1 - e2 y2,
+            evaluated per coefficient row block to bound VMEM temps.
+            e1 = 2 - na1s, e2 = -na2s - 1 (na tiles are negated denoms)."""
+            z1, z2 = shifted_rows(z_tile, ze1, ze2)
+            y1v, y2v = shifted_rows(y0_tile, ye1, ye2)
+            na1_rows = coef_shifted(na1_ref, ce1)
+            na2_rows = coef_shifted(na2_ref, ce2)
+            for jb in range(lb):
+                lo, hi = jb * cblock, (jb + 1) * cblock
+                zb = z_tile[lo:hi]
+                z1b, z2b = z1[lo:hi], z2[lo:hi]
+                y0b, y1b, y2b = y0_tile[lo:hi], y1v[lo:hi], y2v[lo:hi]
+                # shifted-coefficient rows: a1 is indexed at sample i-1
+                # (block (i-1)>>6: the previous row at exactly j == lo),
+                # a2 at sample i-2 (block (i-2)>>6: the previous row for
+                # the first TWO rows of the block — and both land in the
+                # same previous block, so they share one carried value)
+                na1_hold = jnp.broadcast_to(na1_rows[jb + 1][None],
+                                            (hi - lo,) + w8)
+                na2_hold = jnp.broadcast_to(na2_rows[jb + 1][None],
+                                            (hi - lo,) + w8)
+                na1s = jnp.concatenate([na1_rows[jb][None],
+                                        na1_hold[1:]], axis=0)
+                na2s = jnp.concatenate([na2_rows[jb][None],
+                                        na2_rows[jb][None],
+                                        na2_hold[2:]], axis=0)
+                e1 = 2.0 - na1s
+                e2 = -na2s - 1.0
+                second = (y0b - y1b) - (y1b - y2b)
+                d_s[lo:hi] = (zb + 2.0 * z1b + z2b) - second \
+                    - e1 * y1b - e2 * y2b
+
+        def solve(read, srow):
+            M = _phase1(read, ln, w8, p11_s, p12_s, q1_s)
+            S1, S2 = _phase2(M, s_ref, srow, T, w8)
+            return M, S1, S2
+
+        def correction(M, na1_ref, na2_ref, srow):
+            def read_nad(j):
+                jb = j >> shift
+                return (na1_ref[0, jb], na2_ref[0, jb], d_s[j])
+
+            r1, r2 = _corr_phase1(read_nad, ln, w8, q1_s)
+            m11, m12, m21, m22 = M[0], M[1], M[2], M[3]
+            S1, S2 = _phase2((m11, m12, m21, m22, r1, r2),
+                             s_ref, srow, T, w8)
+            return S1, S2
+
+        def edge_update(base, z_tile, y0_tile, na1_ref, na2_ref):
+            def bc(row):
+                return jnp.broadcast_to(row[:, cb - 1:cb], w8)
+
+            edge_s[base + 0] = bc(z_tile[ln - 1])
+            edge_s[base + 1] = bc(z_tile[ln - 2])
+            edge_s[base + 2] = bc(y0_tile[ln - 1])
+            edge_s[base + 3] = bc(y0_tile[ln - 2])
+            edge_s[base + 4] = bc(na1_ref[0, lb - 1])
+            edge_s[base + 5] = bc(na2_ref[0, lb - 1])
+
+        # ---- section A --------------------------------------------------
+        def read_a(j):
+            jb = j >> shift
+            na1 = na1a_ref[0, jb]
+            na2 = na2a_ref[0, jb]
+            xj = x_ref[0, j]
+            return (na1, na2, (2.0 + na1) * xj, (1.0 + na2) * xj)
+
+        # NOTE the sign convention: the coef tiles hold the POSITIVE
+        # denominator feedbacks na = -a; the constant numerators (1,2,1)
+        # give c-terms (2 - (-na)) ... == (2 + na), matching the existing
+        # lp24 kernels.
+        Ma, S1a, S2a = solve(read_a, 0)
+        y0_s[...] = x_ref[0] + (
+            p11_s[...] * S1a[None] + p12_s[...] * S2a[None] + q1_s[...]
+        )
+        ea = [edge_s[i] for i in range(6)]
+        defect_into(d_s, x_ref[0], y0_s[...], na1a_ref, na2a_ref, *ea)
+        edge_update(0, x_ref[0], y0_s[...], na1a_ref, na2a_ref)
+        S1c, S2c = correction(Ma, na1a_ref, na2a_ref, 2)
+        ya_s[...] = y0_s[...] + (
+            d_s[...] + p11_s[...] * S1c[None] + p12_s[...] * S2c[None]
+            + q1_s[...]
+        )
+
+        # ---- section B --------------------------------------------------
+        def read_b(j):
+            jb = j >> shift
+            na1 = na1b_ref[0, jb]
+            na2 = na2b_ref[0, jb]
+            zj = ya_s[j]
+            return (na1, na2, (2.0 + na1) * zj, (1.0 + na2) * zj)
+
+        Mb, S1b, S2b = solve(read_b, 4)
+        y0_s[...] = ya_s[...] + (
+            p11_s[...] * S1b[None] + p12_s[...] * S2b[None] + q1_s[...]
+        )
+        eb = [edge_s[8 + i] for i in range(6)]
+        defect_into(d_s, ya_s[...], y0_s[...], na1b_ref, na2b_ref, *eb)
+        edge_update(8, ya_s[...], y0_s[...], na1b_ref, na2b_ref)
+        S1d, S2d = correction(Mb, na1b_ref, na2b_ref, 6)
+        y_ref[0] = y0_s[...] + (
+            d_s[...] + p11_s[...] * S1d[None] + p12_s[...] * S2d[None]
+            + q1_s[...]
+        )
+
+    return kernel, lb
+
+
+@functools.partial(jax.jit, static_argnames=("cblock", "interpret"))
+def _lp24_refined_blk_2d(x, na1a, na2a, na1b, na2b, cblock: int,
+                         interpret: bool = False):
+    B, n = x.shape
+    # 7 full-tile scratches bound VMEM: R caps at 16 here
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock, max_r=16)
+    kernel, lb = _make_kernel_lp24_refined_blk(ln, T, cblock)
+    nb64 = na1a.shape[-1]
+    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp, R)  # noqa: E731
+    spec = _spec(ln, R, cb)
+    bspec = pl.BlockSpec((1, lb, R, cb), lambda g, i: (g, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(G, nchunks),
+        in_specs=[spec] + [bspec] * 4,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, R, cb), jnp.float32),    # 4 state pairs
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # p11 rows
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # p12 rows
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # q1 rows (solve+corr)
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # y0 staging
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # refined A staging
+            pltpu.VMEM((ln, R, cb), jnp.float32),   # defect staging
+            pltpu.VMEM((16, R, cb), jnp.float32),   # chunk-edge carries
+        ],
+        interpret=interpret,
+    )(_pad_fold(x, B, n, G, ln, nbp, R), foldb(na1a), foldb(na2a),
+      foldb(na1b), foldb(na2b))
+    return _unfold(y, B, n)
+
+
+def lp24_refined_blockrate_pallas(x, sections_b, cblock: int = 64,
+                                  interpret: bool = False):
+    """Fused lp24 cascade WITH the defect-correction refinement pass
+    (cf. ops/iir.biquad_blockrate_refined): one kernel, intermediates in
+    VMEM, correction reusing the solve prefix rows."""
+    shape = x.shape
+    flat = _flat(x)
+    nb64 = -(-shape[-1] // cblock)
+    cshape = shape[:-1] + (nb64,)
+
+    def denoms(sec):
+        _, _, _, a1, a2 = sec
+        return (
+            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+        )
+
+    na1a, na2a = denoms(sections_b[0])
+    na1b, na2b = denoms(sections_b[1])
+    out = _lp24_refined_blk_2d(flat, na1a, na2a, na1b, na2b, cblock,
+                               interpret=interpret)
+    return out.reshape(shape)

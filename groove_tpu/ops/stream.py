@@ -41,15 +41,17 @@ STREAM_BLOCK = 64  # the reference's SAMPLE_BUFFER_SIZE / control cadence
 # biquad with state handoff (block = 64, segmentation-invariant)
 
 
-def biquad_stream(x, coefs, state):
+def biquad_stream(x, coefs, state, serial: bool = False):
     """One biquad section over a segment; x: [..., S] with S % 64 == 0.
 
     state: (s1, s2) TDF2 state entering the segment (each [...batch]).
-    Returns (y, (s1', s2')). Static near-critical poles take the strictly
-    serial per-sample scan (the −80 dBFS fidelity bar, ops/iir.py) — also
+    Returns (y, (s1', s2')). serial=True (the HOST-side fidelity decision,
+    engine/render.compute_filter_fidelity — in-graph coefficients are
+    tracers, so no check here could fire) takes the strictly serial
+    per-sample scan for deep near-critical poles — also
     segmentation-invariant since it is fully serial.
     """
-    if iir._near_critical_static(coefs):
+    if serial or iir._near_critical_static(coefs):
         return biquad_serial_stream(x, coefs, state)
     y, exit_state, _ = iir.biquad(
         x, coefs, block=STREAM_BLOCK,

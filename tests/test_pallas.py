@@ -139,3 +139,74 @@ def test_cascade2_matches_sequential_sections(rng):
     y_ref = iir.biquad(iir.biquad(xg, secs[0]), secs[1])
     y_pl = cascade2_pallas(xg, secs[0], secs[1], interpret=True)
     assert float(jnp.max(jnp.abs(y_pl - y_ref))) < 1e-4
+
+
+def test_lp24_refined_kernel_matches_xla_on_sweep(rng):
+    """The fused refined cascade (solve + defect + correction per section
+    in one kernel) vs the XLA per-section refined path on the north-star
+    sweep shapes, multi-chunk, with row padding."""
+    from groove_tpu.ops.pallas_iir import lp24_refined_blockrate_pallas
+
+    sr = 44100.0
+    cblock = 64
+    n = 165376
+    B = 3
+    nb = -(-n // cblock)
+    hz = np.asarray(25.0 * (800.0 ** np.linspace(0, 1, nb)), np.float32)
+    x = (rng.standard_normal((B, n)) * 0.3).astype(np.float32)
+    gain_b, secs = iir.lp24_sections(jnp.asarray(hz), jnp.float32(0.707), sr)
+    xg = jnp.asarray(x) * iir.upsample_hold(gain_b, n)
+    secs_bc = [
+        tuple(jnp.broadcast_to(jnp.asarray(c, jnp.float32), (B, nb))
+              for c in s_)
+        for s_ in secs
+    ]
+    y_ref = xg
+    for sec in secs_bc:
+        y_ref = iir.biquad_blockrate_refined(y_ref, sec, cblock)
+    y_pl = lp24_refined_blockrate_pallas(xg, secs_bc, cblock, interpret=True)
+    # both are refined approximations of the same f64 truth (each ~-88
+    # dBFS); their mutual difference is of that order
+    assert float(jnp.max(jnp.abs(y_pl - y_ref))) < 2e-4
+
+
+def test_lp24_refined_kernel_beats_bar_on_parked_resonance(rng):
+    """The acid-bass operating point (330 Hz at q 4.3 held): the plain
+    blocked cascade measures -62 dBFS vs f64; the fused refined kernel
+    must clear -80 (measures ~-140)."""
+    from groove_tpu.ops.pallas_iir import lp24_refined_blockrate_pallas
+
+    sr = 44100.0
+    cblock = 64
+    n = 65536
+    nb = n // cblock
+    hz = np.full(nb, 330.0, np.float32)
+    x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    gain_b, secs = iir.lp24_sections(jnp.asarray(hz), jnp.float32(4.307), sr)
+    xg = np.asarray(jnp.asarray(x) * iir.upsample_hold(gain_b, n))
+
+    def serial64(inp, sec):
+        cs = [np.asarray(iir.upsample_hold(jnp.broadcast_to(
+            jnp.asarray(c, jnp.float32), (nb,)), n), np.float64)
+            for c in sec]
+        b0, b1, b2, a1, a2 = cs
+        y = inp.astype(np.float64)
+        out = np.empty(n)
+        s1 = s2 = 0.0
+        for i in range(n):
+            yi = b0[i] * y[i] + s1
+            s1 = b1[i] * y[i] - a1[i] * yi + s2
+            s2 = b2[i] * y[i] - a2[i] * yi
+            out[i] = yi
+        return out
+
+    y64 = serial64(serial64(xg, secs[0]), secs[1])
+    secs_bc = [
+        tuple(jnp.broadcast_to(jnp.asarray(c, jnp.float32), (1, nb))
+              for c in s_)
+        for s_ in secs
+    ]
+    y_pl = np.asarray(lp24_refined_blockrate_pallas(
+        jnp.asarray(xg[None]), secs_bc, cblock, interpret=True))[0]
+    db = 20 * np.log10(float(np.abs(y_pl - y64).max()) + 1e-30)
+    assert db <= -80.0, f"{db:.1f} dBFS"
