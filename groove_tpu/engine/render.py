@@ -103,8 +103,8 @@ def compute_filter_fidelity(compiled) -> dict:
         if k == "filter-low-pass-24db":
             q = np.maximum(pb("passband-ripple", 0.707), 1e-3)
             _, secs = iir.lp24_sections(cutoff, q, sr)
-            # OR the two sections per block (leading dim is OR'd by
-            # near_critical_plan)
+            # OR the two sections per block (leading dims are OR'd by
+            # iir.needs_refinement)
             a1 = np.stack([np.broadcast_to(np.asarray(s[3]), (nb,))
                            for s in secs])
             a2 = np.stack([np.broadcast_to(np.asarray(s[4]), (nb,))

@@ -9,12 +9,17 @@ exploit that a biquad is a *linear* 2-state recurrence:
     state s[n] = A[n] @ s[n-1] + c[n]         (affine map per sample)
     y[n]       = b0[n] x[n] + s1[n-1]         (transposed direct form II)
 
-Affine maps compose associatively, so the whole filter — even with
-*per-sample time-varying coefficients* (filter-cutoff automation, Welsh
-filter envelopes) — runs as one `jax.lax.associative_scan` over the time
-axis: O(n) work, O(log n) depth, pure VPU elementwise ops. This is the
-TPU-native replacement for the reference's stateful `transform_audio` chain,
-and is exact (same recurrence, reordered floating-point only).
+Affine maps compose, so the whole filter — even with *per-sample
+time-varying coefficients* (filter-cutoff automation, Welsh filter
+envelopes) — runs as a two-level blocked scheme: serial in-block prefix
+maps batched over all blocks at once, plus a serial cross-block state
+scan (sequential depth block + n/block, not n). A pure
+`associative_scan` doubling formulation was measured to DIVERGE in f32
+at low cutoffs (see biquad's docstring), which is why both levels stay
+serial; fidelity corners additionally route through a per-sample serial
+scan or a defect-correction pass (see biquad_best / the `fidelity`
+params). This is the TPU-native replacement for the reference's stateful
+`transform_audio` chain.
 
 TDF2 state update, derived by substituting y[n] into the canonical form:
     s1[n] = (b1 - a1*b0) x[n] - a1 s1[n-1] + s2[n-1]
@@ -217,9 +222,8 @@ def biquad_serial(x: jax.Array, coefs, axis: int = -1,
     throughput.
 
     coefs entries may be scalars or per-sample arrays broadcastable to
-    x's shape (time-varying near-critical segments of an automation
-    plan, see near_critical_plan). initial_state/return_state carry the
-    TDF2 state across plan segments exactly."""
+    x's shape (time-varying coefficients). initial_state/return_state
+    carry the TDF2 state across segments exactly."""
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
     per_sample = any(jnp.ndim(c) > 0 for c in coefs)
