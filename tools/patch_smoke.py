@@ -46,7 +46,8 @@ def main() -> int:
         params = WelshPatchSettings.by_name(paths, name)\
             .derive_welsh_voice_params()
         out = np.asarray(welsh_model.render_notes(
-            params, keys, vels, gates, span, 44100.0
+            params, keys, vels, gates, span, 44100.0,
+            refine_filter=welsh_model.needs_filter_refinement(params),
         ))
         peak = float(np.abs(out).max())
         rms = float(np.sqrt((out**2).mean()))
