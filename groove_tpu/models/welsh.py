@@ -9,9 +9,10 @@ as "dual oscillators with a low-pass filter and LFO") renders per sample:
     -> DCA
 
 Here the whole voice is one fused tensor program over [n_notes, span]:
-closed-form phases, closed-form ADSRs, per-sample-coefficient 24 dB filter
-via the associative-scan IIR engine (ops/iir.py), everything VPU-parallel
-across notes and samples.
+closed-form phases, closed-form ADSRs, block-rate-coefficient 24 dB filter
+via the two-level blocked IIR engine (ops/iir.py; flagged patches add the
+defect-correction fidelity pass), everything VPU-parallel across notes and
+samples.
 
 Reconstruction decisions (voice body missing at HEAD; documented for
 review):
@@ -80,8 +81,6 @@ def needs_filter_refinement(params: WelshVoiceParams,
     transient range taxed nearly every patch with the 2x refined solve
     for corners their notes only brush. HOST-only (eager jnp): call it
     at renderer init, never inside a trace."""
-    import numpy as np
-
     fe = params.filter_envelope
     sustained_envs = [0.0, float(fe.sustain)]
     pts = [params.filter_cutoff_start
@@ -233,7 +232,7 @@ def render_notes(
     # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU)
     y = iir_ops.lp24_apply_blockrate(
         osc_out, jnp.broadcast_to(cutoff_hz, (n_notes, nb)), q, sample_rate,
-        refine=refine_filter,
+        fidelity="refine" if refine_filter else None,
     )
 
     # Amp envelope + velocity + amplitude LFO.

@@ -457,14 +457,11 @@ def biquad_blockrate(x: jax.Array, coefs_b, cblock: int = CONTROL_BLOCK,
 
 
 def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
-                         cblock: int = CONTROL_BLOCK, refine: bool = False,
-                         fidelity=None):
+                         cblock: int = CONTROL_BLOCK, fidelity=None):
     """24 dB cascade with block-rate cutoff/q ([..., ceil(n/cblock)] or
     scalar). The per-sample gain (x * gain) is applied identically on both
     paths; the fused Pallas kernel then runs both sections in VMEM."""
     n = x.shape[-1]
-    if fidelity is None and refine:
-        fidelity = "refine"
     if jnp.ndim(cutoff_b) == 0 and jnp.ndim(q_b) == 0:
         # static cascade; fidelity is the HOST routing decision (tracer
         # coefficients make the _near_*_static checks inert in-graph —

@@ -233,7 +233,7 @@ def test_automated_sweep_meets_80dbfs_bar():
     y_ref = _tv_serial_ref64((x * gain_up).astype(np.float64), secs_up)
 
     y = np.asarray(iir.lp24_apply_blockrate(
-        jnp.asarray(x), jnp.asarray(hz), 0.707, sr, refine=True))
+        jnp.asarray(x), jnp.asarray(hz), 0.707, sr, fidelity="refine"))
     db = 20 * np.log10(float(np.abs(y.astype(np.float64) - y_ref).max())
                        + 1e-30)
     assert db <= -80.0, f"{db:.1f} dBFS"
@@ -366,7 +366,7 @@ def test_welsh_cascade_fidelity_flag_and_bar():
     ]
     y_ref = _tv_serial_ref64((x * gain_up).astype(np.float64), secs_up)
     y = np.asarray(iir.lp24_apply_blockrate(
-        jnp.asarray(x), jnp.asarray(hz), q, 44100.0, refine=True))
+        jnp.asarray(x), jnp.asarray(hz), q, 44100.0, fidelity="refine"))
     db = 20 * np.log10(float(np.abs(y.astype(np.float64) - y_ref).max())
                        + 1e-30)
     assert db <= -80.0, f"{db:.1f} dBFS"
