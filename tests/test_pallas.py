@@ -210,3 +210,47 @@ def test_lp24_refined_kernel_beats_bar_on_parked_resonance(rng):
         jnp.asarray(xg[None]), secs_bc, cblock, interpret=True))[0]
     db = 20 * np.log10(float(np.abs(y_pl - y64).max()) + 1e-30)
     assert db <= -80.0, f"{db:.1f} dBFS"
+
+
+def test_lp24_refined_kernel_beats_bar_on_deep_corner(rng):
+    """The deepest reachable welsh operating point (octave-switch rests
+    its cascade at 25 Hz with q 5.33): the fused kernel must clear the
+    -80 dBFS bar (measures ~-101; the XLA per-section refined fallback
+    converges too slowly here — section A's output sits in f32 noise and
+    section B's resonance amplifies it — which is why the TPU kernel is
+    the production path and the CPU deviation is documented)."""
+    from groove_tpu.ops.pallas_iir import lp24_refined_blockrate_pallas
+
+    sr = 44100.0
+    cblock = 64
+    n = 8192
+    nb = n // cblock
+    hz = np.full(nb, 25.0, np.float32)
+    x = (rng.standard_normal((1, n)) * 0.3).astype(np.float32)
+    gain_b, secs = iir.lp24_sections(jnp.asarray(hz), jnp.float32(5.331), sr)
+    xg = np.asarray(jnp.asarray(x) * iir.upsample_hold(gain_b, n))
+    secs_bc = [
+        tuple(jnp.broadcast_to(jnp.asarray(c, jnp.float32), (1, nb))
+              for c in s_)
+        for s_ in secs
+    ]
+
+    def serial64(inp, sec):
+        cs = [np.asarray(iir.upsample_hold(jnp.asarray(c[0]), n), np.float64)
+              for c in sec]
+        b0, b1, b2, a1, a2 = cs
+        y = inp.astype(np.float64)
+        out = np.empty(n)
+        s1 = s2 = 0.0
+        for i in range(n):
+            yi = b0[i] * y[i] + s1
+            s1 = b1[i] * y[i] - a1[i] * yi + s2
+            s2 = b2[i] * y[i] - a2[i] * yi
+            out[i] = yi
+        return out
+
+    y64 = serial64(serial64(xg[0], secs_bc[0]), secs_bc[1])
+    y_pl = np.asarray(lp24_refined_blockrate_pallas(
+        jnp.asarray(xg), secs_bc, cblock, interpret=True))[0]
+    db = 20 * np.log10(float(np.abs(y_pl - y64).max()) + 1e-30)
+    assert db <= -80.0, f"{db:.1f} dBFS"
