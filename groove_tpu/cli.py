@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "incrementally as segments arrive")
     p.add_argument("--segment-frames", type=int, default=65536,
                    help="streamed segment length (multiple of 64)")
+    p.add_argument("--multidevice", action="store_true",
+                   help="partition the song graph into independent "
+                        "components and render them concurrently across "
+                        "all visible devices (parallel/multidevice.py)")
     p.add_argument("--loop", nargs=2, type=float, metavar=("START", "END"),
                    help="bounce a loop range (beats): renders [0, END) then "
                         "--loop-iterations passes of [START, END) with "
@@ -103,13 +107,23 @@ def main(argv=None) -> int:
         if args.stream:
             _render_streamed(compiled, input_filename, args)
             continue
-        renderer = Renderer(compiled)
+        if args.multidevice:
+            from groove_tpu.parallel.multidevice import MultiDeviceRenderer
+            renderer = MultiDeviceRenderer(compiled)
+            if not args.quiet:
+                import jax as _jax
+                print(f"Multi-device: {len(renderer.assignments)} components "
+                      f"across {len(_jax.devices())} device(s)")
+        else:
+            renderer = Renderer(compiled)
         if args.perf:
             print(f"Orchestrator instantiation time: "
                   f"{time.perf_counter() - t0:.2f}s")
-        if args.debug:
+        if args.debug and not args.multidevice:
             # per-entity device timing, like the reference's dipstick
-            # metrics (--perf + `metrics` feature)
+            # metrics (--perf + `metrics` feature); the multidevice
+            # renderer is a set of per-component programs, not one
+            # profileable graph
             from groove_tpu.utils.profiling import profile_render
             for name, seconds in profile_render(renderer):
                 print(f"  {name}: {seconds * 1000:.2f} ms")

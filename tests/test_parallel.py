@@ -123,3 +123,28 @@ def test_multidevice_render_matches_single(rel):
     assert single.shape == multi.shape
     peak = max(1.0, float(np.abs(single).max()))
     assert float(np.abs(single - multi).max()) <= 1e-6 * peak
+
+
+def test_cli_multidevice_render(tmp_path):
+    """--multidevice renders through the component partitioner and writes
+    the same WAV (1 LSB) as the single-device path."""
+    import shutil
+
+    from groove_tpu.cli import main as cli_main
+    from groove_tpu.io.wav import read_wav
+
+    src = REF / "test-data/perf-1.json"
+    proj = tmp_path / "perf-1.json"
+    shutil.copy(src, proj)
+    a_dir = tmp_path / "single"
+    b_dir = tmp_path / "multi"
+    a_dir.mkdir()
+    b_dir.mkdir()
+    assert cli_main([str(proj), "--wav", "--quiet",
+                     "--out-dir", str(a_dir)]) == 0
+    assert cli_main([str(proj), "--wav", "--quiet", "--multidevice",
+                     "--out-dir", str(b_dir)]) == 0
+    wa, _ = read_wav(a_dir / "perf-1.wav")
+    wb, _ = read_wav(b_dir / "perf-1.wav")
+    assert wa.shape == wb.shape
+    assert float(np.abs(wa - wb).max()) <= (1.0 / 32768) + 1e-9
