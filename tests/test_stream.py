@@ -206,3 +206,19 @@ def test_cli_loop_bounce(tmp_path):
     audio, rate = read_wav(tmp_path / "drums-reverb.wav")
     assert rate == 44100
     assert audio.shape[0] == le + 2 * (le - ls)
+
+
+def test_streamed_smf_import_matches_whole_timeline():
+    """An SMF import (multi-channel GM welsh + channel-10 drums) through
+    the streamed path: bitwise segmentation invariance plus tolerance
+    equivalence to the whole-timeline render."""
+    from groove_tpu.compiler.song import compile_midi_file
+
+    c = compile_midi_file(REF / "test-data/midi/sound_of_music.mid")
+    one_seg = -(-c.n_frames // 64) * 64
+    one = StreamingRenderer(c, segment_frames=one_seg).render()
+    many = StreamingRenderer(c, segment_frames=16384).render()
+    assert np.array_equal(one, many)
+    whole = np.asarray(Renderer(c).render())
+    peak = max(1.0, float(np.abs(whole).max()))
+    assert float(np.abs(whole - many).max()) < 1e-4 * peak
