@@ -149,3 +149,30 @@ def test_gm_mapping_total():
     for p in range(128):
         name = gm_program_to_patch(p)
         assert (Path("/root/reference/assets/patches/welsh") / f"{name}.json").exists(), name
+
+
+def test_streaming_wav_writer_empty_and_roundtrip(tmp_path):
+    """The incremental WAV writer: empty chunk stream yields a valid
+    0-frame file; chunked writes decode identically to the one-shot
+    writer (same trunc/saturate spec)."""
+    import numpy as np
+
+    from groove_tpu.io.wav import (
+        read_wav,
+        write_wav_16bit_stereo,
+        write_wav_16bit_stereo_stream,
+    )
+
+    empty = tmp_path / "empty.wav"
+    assert write_wav_16bit_stereo_stream(empty, iter([]), 44100) == 0
+    a, rate = read_wav(empty)
+    assert rate == 44100 and a.shape[0] == 0
+
+    x = (np.linspace(-1.2, 1.2, 1000).reshape(-1, 2)).astype(np.float32)
+    one = tmp_path / "one.wav"
+    chunked = tmp_path / "chunked.wav"
+    write_wav_16bit_stereo(one, x, 44100)
+    n = write_wav_16bit_stereo_stream(
+        chunked, (x[i:i + 7] for i in range(0, len(x), 7)), 44100)
+    assert n == len(x)
+    assert (one.read_bytes() == chunked.read_bytes())

@@ -107,3 +107,17 @@ def test_service_loop_bounce(tmp_path):
         assert not svc.is_loop_enabled and svc.loop_range is None
     finally:
         svc.shutdown()
+
+
+def test_render_loop_wav_without_range_reports_error(tmp_path):
+    events = []
+    svc = EngineService(on_event=lambda k, d: events.append((k, d)),
+                        use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        svc.render_loop_wav(tmp_path / "x.wav", iterations=1)
+        assert svc.sync()
+        assert any(k == "error" and "loop" in str(d) for k, d in events)
+        assert not (tmp_path / "x.wav").exists()
+    finally:
+        svc.shutdown()
