@@ -7,7 +7,8 @@ Interface parity with groove-cli (src/bin/groove-cli.rs:26-53):
   (groove-cli.rs:143-148; we extend the reference's `.json5$` regex to
   `.json` too so plain-JSON demos don't collide with their input names).
 
-Extra flags (TPU-native additions): --sample-rate, --out-dir, --xrt.
+Extra flags (TPU-native additions): --sample-rate, --out-dir, --play,
+--stream/--segment-frames, --loop/--loop-iterations, --multidevice.
 """
 
 from __future__ import annotations
