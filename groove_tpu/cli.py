@@ -90,76 +90,89 @@ def main(argv=None) -> int:
     if args.mp3:
         print("MP3 output is not yet implemented", file=sys.stderr)
     paths = Paths()
+    rc = 0
     for input_filename in args.input:
         if input_filename == "-":
             continue
-        t0 = time.perf_counter()
-        if input_filename.endswith((".mid", ".midi")):
-            from groove_tpu.compiler.song import compile_midi_file
-            compiled = compile_midi_file(
-                Path(input_filename), paths, sample_rate=args.sample_rate
-            )
-        else:
-            song = SongSettings.from_project_file(Path(input_filename))
-            compiled = compile_song(song, paths, sample_rate=args.sample_rate)
-        if args.loop:
-            _render_loop(compiled, input_filename, args)
-            continue
-        if args.stream:
-            _render_streamed(compiled, input_filename, args)
-            continue
-        if args.multidevice:
-            from groove_tpu.parallel.multidevice import MultiDeviceRenderer
-            renderer = MultiDeviceRenderer(compiled)
-            if not args.quiet:
-                import jax as _jax
-                print(f"Multi-device: {len(renderer.assignments)} components "
-                      f"across {len(_jax.devices())} device(s)")
-        else:
-            renderer = Renderer(compiled)
-        if args.perf:
-            print(f"Orchestrator instantiation time: "
-                  f"{time.perf_counter() - t0:.2f}s")
-        if args.debug and not args.multidevice:
-            # per-entity device timing, like the reference's dipstick
-            # metrics (--perf + `metrics` feature); the multidevice
-            # renderer is a set of per-component programs, not one
-            # profileable graph
-            from groove_tpu.utils.profiling import profile_render
-            for name, seconds in profile_render(renderer):
-                print(f"  {name}: {seconds * 1000:.2f} ms")
+        try:
+            _process_file(input_filename, paths, args)
+        except Exception as e:  # noqa: BLE001
+            # per-file isolation: the reference's input loop processes the
+            # remaining files after a bad one (groove-cli.rs:68 matches each
+            # load Err and moves on); a malformed project must not abort
+            # the batch
+            print(f"error: {input_filename}: {e}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
+def _process_file(input_filename: str, paths: Paths, args) -> None:
+    t0 = time.perf_counter()
+    if input_filename.endswith((".mid", ".midi")):
+        from groove_tpu.compiler.song import compile_midi_file
+        compiled = compile_midi_file(
+            Path(input_filename), paths, sample_rate=args.sample_rate
+        )
+    else:
+        song = SongSettings.from_project_file(Path(input_filename))
+        compiled = compile_song(song, paths, sample_rate=args.sample_rate)
+    if args.loop:
+        _render_loop(compiled, input_filename, args)
+        return
+    if args.stream:
+        _render_streamed(compiled, input_filename, args)
+        return
+    if args.multidevice:
+        from groove_tpu.parallel.multidevice import MultiDeviceRenderer
+        renderer = MultiDeviceRenderer(compiled)
         if not args.quiet:
-            print(f"Performing to queue ({compiled.n_frames} frames) ", end="")
-        t1 = time.perf_counter()
-        samples = renderer.render()  # includes compile on first call
-        compile_and_render = time.perf_counter() - t1
-        # steady-state render (program cached) for the honest perf number
-        t2 = time.perf_counter()
-        samples = renderer.render()
-        render_s = time.perf_counter() - t2
+            import jax as _jax
+            print(f"Multi-device: {len(renderer.assignments)} components "
+                  f"across {len(_jax.devices())} device(s)")
+    else:
+        renderer = Renderer(compiled)
+    if args.perf:
+        print(f"Orchestrator instantiation time: "
+              f"{time.perf_counter() - t0:.2f}s")
+    if args.debug and not args.multidevice:
+        # per-entity device timing, like the reference's dipstick
+        # metrics (--perf + `metrics` feature); the multidevice
+        # renderer is a set of per-component programs, not one
+        # profileable graph
+        from groove_tpu.utils.profiling import profile_render
+        for name, seconds in profile_render(renderer):
+            print(f"  {name}: {seconds * 1000:.2f} ms")
+    if not args.quiet:
+        print(f"Performing to queue ({compiled.n_frames} frames) ", end="")
+    t1 = time.perf_counter()
+    samples = renderer.render()  # includes compile on first call
+    compile_and_render = time.perf_counter() - t1
+    # steady-state render (program cached) for the honest perf number
+    t2 = time.perf_counter()
+    samples = renderer.render()
+    render_s = time.perf_counter() - t2
+    if not args.quiet:
+        print(".")
+    if args.perf:
+        n = len(samples)
+        audio_s = n / args.sample_rate
+        print(f" Orchestrator performance time: {compile_and_render:.2f}s "
+              f"(first, incl. compile) / {render_s * 1000:.2f}ms (cached)")
+        print(f" Sample count: {n}")
+        if render_s > 0 and n:
+            per_ms = n / (render_s * 1000.0)
+            print(f" Samples per msec: {per_ms:.2f} "
+                  f"(goal >{args.sample_rate / 1000.0:.2f})")
+            print(f" usec per sample: {render_s * 1e6 / n:.4f} "
+                  f"(goal <{1e6 / args.sample_rate:.2f})")
+            print(f" xRT: {audio_s / render_s:.1f}x realtime")
+    if args.wav:
+        out = output_path(input_filename, args.out_dir)
         if not args.quiet:
-            print(".")
-        if args.perf:
-            n = len(samples)
-            audio_s = n / args.sample_rate
-            print(f" Orchestrator performance time: {compile_and_render:.2f}s "
-                  f"(first, incl. compile) / {render_s * 1000:.2f}ms (cached)")
-            print(f" Sample count: {n}")
-            if render_s > 0 and n:
-                per_ms = n / (render_s * 1000.0)
-                print(f" Samples per msec: {per_ms:.2f} "
-                      f"(goal >{args.sample_rate / 1000.0:.2f})")
-                print(f" usec per sample: {render_s * 1e6 / n:.4f} "
-                      f"(goal <{1e6 / args.sample_rate:.2f})")
-                print(f" xRT: {audio_s / render_s:.1f}x realtime")
-        if args.wav:
-            out = output_path(input_filename, args.out_dir)
-            if not args.quiet:
-                print(f"Rendering queue to {out}")
-            write_wav_16bit_stereo(out, samples, args.sample_rate)
-        if args.play:
-            _stream_realtime(samples, args.sample_rate, args.quiet)
-    return 0
+            print(f"Rendering queue to {out}")
+        write_wav_16bit_stereo(out, samples, args.sample_rate)
+    if args.play:
+        _stream_realtime(samples, args.sample_rate, args.quiet)
 
 
 def _render_loop(compiled, input_filename: str, args) -> None:

@@ -79,10 +79,14 @@ def build_trip_steps(
         note_value = path.note_value or ts.beat_value()
         mult = note_value.beats(ts)
         for s in path.steps:
-            if s.kind == "triggered":
-                warn(f"trip {trip.id}: triggered steps are unimplemented "
-                     "(reference todo!(), control_trip.rs:127)")
-                continue
+            # `triggered` (settings/src/controllers.rs:34-38) is a fieldless
+            # event-driven step the reference never implemented
+            # (control_trip.rs:126 todo!()); its schema comment says
+            # implementing it makes ControlTrips themselves controllable.
+            # RECONSTRUCTION: the step occupies its beat slot holding the
+            # value it entered with; when a Trigger controller targeting
+            # the TRIP fires (controls: source=trigger, target.id=trip id),
+            # the step jumps to the fired value (see sample_trip_curve).
             steps.append(
                 EnvelopeStep(cursor, cursor + mult, s.start, s.end, s.kind)
             )
@@ -120,31 +124,68 @@ def block_start_beats(
     return out
 
 
+def _resolve_entering_values(
+    steps: list[EnvelopeStep],
+    initial_value: float,
+    triggers: list[tuple[float, float]],
+) -> list[float]:
+    """Value each step ENTERS with — the previous step's resolved end
+    value (initial_value for the first step). A triggered step's end
+    value is the latest trigger fired before its end, else its entering
+    value (it held)."""
+    enters: list[float] = []
+    prev_end = initial_value
+    for step in steps:
+        enters.append(prev_end)
+        if step.function == "triggered":
+            fired = [v for (ft, v) in triggers if ft < float(step.end_beats)]
+            prev_end = fired[-1] if fired else prev_end
+        else:
+            prev_end = step.end_value
+    return enters
+
+
 def sample_trip_curve(
     steps: list[EnvelopeStep],
     beats_at_block: np.ndarray,
     initial_value: float,
+    triggers: list[tuple[float, float]] = (),
 ) -> np.ndarray:
     """ControlValue per block. Blocks before the first step keep
     `initial_value` (the target's configured value); after the end the
-    last value holds."""
+    last value holds. `triggers` are (fire_beats, value) events from
+    Trigger controllers targeting this trip — consumed by `triggered`
+    steps (see build_trip_steps)."""
+    triggers = sorted(triggers)
     n = len(beats_at_block)
     out = np.full(n, initial_value, np.float64)
     if not steps:
         return out.astype(np.float32)
+    enters = _resolve_entering_values(steps, initial_value, triggers)
     first = float(steps[0].start_beats)
     last_end = float(steps[-1].end_beats)
+    last = steps[-1]
+    if last.function == "triggered":
+        fired = [v for (ft, v) in triggers if ft < last_end]
+        hold_after = fired[-1] if fired else enters[-1]
+    else:
+        hold_after = last.end_value
     si = 0
     for b in range(n):
         t = beats_at_block[b]
         if t < first:
             continue
         if t >= last_end:
-            out[b] = steps[-1].end_value
+            out[b] = hold_after
             continue
         while si + 1 < len(steps) and t >= float(steps[si].end_beats):
             si += 1
-        out[b] = _step_value(steps[si], t)
+        step = steps[si]
+        if step.function == "triggered":
+            fired = [v for (ft, v) in triggers if ft <= t]
+            out[b] = fired[-1] if fired else enters[si]
+        else:
+            out[b] = _step_value(step, t)
     return out.astype(np.float32)
 
 
@@ -183,8 +224,11 @@ def compile_trips(
     n_blocks: int,
     sr: SampleRate,
     initial_values: dict[tuple[str, str], float],
+    trip_triggers: dict[str, list[tuple[float, float]]] | None = None,
 ) -> dict[tuple[str, str], np.ndarray]:
-    """All trips -> {(target_uvid, param): ControlValue[n_blocks]}."""
+    """All trips -> {(target_uvid, param): ControlValue[n_blocks]}.
+    trip_triggers: {trip_id: [(fire_beats, value)]} from Trigger
+    controllers targeting the trip (consumed by `triggered` steps)."""
     ts = song.clock.time_signature
     tempo = song.clock.tempo
     paths = {p.id: p for p in song.paths}
@@ -194,5 +238,7 @@ def compile_trips(
         steps = build_trip_steps(trip, paths, ts)
         key = (trip.target.id, trip.target.param)
         init = initial_values.get(key, 0.0)
-        curves[key] = sample_trip_curve(steps, beats, init)
+        curves[key] = sample_trip_curve(
+            steps, beats, init,
+            (trip_triggers or {}).get(trip.id, ()))
     return curves

@@ -323,7 +323,23 @@ def compile_song(
             float(p.from_domain(float(configured))) if configured is not None else 0.0
         )
 
-    curves = auto_mod.compile_trips(song, n_blocks, sr, initial_values)
+    # Trigger controllers may target a TRIP (not a device): the trip's
+    # `triggered` steps latch the fired value (automation.py docstrings;
+    # the reference's schema comment "then ControlTrips themselves
+    # [become] controllable", settings/src/controllers.rs:34-38).
+    trip_ids = {t.id for t in song.trips}
+    trip_triggers: dict[str, list[tuple[float, float]]] = {}
+    for ctl in song.controls:
+        src = devices.get(ctl.source)
+        if (src is not None and src.kind == "trigger"
+                and ctl.target.id in trip_ids):
+            trip_triggers.setdefault(ctl.target.id, []).append(
+                (float(src.params.get("time", 0.0)),
+                 float(src.params.get("value", 1.0)))
+            )
+
+    curves = auto_mod.compile_trips(song, n_blocks, sr, initial_values,
+                                    trip_triggers)
     for (uvid, pname), curve in curves.items():
         p = resolved.get((uvid, pname))
         if p is None:
@@ -337,6 +353,9 @@ def compile_song(
     sidechain: list[tuple[str, str, str]] = []
     for ctl in song.controls:
         src = devices.get(ctl.source)
+        if (src is not None and src.kind == "trigger"
+                and ctl.target.id in trip_ids):
+            continue  # handled above (trip-targeting trigger)
         tgt = devices.get(ctl.target.id)
         if src is None or tgt is None:
             warn(f"couldn't find control source/target for automation "

@@ -142,6 +142,76 @@ def test_trigger_fires_control_value_at_time():
     assert abs(out[-1, 0] - 0.1) < 1e-5
 
 
+def test_triggered_step_latches_trigger_value():
+    """ControlStep::Triggered (settings/src/controllers.rs:34-38; todo!()
+    at control_trip.rs:126). RECONSTRUCTION: the step holds the value it
+    entered with until a Trigger controller TARGETING THE TRIP fires;
+    then it latches the fired value. Timeline here (240 BPM, whole-note
+    steps of 4 beats): flat 0.2 over [0,4), triggered over [4,8) with a
+    trigger firing 0.9 at beat 6, flat 0.6 over [8,12)."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["i", {"toy-instrument": [{"midi-in": 0},
+                                                     {"fake-value": 0.5}]}]},
+            {"effect": ["g", {"gain": {"ceiling": 1.0}}]},
+            {"controller": ["trig", {"trigger": [
+                {"midi-in": 0, "midi-out": 0},
+                {"time": 6.0, "value": 0.9},
+            ]}]},
+            {"controller": ["t1", {"timer": [{}, {"beats": 12}]}]},
+        ],
+        "patch-cables": [["i", "g", "main-mixer"]],
+        "paths": [{"id": "path-1", "note-value": "whole", "steps": [
+            {"flat": {"value": 0.2}},
+            {"triggered": {}},
+            {"flat": {"value": 0.6}},
+        ]}],
+        "trips": [{"id": "trip-1", "paths": ["path-1"],
+                   "target": {"id": "g", "param": "ceiling"}}],
+        "controls": [{"id": "c", "source": "trig",
+                      "target": {"id": "trip-1", "param": "trigger"}}],
+    }))
+    c = compile_song(song)
+    curve = c.devices["g"].automation["ceiling"]
+    beats_per_block = 240.0 / 60.0 * 64 / 44100.0
+
+    def at(beats):
+        return curve[int(beats / beats_per_block) + 1]
+
+    assert abs(at(1.0) - 0.2) < 1e-6          # flat step
+    assert abs(at(5.0) - 0.2) < 1e-6          # triggered, not yet fired: held
+    assert abs(at(7.0) - 0.9) < 1e-6          # fired at beat 6: latched
+    assert abs(at(9.0) - 0.6) < 1e-6          # next flat step
+    # no warning path: the trigger is consumed by the trip, and the render
+    # applies the curve (0.5 * 0.2 at beat 1; 0.5 * 0.9 at beat 7)
+    out = np.asarray(Renderer(c).render())
+    sr = 44100
+    assert abs(out[int(1.5 * sr / 4), 0] - 0.5 * 0.2) < 1e-5
+    assert abs(out[int(7.5 * sr / 4), 0] - 0.5 * 0.9) < 1e-5
+
+
+def test_triggered_step_never_fired_holds_entering_value():
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"effect": ["g", {"gain": {"ceiling": 1.0}}]},
+            {"controller": ["t1", {"timer": [{}, {"beats": 8}]}]},
+        ],
+        "paths": [{"id": "path-1", "note-value": "whole", "steps": [
+            {"flat": {"value": 0.3}},
+            {"triggered": {}},
+        ]}],
+        "trips": [{"id": "trip-1", "paths": ["path-1"],
+                   "target": {"id": "g", "param": "ceiling"}}],
+    }))
+    c = compile_song(song)
+    curve = c.devices["g"].automation["ceiling"]
+    # unfired triggered step holds 0.3 throughout and after
+    assert abs(curve[len(curve) // 2] - 0.3) < 1e-6
+    assert abs(curve[-1] - 0.3) < 1e-6
+
+
 @pytest.mark.skipif(not REF.is_dir(), reason="reference assets not mounted")
 def test_calculator_project_plays():
     """projects/calculator.json must produce audible output (VERDICT item:
