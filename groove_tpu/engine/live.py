@@ -138,13 +138,25 @@ class LiveMidiService:
 
     def __init__(self, synth: LiveSynth, midi_source=None,
                  sink: Optional[Callable[[np.ndarray], None]] = None,
-                 lead_blocks: int = 4):
+                 lead_blocks: int = 4, midi_echo=None):
         self.synth = synth
         self.lead_blocks = lead_blocks
         self.blocks_rendered = 0
         self._sink = sink
         self._stop = threading.Event()
-        self._midi = (MidiInputService(midi_source, synth.handle_midi)
+        self._echo = midi_echo  # io.midi_output.MidiOutputService or None
+
+        def on_midi(channel, kind, data):
+            # MIDI thru: echo incoming events to the output port before
+            # they hit the synth (MidiToExternal, messages.rs:41-56)
+            if self._echo is not None:
+                try:
+                    self._echo.send(channel, kind, data)
+                except Exception:
+                    pass  # a closed echo port must not kill the input loop
+            synth.handle_midi(channel, kind, data)
+
+        self._midi = (MidiInputService(midi_source, on_midi)
                       if midi_source is not None else None)
         self._audio = None
         self._thread = None

@@ -1,0 +1,98 @@
+"""MIDI output service (MidiToExternal, messages.rs:41-56; output ports
+midi_panel.rs:94-120): running-status encoder round-trips through the
+input parser; an arped pattern's byte stream reproduces its events; the
+live loop echoes input to the out port."""
+
+import io
+import json
+from pathlib import Path
+
+from groove_tpu.compiler.song import compile_song
+from groove_tpu.io.midi_input import MidiByteParser
+from groove_tpu.io.midi_output import (
+    MidiByteEncoder,
+    MidiOutputService,
+    song_midi_events,
+    stream_song_midi,
+)
+from groove_tpu.project.schema import SongSettings
+
+REF = Path("/root/reference")
+
+
+def _parse_all(data: bytes):
+    got = []
+    p = MidiByteParser(lambda ch, kind, d: got.append((ch, kind, d)))
+    p.feed(data)
+    return got
+
+
+def test_encoder_running_status_round_trip():
+    enc = MidiByteEncoder()
+    b1 = enc.encode(3, "note-on", (60, 100))
+    b2 = enc.encode(3, "note-on", (64, 90))    # same status: 2 bytes
+    b3 = enc.encode(3, "note-on", (60, 0))     # running-status note-off
+    b4 = enc.encode(4, "control-change", (7, 100))  # status switch
+    assert len(b1) == 3 and len(b2) == 2 and len(b3) == 2 and len(b4) == 3
+    got = _parse_all(b1 + b2 + b3 + b4)
+    assert got == [
+        (3, "note-on", (60, 100)),
+        (3, "note-on", (64, 90)),
+        (3, "note-off", (60, 0)),   # vel-0 equivalence in the parser
+        (4, "control-change", (7, 100)),
+    ]
+
+
+def test_arped_pattern_byte_stream_round_trips():
+    """An arpeggiator's midi-out stream through the output service: the
+    captured bytes parse back into exactly the note events the synth on
+    the arp's out channel received."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 120},
+        "devices": [
+            {"controller": ["arp", {"arpeggiator": [
+                {"midi-in": 0, "midi-out": 1}, {"bpm": 240}]}]},
+            {"instrument": ["synth", {"welsh": [{"midi-in": 1},
+                                                {"name": "piano"}]}]},
+        ],
+        "patch-cables": [["synth", "main-mixer"]],
+        "patterns": [{"id": "p", "note-value": "whole",
+                      "notes": [[60, 64, 67]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    events = song_midi_events(c)
+    arp_events = [e for e in events if e[1] == 1]
+    assert len(arp_events) >= 8, "arp produced too few events"
+
+    buf = io.BytesIO()
+    svc = MidiOutputService(buf, flush_each=False)
+    n = stream_song_midi(c, svc)
+    assert n == len(events)
+
+    got = _parse_all(buf.getvalue())
+    # rebuild (channel, on/off, key) sequence; vels survive for note-ons
+    want = []
+    for _, ch, kind, (key, vel) in events:
+        want.append((ch, "note-on" if vel > 0 else "note-off", key, vel))
+    have = [(ch, kind, d[0], d[1]) for ch, kind, d in got]
+    assert have == want
+    # running status compressed the stream: fewer bytes than 3/event
+    assert len(buf.getvalue()) < 3 * len(events)
+
+
+def test_live_loop_echoes_midi_to_out_port():
+    from groove_tpu.engine.live import LiveMidiService, LiveSynth
+
+    enc = MidiByteEncoder()
+    wire = enc.encode(0, "note-on", (72, 101)) + enc.encode(0, "note-on", (72, 0))
+    out = io.BytesIO()
+    echo = MidiOutputService(out, flush_each=False)
+    synth = LiveSynth(patch="piano", n_voices=2)
+    svc = LiveMidiService(synth, midi_source=io.BytesIO(wire),
+                          sink=lambda blk: None, midi_echo=echo)
+    # the input service thread drains the BytesIO source then exits
+    svc._midi._thread.join(timeout=5)
+    svc.stop()
+    got = _parse_all(out.getvalue())
+    assert got == [(0, "note-on", (72, 101)), (0, "note-off", (72, 0))]
