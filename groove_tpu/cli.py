@@ -56,10 +56,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "incrementally as segments arrive")
     p.add_argument("--segment-frames", type=int, default=65536,
                    help="streamed segment length (multiple of 64)")
+    p.add_argument("--stream-batch", type=int, default=8,
+                   help="segments folded into one device program per "
+                        "--stream dispatch (amortizes the host<->device "
+                        "round trip; 1 = the bitwise-pinned loop driver)")
     p.add_argument("--multidevice", action="store_true",
                    help="partition the song graph into independent "
                         "components and render them concurrently across "
                         "all visible devices (parallel/multidevice.py)")
+    p.add_argument("--live", metavar="MIDI_PORT", default=None,
+                   help="play the project LIVE: read raw MIDI bytes from "
+                        "this FIFO/file 'port' and route them through the "
+                        "song's instruments and effect chains to the audio "
+                        "service (engine/livesong.py)")
+    p.add_argument("--midi-out", metavar="MIDI_PORT", default=None,
+                   help="with --live: echo incoming MIDI to this out port")
     p.add_argument("--loop", nargs=2, type=float, metavar=("START", "END"),
                    help="bounce a loop range (beats): renders [0, END) then "
                         "--loop-iterations passes of [START, END) with "
@@ -116,6 +127,9 @@ def _process_file(input_filename: str, paths: Paths, args) -> None:
     else:
         song = SongSettings.from_project_file(Path(input_filename))
         compiled = compile_song(song, paths, sample_rate=args.sample_rate)
+    if args.live:
+        _play_live(compiled, args)
+        return
     if args.loop:
         _render_loop(compiled, input_filename, args)
         return
@@ -175,6 +189,33 @@ def _process_file(input_filename: str, paths: Paths, args) -> None:
         _stream_realtime(samples, args.sample_rate, args.quiet)
 
 
+def _play_live(compiled, args) -> None:
+    """--live PORT: interactive full-graph playback — MIDI bytes from the
+    port play the project's instruments through its effect chains (the
+    reference's GUI live path: MidiFromExternal -> broadcast_midi_messages,
+    orchestrator.rs:722-754; audio pull legacy/audio_panel.rs:66-98)."""
+    from groove_tpu.engine.livesong import LiveSongRenderer, LiveSongService
+
+    echo = None
+    if args.midi_out:
+        from groove_tpu.io.midi_output import open_port
+        echo = open_port(args.midi_out)
+    src = open(args.live, "rb", buffering=0)
+    renderer = LiveSongRenderer(compiled)
+    svc = LiveSongService(renderer, midi_source=src, midi_echo=echo)
+    if not args.quiet:
+        print(f"Live: MIDI from {args.live}; Ctrl-C to stop")
+    try:
+        while True:
+            time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        svc.stop()
+        if echo is not None:
+            echo.close()
+
+
 def _render_loop(compiled, input_filename: str, args) -> None:
     """--loop START END: bounce the looped performance, state carried
     across every seek seam (orchestrator.rs:868-874 semantics; the shell's
@@ -205,9 +246,11 @@ def _render_streamed(compiled, input_filename: str, args) -> None:
 
     t0 = time.perf_counter()
     r = StreamingRenderer(compiled, segment_frames=args.segment_frames)
+    batch = max(1, min(args.stream_batch, r.n_segs))
     if not args.quiet:
         print(f"Streaming {compiled.n_frames} frames in "
-              f"{r.n_segs} x {r.S}-frame segments ", end="", flush=True)
+              f"{r.n_segs} x {r.S}-frame segments "
+              f"(batch {batch}) ", end="", flush=True)
 
     def progress(chunks):
         for c in chunks:
@@ -218,11 +261,12 @@ def _render_streamed(compiled, input_filename: str, args) -> None:
     if args.wav:
         out = output_path(input_filename, args.out_dir)
         total = write_wav_16bit_stereo_stream(
-            out, progress(r.stream()), args.sample_rate)
+            out, progress(r.stream(batch_segments=batch)), args.sample_rate)
         if not args.quiet:
             print(f"\nStreamed {total} frames to {out}")
     else:
-        total = sum(len(c) for c in progress(r.stream()))
+        total = sum(len(c)
+                    for c in progress(r.stream(batch_segments=batch)))
         if not args.quiet:
             print(f"\nStreamed {total} frames")
     if args.perf:

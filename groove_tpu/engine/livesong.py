@@ -1,0 +1,359 @@
+"""Live full-graph playback: external MIDI through the compiled song.
+
+The reference routes hardware MIDI into the WHOLE entity graph — every
+channel's instrument, its effect chain, the mixer
+(orchestration/src/orchestrator.rs:722-754 broadcast_midi_messages; app
+pump src/bin/groove-egui.rs:350-357) — and the audio callback pulls
+64-frame buffers from the same graph (legacy/audio_panel.rs:66-98).
+
+LiveSongRenderer is that path TPU-native: it subclasses the segment
+streaming engine (engine/stream.StreamingRenderer) at segment = 64 frames
+— so the song's EFFECT chains, sends, sidechain and automation all run
+through the proven carried-state step — and replaces the precompiled
+note windows with LIVE VOICE POOLS:
+
+  - each instrument device owns a fixed pool of V voices mirrored in host
+    numpy (keys, vels, absolute on/off frames, sample slots, ratios);
+  - MIDI note-on allocates a voice (free first, else steal the oldest —
+    the engine's MultiLimit policy) and note-off closes its gate; both
+    mutate ONLY the host mirrors — zero device traffic per event;
+  - every 64-frame step uploads the tiny mirrors with the block inputs;
+    fm/sampler/drumkit/envelope voices render as closed-form functions of
+    integer note age (models/*.render_window), welsh voices through
+    models/welsh.live_window_block whose carried phase/filter state is
+    reset IN-GRAPH for voices starting this block.
+
+Latency bound: a note event lands in the first block dispatched after it
+(the host allocator pins note-ons to the next block boundary), so
+note-to-audio latency is at most (queued_blocks + 1) x 64 frames — with
+the default single-block dispatch, 128 frames = 2.9 ms at 44.1 kHz plus
+the device round trip (tests/test_livesong.py pins it).
+
+The renderer prefers a locally-attached backend (CPU here) because the
+real TPU sits behind a ~24 ms tunnel; a locally-attached TPU runs the
+same code with only the default_device choice changing (engine/live.py).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groove_tpu.compiler.song import CompiledSong, DeviceIR
+from groove_tpu.core.time import SAMPLE_BUFFER_SIZE
+from groove_tpu.engine.live import _live_device
+from groove_tpu.engine.stream import StreamingRenderer
+from groove_tpu.io.midi_input import MidiInputService
+from groove_tpu.models import fm as fm_model
+from groove_tpu.models import sampler as sampler_model
+from groove_tpu.models import simple as simple_model
+from groove_tpu.models import welsh as welsh_model
+from groove_tpu.ops.dca import pan_gains
+from groove_tpu.project.schema import warn
+
+BLOCK = SAMPLE_BUFFER_SIZE
+FAR = np.int32(2**30)  # "held" / "unused" sentinel frame
+
+# instrument kinds that respond to live MIDI (always-on kinds — oscillator,
+# toy-instrument — keep their offline behavior; metronome is out of scope)
+_POOLED_KINDS = ("welsh", "welsh-raw", "fm-synthesizer", "sampler",
+                 "drumkit", "calculator", "envelope")
+
+
+class LiveSongRenderer(StreamingRenderer):
+    """Streamed render of a compiled song driven by live MIDI voices.
+
+    play_song=True additionally plays the song's own sequenced notes
+    (the GUI's play-along mode); default is live input only.
+    """
+
+    def __init__(self, compiled: CompiledSong, n_voices: int = 8,
+                 play_song: bool = False, device=None):
+        self.n_voices = int(n_voices)
+        self.play_song = play_song
+        self._pools: dict[str, dict] = {}
+        self._rr: dict[str, dict] = {}   # drum round-robin counters
+        self._lock = threading.RLock()
+        self.frame = 0                    # next block start (absolute)
+        self._device = device or _live_device()
+        with jax.default_device(self._device):
+            super().__init__(compiled, segment_frames=BLOCK)
+        # COMMIT inputs and state to the live device: an uncommitted
+        # placement would let jit follow the default backend — on this
+        # machine the tunnel-attached axon TPU, turning every 64-frame
+        # block into a ~24 ms round trip (and the first into a ~2 min
+        # remote compile)
+        self.inputs = jax.device_put(self.inputs, self._device)
+        self._st = jax.device_put(self._state0, self._device)
+        for dev in compiled.devices.values():
+            if (dev.role == "instrument" or dev.kind == "calculator") \
+                    and dev.kind in _POOLED_KINDS:
+                if dev.kind in ("welsh", "welsh-raw") and dev.voice is None:
+                    continue
+                V = self.n_voices
+                self._pools[dev.uvid] = {
+                    "keys": np.zeros(V, np.int32),
+                    "vels": np.zeros(V, np.float32),
+                    "on": np.full(V, FAR, np.int32),
+                    "off": np.full(V, FAR, np.int32),
+                    "slot": np.full(V, -1, np.int32),
+                    "ratio": np.ones(V, np.float32),
+                }
+                self._rr[dev.uvid] = {}
+
+    # ---- state/input overrides --------------------------------------------
+
+    def _init_state(self) -> dict:
+        st = super()._init_state()
+        for dev in self.c.devices.values():
+            if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None:
+                for name, v in welsh_model.live_window_state_init(
+                        self.n_voices).items():
+                    st[f"{dev.uvid}/lw/{name}"] = v
+        return st
+
+    def _collect_inputs(self) -> None:
+        super()._collect_inputs()
+        # live pools need sample tables even when the song stamps no notes
+        # for the device (the parent only uploads tables alongside notes)
+        for dev in self.c.devices.values():
+            u = dev.uvid
+            if dev.sample_table is not None and f"{u}/table" not in self.inputs:
+                self.inputs[f"{u}/table"] = dev.sample_table.data
+                self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
+                self.inputs[f"{u}/rates"] = dev.sample_table.rates
+
+    def _seg_xs(self, t0: int, seg_len: int) -> dict:
+        xs = super()._seg_xs(t0, seg_len) if self.play_song \
+            else {"t0": np.int32(t0)}
+        # two packed arrays per pool (not six) — device_put/arg-flatten
+        # overhead is per-leaf and the live step runs every 1.45 ms
+        for u, pool in self._pools.items():
+            xs[f"{u}/li"] = np.stack(
+                [pool["keys"], pool["on"], pool["off"], pool["slot"]])
+            xs[f"{u}/lf"] = np.stack([pool["vels"], pool["ratio"]])
+        return xs
+
+    # ---- live instrument rendering ----------------------------------------
+
+    def _render_instrument_seg(self, inputs, dev: DeviceIR, xs, t0, n: int,
+                               state=None, new_state=None):
+        u = dev.uvid
+        sr = float(self.c.sample_rate)
+        if self.play_song:
+            base = super()._render_instrument_seg(inputs, dev, xs, t0, n)
+        else:
+            base = jnp.zeros((2, n), jnp.float32)
+        if u not in self._pools:
+            if not self.play_song and dev.kind == "oscillator":
+                # always-on instrument free-runs in live mode (closed form
+                # at absolute time; the parent's precomputed track is only
+                # plan_frames long)
+                wf = dev.params.get("waveform", "sine")
+                pw = 0.5
+                if isinstance(wf, dict):
+                    pw = float(wf.get("pulse-width", 0.5))
+                    wf = "pulse-width"
+                freq = float(dev.params.get("frequency", 440.0))
+                tj = (jnp.asarray(t0, jnp.int32)
+                      + jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
+                phase = freq * tj / sr
+                from groove_tpu.ops import oscillator as osc_ops
+                mono = (osc_ops.pulse_width(phase, pw) if wf == "pulse-width"
+                        else osc_ops.evaluate(str(wf), phase))
+                return base + jnp.stack([mono, mono])
+            return base
+        li = xs[f"{u}/li"]
+        lf = xs[f"{u}/lf"]
+        keys, on, off = li[0], li[1], li[2]
+        vels = lf[0]
+        P = lambda name, default: self._param_seg(  # noqa: E731
+            inputs, dev, name, default, t0, n)
+
+        if dev.kind in ("welsh", "welsh-raw"):
+            fstate = {name: state[f"{u}/lw/{name}"]
+                      for name in ("phase1", "phase2",
+                                   "s1a", "s2a", "s1b", "s2b")}
+            mono, fstate2 = welsh_model.live_window_block(
+                dev.voice, fstate, keys, vels, on, off, t0, n, sr)
+            for name, v in fstate2.items():
+                new_state[f"{u}/lw/{name}"] = v
+            lv, rv = pan_gains(0.0)
+            ls, rs = pan_gains(P("pan", 0.0))
+            g = P("gain", 1.0)
+            return base + jnp.stack([mono * lv * ls * g, mono * rv * rs * g])
+        if dev.kind == "fm-synthesizer":
+            mono = jnp.sum(fm_model.render_window(
+                dev.voice, keys, vels, on, off, t0, n, sr), axis=0)
+            left, right = pan_gains(P("pan", dev.voice.pan))
+            g = P("gain", dev.voice.gain)
+            return base + jnp.stack([mono * left * g, mono * right * g])
+        if dev.kind in ("sampler", "drumkit", "calculator"):
+            stereo = sampler_model.render_window(
+                inputs[f"{u}/table"], inputs[f"{u}/lengths"],
+                inputs[f"{u}/rates"], li[3], lf[1],
+                on, off, vels, t0, n, sr)
+            return base + jnp.sum(stereo, axis=0)
+        if dev.kind == "envelope":
+            adsr = (
+                float(dev.params.get("attack", 0.0)),
+                float(dev.params.get("decay", 0.0)),
+                float(dev.params.get("sustain", 1.0)),
+                float(dev.params.get("release", 0.0)),
+            )
+            mono = jnp.sum(simple_model.envelope_window(
+                adsr, keys, vels, on, off, t0, n, sr), axis=0)
+            return base + jnp.stack([mono, mono])
+        warn(f"live: unsupported instrument kind {dev.kind}")
+        return base
+
+    # ---- MIDI (any thread) -------------------------------------------------
+
+    def _alloc(self, pool: dict) -> int:
+        """Free voice first (never used / one-shot finished is NOT checked
+        — a released voice may still ring); else steal the oldest
+        (smallest on frame) — the engine's oldest-steal policy
+        (models/voices.apply_multilimit_policy)."""
+        unused = np.nonzero(pool["on"] >= FAR)[0]
+        if len(unused):
+            return int(unused[0])
+        released = np.nonzero(pool["off"] < FAR)[0]
+        if len(released):
+            return int(released[np.argmin(pool["on"][released])])
+        return int(np.argmin(pool["on"]))
+
+    def note_on(self, channel: int, key: int, velocity: int) -> None:
+        with self._lock:
+            t = self.frame
+            for u, pool in self._pools.items():
+                dev = self.c.devices[u]
+                if dev.midi_in != channel:
+                    continue
+                v = self._alloc(pool)
+                pool["keys"][v] = key
+                pool["vels"][v] = float(velocity)
+                pool["on"][v] = t
+                pool["off"][v] = FAR
+                if dev.kind == "drumkit":
+                    rr = dev.drum_note_slots.get(int(key)) \
+                        if dev.drum_note_slots else None
+                    if rr is None:
+                        pool["slot"][v] = -1
+                    else:
+                        c = self._rr[u].get(int(key), 0)
+                        pool["slot"][v] = rr[c % len(rr)]
+                        self._rr[u][int(key)] = c + 1
+                    pool["ratio"][v] = 1.0
+                elif dev.kind == "calculator":
+                    nslots = dev.sample_table.data.shape[0]
+                    pool["slot"][v] = int(key) % max(nslots, 1)
+                    pool["ratio"][v] = 1.0
+                elif dev.kind == "sampler":
+                    pool["slot"][v] = 0
+                    pool["ratio"][v] = float(np.asarray(
+                        sampler_model.sampler_ratios(
+                            np.asarray([key]),
+                            float(dev.params.get("root", 440.0)))[0]))
+
+    def note_off(self, channel: int, key: int) -> None:
+        with self._lock:
+            t = self.frame
+            for u, pool in self._pools.items():
+                dev = self.c.devices[u]
+                if dev.midi_in != channel:
+                    continue
+                held = np.nonzero((pool["keys"] == key)
+                                  & (pool["off"] >= FAR)
+                                  & (pool["on"] < FAR))[0]
+                for v in held:
+                    pool["off"][v] = max(t, int(pool["on"][v]) + 1)
+
+    def handle_midi(self, channel: int, kind: str, data: tuple) -> None:
+        if kind == "note-on":
+            self.note_on(channel, data[0], data[1])
+        elif kind == "note-off":
+            self.note_off(channel, data[0])
+
+    # ---- audio (render thread) ---------------------------------------------
+
+    def render_block(self) -> np.ndarray:
+        """Next 64-frame stereo block [BLOCK, 2] through the whole graph.
+        xs goes to the jit call as raw numpy (the call's own arg transfer
+        is cheaper than a per-leaf device_put at this cadence)."""
+        with self._lock:
+            xs = self._seg_xs(self.frame, BLOCK)
+            self._st, audio = self._step_for(BLOCK)(
+                self._st, xs, self.inputs)
+            self.frame += BLOCK
+        return np.asarray(audio)
+
+
+class LiveSongService:
+    """Wires a MIDI byte source to a LiveSongRenderer and an audio sink —
+    the whole-graph generalization of engine/live.LiveMidiService.
+
+    `sink(block)` receives [64, 2] float32 frames; with no sink the
+    native ring-buffer service paces output at realtime. `midi_echo`
+    forwards incoming events to a MIDI out port (MidiToExternal)."""
+
+    def __init__(self, renderer: LiveSongRenderer, midi_source=None,
+                 sink: Optional[Callable[[np.ndarray], None]] = None,
+                 midi_echo=None):
+        self.renderer = renderer
+        self.blocks_rendered = 0
+        self._sink = sink
+        self._echo = midi_echo
+        self._stop = threading.Event()
+
+        def on_midi(channel, kind, data):
+            if self._echo is not None:
+                try:
+                    self._echo.send(channel, kind, data)
+                except Exception:
+                    pass
+            renderer.handle_midi(channel, kind, data)
+
+        self._midi = (MidiInputService(midi_source, on_midi)
+                      if midi_source is not None else None)
+        self._audio = None
+        self._thread = None
+        if sink is None:
+            from groove_tpu.io import native
+            if native.available():
+                self._audio = native.AudioService(
+                    sample_rate=renderer.c.sample_rate, buffer_frames=BLOCK)
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+
+    def pump(self, n_blocks: int = 1) -> None:
+        """Render n blocks into the sink (test/file-sink pacing)."""
+        for _ in range(n_blocks):
+            blk = self.renderer.render_block()
+            self.blocks_rendered += 1
+            if self._sink is not None:
+                self._sink(blk)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            if self._audio is not None:
+                if self._audio.needs_frames() >= BLOCK:
+                    self._audio.write(self.renderer.render_block())
+                    self.blocks_rendered += 1
+                else:
+                    time.sleep(0.0005)
+            else:
+                time.sleep(0.01)
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        if self._midi is not None:
+            self._midi.stop()
+        if self._audio is not None:
+            self._audio.stop()

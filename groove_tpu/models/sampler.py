@@ -252,5 +252,52 @@ def render_notes(
     return out * (jnp.asarray(vels, jnp.float32)[:, None, None] / 127.0)
 
 
+def render_window(
+    table_data: jnp.ndarray,     # [slots, 2, max_len]
+    table_lengths: jnp.ndarray,  # [slots]
+    table_rates: jnp.ndarray,    # [slots]
+    slots,                       # [V] int32 (-1 = silent)
+    ratios,                      # [V] float32 playback-rate ratio
+    on_abs,                      # [V] absolute note-on frame
+    off_abs,                     # [V] absolute note-off frame (big = held)
+    vels,                        # [V] float32
+    t0,
+    n: int,
+    sample_rate: float,
+) -> jnp.ndarray:
+    """Live window render -> stereo [V, 2, n]: the block [t0, t0+n) of
+    sample-playback voices. Playback position is a closed-form function
+    of note age (pos = age * step), so any block offset renders without
+    carried state (engine/livesong.py)."""
+    slots = jnp.asarray(slots, jnp.int32)
+    safe_slots = jnp.maximum(slots, 0)
+    ratios = jnp.asarray(ratios, jnp.float32)
+    rate_fix = table_rates[safe_slots].astype(jnp.float32) / sample_rate
+    step = (ratios * rate_fix)[:, None]                       # [V, 1]
+    # integer note age: f32 absolute frames lose sample precision past
+    # ~2^24 frames (6 min of session)
+    on = jnp.asarray(on_abs, jnp.int32)[:, None]
+    off = jnp.asarray(off_abs, jnp.int32)[:, None]
+    tj = (jnp.asarray(t0, jnp.int32)
+          + jnp.arange(n, dtype=jnp.int32))[None, :]          # [1, n]
+    age = (tj - on).astype(jnp.float32)                        # frames
+    pos = age * step
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - i0.astype(jnp.float32))[:, None, :]
+    length = table_lengths[safe_slots][:, None]
+    valid = (i0 + 1 < length) & (slots[:, None] >= 0) & (age >= 0)
+    gated = age < (off - on).astype(jnp.float32)               # note still open
+    mask = (valid & gated)[:, None, :]
+    i0c = jnp.clip(i0, 0, table_data.shape[-1] - 2)
+    per_note = table_data[safe_slots]
+    idx = i0c[:, None, :]
+    a = jnp.take_along_axis(
+        per_note, jnp.broadcast_to(idx, (idx.shape[0], 2, n)), axis=-1)
+    b = jnp.take_along_axis(
+        per_note, jnp.broadcast_to(idx + 1, (idx.shape[0], 2, n)), axis=-1)
+    out = (a * (1.0 - frac) + b * frac) * mask
+    return out * (jnp.asarray(vels, jnp.float32)[:, None, None] / 127.0)
+
+
 def sampler_ratios(keys, root: float) -> jnp.ndarray:
     return note_freqs(np.asarray(keys)) / root_frequency(root)

@@ -51,6 +51,26 @@ def envelope_instrument(adsr_seconds, keys, vels, gate_frames, span: int,
     return tone * env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
 
 
+def envelope_window(adsr_seconds, keys, vels, on_abs, off_abs, t0, n: int,
+                    sample_rate: float) -> jnp.ndarray:
+    """Live window render of the envelope demo instrument -> [V, n]:
+    closed-form in note age, any block offset (engine/livesong.py)."""
+    a, d, s, r = adsr_seconds
+    keys = jnp.asarray(keys, jnp.float32)
+    # integer note age: f32 absolute frames lose sample precision past
+    # ~2^24 frames (6 min of session)
+    on = jnp.asarray(on_abs, jnp.int32)[:, None]
+    off = jnp.asarray(off_abs, jnp.int32)[:, None]
+    tj = (jnp.asarray(t0, jnp.int32)
+          + jnp.arange(n, dtype=jnp.int32))[None, :]
+    t = (tj - on).astype(jnp.float32) / sample_rate
+    gate_s = (off - on).astype(jnp.float32) / sample_rate
+    env = env_ops.adsr(t, gate_s, a, d, s, r) * (t >= 0.0)
+    tone = jnp.sin(2.0 * jnp.pi * note_freqs(keys)[:, None] * t)
+    active = (jnp.asarray(vels, jnp.float32) > 0.0)[:, None]
+    return tone * env * active * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
+
+
 def metronome(n_frames: int, sample_rate: float, bpm: float,
               beats_per_measure: int = 4) -> jnp.ndarray:
     """Square clicks: 880 Hz at measure starts, 440 Hz other beats, 10 ms."""

@@ -288,6 +288,158 @@ def live_init_state(n_voices: int) -> LiveVoiceState:
                           jnp.full((n_voices,), 2**30, jnp.int32), z, z)
 
 
+def live_window_state_init(n_voices: int) -> dict:
+    """Carried state for live_window_block: oscillator phases + TDF2
+    filter states per voice (note bookkeeping stays host-side)."""
+    z = jnp.zeros((n_voices,), jnp.float32)
+    return {"phase1": z, "phase2": z,
+            "s1a": z, "s2a": z, "s1b": z, "s2b": z}
+
+
+def live_window_block(
+    params: WelshVoiceParams,
+    fstate: dict,
+    keys,
+    vels,
+    on_abs,
+    off_abs,
+    t0,
+    n: int,
+    sample_rate: float,
+) -> tuple[jnp.ndarray, dict]:
+    """Live full-graph voice block -> (mono [n], next fstate).
+
+    Unlike live_render_block (which keeps note bookkeeping in device
+    state and needs ~10 host->device .at[].set calls per note event —
+    ~24 ms each over this machine's tunnel), ALL note data (keys, vels,
+    absolute on/off frames) arrives as traced inputs each block and a
+    voice whose note STARTS at this block (on == t0; the host allocator
+    pins note-ons to block boundaries) has its carried phase/filter state
+    reset IN-GRAPH. Note events therefore cost zero device round trips —
+    they mutate host numpy mirrors only (engine/livesong.py).
+
+    Envelopes/LFO are closed-form in integer note age; oscillator phases
+    integrate per block (carried mod 1, no f32 drift on long holds).
+    """
+    sr = sample_rate
+    keys = jnp.asarray(keys, jnp.float32)
+    vels = jnp.asarray(vels, jnp.float32)
+    on = jnp.asarray(on_abs, jnp.int32)[:, None]
+    off = jnp.asarray(off_abs, jnp.int32)[:, None]
+    V = keys.shape[0]
+    tj = (jnp.asarray(t0, jnp.int32)
+          + jnp.arange(n, dtype=jnp.int32))[None, :]           # [1, n]
+    age_i = tj - on                                             # [V, n] i32
+    t_abs = jnp.maximum(age_i, 0).astype(jnp.float32) / sr      # note age (s)
+    gate_s = (off - on).astype(jnp.float32) / sr
+    fresh = (on[:, 0] == jnp.asarray(t0, jnp.int32))            # [V] bool
+    active = (vels > 0.0)[:, None]
+    base_freq = note_freqs(keys)[:, None]
+
+    lfo = params.lfo
+    routing = lfo.routing
+    if routing != "none" and lfo.frequency > 0.0 and lfo.depth != 0.0 \
+            and lfo.waveform.kind != "noise":
+        lfo_val = osc_ops.evaluate(
+            lfo.waveform.kind, lfo.frequency * t_abs, lfo.waveform.pulse_width
+        ) * lfo.depth
+    else:
+        lfo_val = jnp.zeros((1, 1), jnp.float32)
+
+    def freq_of(osc, fixed_hz, is_osc2):
+        if fixed_hz is not None:
+            f = jnp.full((V, 1), fixed_hz, jnp.float32)
+        else:
+            f = base_freq * osc.tune_ratio
+        if routing == "pitch" or (routing == "pitch-osc2" and is_osc2):
+            f = f * jnp.exp2(lfo_val)
+        return jnp.broadcast_to(f, (V, n))
+
+    f1 = freq_of(params.oscillator_1, None, False)
+    f2 = freq_of(params.oscillator_2, params.oscillator_2_fixed_hz, True)
+    ph1_0 = jnp.where(fresh, 0.0, fstate["phase1"])[:, None]
+    ph2_0 = jnp.where(fresh, 0.0, fstate["phase2"])[:, None]
+    # exclusive cumulative phase; samples before note-on don't advance it
+    inc1 = f1 / sr * (age_i >= 0)
+    inc2 = f2 / sr * (age_i >= 0)
+    ph1 = ph1_0 + jnp.cumsum(inc1, axis=1) - inc1
+    ph2 = ph2_0 + jnp.cumsum(inc2, axis=1) - inc2
+    new_phase1 = jnp.mod(ph1[:, -1] + inc1[:, -1], 1.0)
+    new_phase2 = jnp.mod(ph2[:, -1] + inc2[:, -1], 1.0)
+    if params.oscillator_2_sync and params.oscillator_1.waveform.kind != "none":
+        ph2 = osc_ops.hard_sync_phase(ph1, f2 / jnp.maximum(f1, 1e-6))
+
+    def sig(osc, ph, which):
+        kind = osc.waveform.kind
+        if kind == "none":
+            return jnp.zeros((V, n), jnp.float32)
+        if kind == "pulse-width":
+            width = osc.waveform.pulse_width
+            if routing == "pulse-width" or routing == f"pw-osc{which}":
+                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
+            return osc_ops.pulse_width(ph, width)
+        if kind == "noise":
+            return osc_ops.noise(jax.random.PRNGKey(which), (V, n))
+        return osc_ops.evaluate(kind, ph)
+
+    s1 = sig(params.oscillator_1, ph1, 1)
+    s2 = sig(params.oscillator_2, ph2, 2)
+    o1 = params.oscillator_1.waveform.kind != "none"
+    o2 = params.oscillator_2.waveform.kind != "none"
+    mix = params.oscillator_mix
+    if o1 and o2:
+        osc_out = mix * s1 + (1.0 - mix) * s2
+    elif o1:
+        osc_out = s1
+    elif o2:
+        osc_out = s2
+    else:
+        osc_out = jnp.zeros((V, n), jnp.float32)
+    if params.noise > 0.0:
+        nz = osc_ops.noise(jax.random.PRNGKey(3), (V, n))
+        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
+
+    # filter coefficients at block start (the 64-frame control cadence)
+    t0v = t_abs[:, :1]
+    fe = params.filter_envelope
+    f_env = env_ops.adsr(t0v, gate_s, fe.attack, fe.decay, fe.sustain,
+                         fe.release)
+    cutoff_pct = params.filter_cutoff_start + (
+        params.filter_cutoff_end - params.filter_cutoff_start) * f_env
+    if routing in ("filter-cutoff", "cutoff-amp"):
+        cutoff_pct = cutoff_pct + lfo_val[:, :1] if lfo_val.shape[-1] > 1 \
+            else cutoff_pct + lfo_val
+    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
+    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)
+    q = params.filter_q
+    if routing == "resonance":
+        qv = jnp.maximum(q * (1.0 + lfo_val), 0.1)
+        q = qv[:, :1] if qv.ndim == 2 and qv.shape[-1] > 1 else qv
+    gain, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
+    y = osc_out * gain
+    s1a0 = jnp.where(fresh, 0.0, fstate["s1a"])
+    s2a0 = jnp.where(fresh, 0.0, fstate["s2a"])
+    s1b0 = jnp.where(fresh, 0.0, fstate["s1b"])
+    s2b0 = jnp.where(fresh, 0.0, fstate["s2b"])
+    y, (s1a, s2a), _ = iir_ops.biquad(
+        y, sections[0], block=n,
+        initial_state=(s1a0, s2a0), return_state=True)
+    y, (s1b, s2b), _ = iir_ops.biquad(
+        y, sections[1], block=n,
+        initial_state=(s1b0, s2b0), return_state=True)
+
+    ae = params.amp_envelope
+    a_env = env_ops.adsr(t_abs, gate_s, ae.attack, ae.decay, ae.sustain,
+                         ae.release)
+    amp = a_env * (vels[:, None] / 127.0) * active * (age_i >= 0)
+    if routing in ("amplitude", "cutoff-amp"):
+        amp = amp * (1.0 + lfo_val)
+    mono = jnp.sum(y * amp, axis=0)
+
+    return mono, {"phase1": new_phase1, "phase2": new_phase2,
+                  "s1a": s1a, "s2a": s2a, "s1b": s1b, "s2b": s2b}
+
+
 def live_render_block(
     params: WelshVoiceParams,
     state: LiveVoiceState,

@@ -84,6 +84,31 @@ def test_streamed_matches_whole_timeline(rel):
     assert float(np.abs(whole - streamed).max()) < tol * peak
 
 
+def test_batched_stream_matches_loop_stream():
+    """batch_segments folds k segments into one lax.scan dispatch (the
+    tunnel-RTT amortization); the result must match the loop driver to
+    scan tolerance, cover exactly n_frames, and the final partial batch
+    (padded past the song end) must trim correctly."""
+    c = _compiled("projects/demos/effects/drums-reverb.json")
+    r = StreamingRenderer(c, segment_frames=8192)
+    loop = r.render()
+    assert r.n_segs % 4 != 0  # ensures a padded final batch
+    batched = r.render(batch_segments=4)
+    assert batched.shape == loop.shape == (c.n_frames, 2)
+    peak = max(1.0, float(np.abs(loop).max()))
+    assert float(np.abs(batched - loop).max()) < 1e-4 * peak
+
+
+def test_prefetch_stream_is_bitwise_identical():
+    """Pipelined dispatch (prefetch_segments) only changes host timing,
+    never the programs — bitwise identical to unpipelined."""
+    c = _compiled("projects/demos/effects/delay.json")
+    r = StreamingRenderer(c, segment_frames=8192)
+    a = np.concatenate(list(r.stream(prefetch_segments=0)), axis=0)
+    b = np.concatenate(list(r.stream(prefetch_segments=8)), axis=0)
+    assert np.array_equal(a, b)
+
+
 def test_stream_bounded_memory_path_yields_segments():
     c = _compiled("projects/demos/effects/drums-reverb.json")
     r = StreamingRenderer(c, segment_frames=16384)
