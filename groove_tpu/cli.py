@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="partition the song graph into independent "
                         "components and render them concurrently across "
                         "all visible devices (parallel/multidevice.py)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the song's TIMELINE over all visible "
+                        "devices (shard_map + ppermute state relaxation, "
+                        "parallel/meshrender.py) — one song, sequence-"
+                        "parallel")
     p.add_argument("--live", metavar="MIDI_PORT", default=None,
                    help="play the project LIVE: read raw MIDI bytes from "
                         "this FIFO/file 'port' and route them through the "
@@ -88,6 +93,7 @@ def output_path(input_filename: str, out_dir: str | None) -> Path:
     path = Path(out)
     if out_dir:
         path = Path(out_dir) / path.name
+        path.parent.mkdir(parents=True, exist_ok=True)
     return path
 
 
@@ -143,12 +149,19 @@ def _process_file(input_filename: str, paths: Paths, args) -> None:
             import jax as _jax
             print(f"Multi-device: {len(renderer.assignments)} components "
                   f"across {len(_jax.devices())} device(s)")
+    elif args.mesh:
+        from groove_tpu.parallel.meshrender import MeshRenderer
+        renderer = MeshRenderer(compiled)
+        if not args.quiet:
+            print(f"Mesh: timeline sharded {renderer.n_devices} ways x "
+                  f"{renderer.S} frames, {renderer.iterations} relaxation "
+                  f"round(s)")
     else:
         renderer = Renderer(compiled)
     if args.perf:
         print(f"Orchestrator instantiation time: "
               f"{time.perf_counter() - t0:.2f}s")
-    if args.debug and not args.multidevice:
+    if args.debug and not (args.multidevice or args.mesh):
         # per-entity device timing, like the reference's dipstick
         # metrics (--perf + `metrics` feature); the multidevice
         # renderer is a set of per-component programs, not one

@@ -1,0 +1,64 @@
+"""Single-song timeline sharding over the 8-device virtual mesh
+(VERDICT r2 item 3): MeshRenderer must reproduce the single-device
+render of arbitrary corpus songs, carrying IIR/delay/reverb/follower
+state across shard boundaries via ppermute relaxation."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from groove_tpu.compiler.song import compile_song
+from groove_tpu.engine.stream import StreamingRenderer
+from groove_tpu.parallel.meshrender import MeshRenderer
+from groove_tpu.project.schema import SongSettings
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device virtual mesh")
+
+# fixtures spanning the carried states: reverb tails, the refined 24 dB
+# cascade under an automated sweep, pure delay, sidechain scalar
+FIXTURES = [
+    "projects/demos/effects/drums-reverb.json",
+    "projects/demos/effects/drums-filtered-24db.json",
+    "projects/demos/effects/delay.json",
+    "projects/demos/controllers/sidechain.json",
+]
+
+
+@pytest.mark.parametrize("rel", FIXTURES,
+                         ids=[f.split("/")[-1] for f in FIXTURES])
+def test_mesh_render_matches_single_device(rel):
+    c = compile_song(SongSettings.from_project_file(REF / rel))
+    single = StreamingRenderer(c, segment_frames=8192).render()
+    mesh = MeshRenderer(c).render()  # auto iterations from effect memory
+    assert mesh.shape == single.shape == (c.n_frames, 2)
+    peak = max(1.0, float(np.abs(single).max()))
+    err = float(np.abs(mesh - single).max())
+    assert err < 2e-4 * peak, f"mesh render diverges: {err} vs peak {peak}"
+
+
+def test_auto_iterations_converged():
+    """The auto round count (from effect_memory_seconds) must already be
+    converged: two extra rounds change nothing beyond float noise."""
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/effects/drums-reverb.json"))
+    auto = MeshRenderer(c)
+    a = auto.render()
+    b = MeshRenderer(c, iterations=auto.iterations + 2).render()
+    peak = max(1.0, float(np.abs(b).max()))
+    assert float(np.abs(a - b).max()) < 1e-5 * peak
+
+
+def test_mesh_scale_c4_welsh_notes_cross_shards():
+    """Welsh notes whose windows cross shard boundaries must render
+    identically (instruments are recomputed per overlapping shard)."""
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/scale-c4-major.json"))
+    single = StreamingRenderer(c, segment_frames=8192).render()
+    mesh = MeshRenderer(c).render()
+    peak = max(1.0, float(np.abs(single).max()))
+    assert float(np.abs(mesh - single).max()) < 2e-4 * peak
