@@ -141,6 +141,25 @@ def compute_filter_fidelity(compiled) -> dict:
             out[dev.uvid] = "serial"
         elif iir.needs_refinement(a1, a2):
             out[dev.uvid] = "refine"
+            # Residence-based deepening for the NON-Pallas (test) backend:
+            # an automated sweep that RESTS in the deep-corner band (the
+            # north star's slow-start exponential trip holds ~25 Hz for
+            # hundreds of blocks) under-converges through the XLA refined
+            # fallback exactly like a parked cascade (-71.6 dBFS measured
+            # song-level vs the f64 reference); route it serially when the
+            # deep band persists. The fused TPU kernel is accurate there
+            # (-95 dBFS on-chip) and keeps the refine path.
+            if not iir._pallas_available():
+                deep = ((a1 < iir._CRITICAL_A1)
+                        & (a2 > iir._CRITICAL_A2)).any(axis=0) \
+                    if a1.ndim > 1 else ((a1 < iir._CRITICAL_A1)
+                                         & (a2 > iir._CRITICAL_A2))
+                run = best = 0
+                for d in np.atleast_1d(deep):
+                    run = run + 1 if d else 0
+                    best = max(best, run)
+                if best >= 32:  # >= 46 ms parked in the deep band
+                    out[dev.uvid] = "serial"
 
     return out
 
@@ -284,11 +303,13 @@ class Renderer:
 
     def _plan_filters(self) -> None:
         self._filter_modes = compute_filter_fidelity(self.c)
-        # welsh internal-cascade fidelity flags (host decision: the traced
-        # per-note coefficients can't be inspected in-graph)
+        # welsh internal-cascade fidelity modes (host decision: the traced
+        # per-note coefficients can't be inspected in-graph). "serial" on
+        # non-Pallas backends for deep-corner parked cascades
+        # (welsh.filter_fidelity_mode).
         sr = float(self.c.sample_rate)
         self._welsh_refine = {
-            dev.uvid: welsh_model.needs_filter_refinement(dev.voice, sr)
+            dev.uvid: welsh_model.filter_fidelity_mode(dev.voice, sr)
             for dev in self.c.devices.values()
             if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None
         }
@@ -316,10 +337,13 @@ class Renderer:
                 str(wf), float(dev.params.get("frequency", 440.0)), n, sr
             )
             if wf == "pulse-width":
-                t = jnp.arange(n, dtype=jnp.float32)
+                # host time base: keeps edges jit/eager-identical (see
+                # welsh.render_notes)
+                t = jnp.asarray(np.arange(n, dtype=np.float32)
+                                / np.float32(sr))
                 from groove_tpu.ops import oscillator as osc_ops
                 mono = osc_ops.pulse_width(
-                    float(dev.params.get("frequency", 440.0)) * t / sr, pw
+                    float(dev.params.get("frequency", 440.0)) * t, pw
                 )
             return jnp.stack([mono, mono])
         if dev.kind == "toy-instrument":

@@ -80,7 +80,7 @@ class StreamingRenderer:
         from groove_tpu.engine.render import compute_filter_fidelity
         self._filter_modes = compute_filter_fidelity(compiled)
         self._welsh_refine = {
-            dev.uvid: welsh_model.needs_filter_refinement(
+            dev.uvid: welsh_model.filter_fidelity_mode(
                 dev.voice, float(compiled.sample_rate))
             for dev in compiled.devices.values()
             if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None

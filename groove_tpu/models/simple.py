@@ -30,9 +30,12 @@ from groove_tpu.models.voices import note_freqs
 
 def oscillator_instrument(kind: str, frequency: float, n_frames: int,
                           sample_rate: float, noise_seed: int = 0) -> jnp.ndarray:
-    """Always-on oscillator -> mono [n]."""
-    t = jnp.arange(n_frames, dtype=jnp.float32)
-    phase = frequency * t / sample_rate
+    """Always-on oscillator -> mono [n]. The time base is a host constant
+    so phases are identical under jit and eager (see welsh.render_notes:
+    XLA's reciprocal-multiply rewrite otherwise flips square/saw edges)."""
+    t = jnp.asarray(np.arange(n_frames, dtype=np.float32)
+                    / np.float32(sample_rate))
+    phase = frequency * t
     if kind == "noise":
         import jax
         return osc_ops.noise(jax.random.PRNGKey(noise_seed), (n_frames,))

@@ -97,6 +97,49 @@ def needs_filter_refinement(params: WelshVoiceParams,
     return iir_ops.needs_refinement(a1, a2)
 
 
+def needs_filter_serial(params: WelshVoiceParams,
+                        sample_rate: float = 44100.0) -> bool:
+    """Deep-corner test for NON-Pallas backends (the CPU test suite): a
+    cascade PARKED at the literal 25 Hz floor with high q (octave-switch:
+    q 5.33) under-converges through the XLA refined fallback — section
+    A's output sits in f32 noise and section B's resonance amplifies it
+    (~-24 dBFS vs f64 at the corner) — while the strictly serial
+    per-sample TDF2 scan reads -79 dBFS there (measured; the fused TPU
+    Pallas kernel reads -95 on-chip and stays the production path).
+    True when any SUSTAINED operating point (same points as
+    needs_filter_refinement) crosses the static-serial thresholds
+    (iir._CRITICAL_A1/_CRITICAL_A2). HOST-only."""
+    fe = params.filter_envelope
+    sustained_envs = [0.0, float(fe.sustain)]
+    pts = [params.filter_cutoff_start
+           + (params.filter_cutoff_end - params.filter_cutoff_start) * e
+           for e in sustained_envs]
+    if params.lfo.routing in ("filter-cutoff", "cutoff-amp"):
+        pts = [p + s * params.lfo.depth for p in pts for s in (-1.0, 1.0)]
+    pcts = np.clip(np.asarray(pts, np.float64), 0.0, 1.0)
+    hz = np.exp(LN_COEF + pcts * LN_BASE).astype(np.float32)
+    q = np.float32(max(params.filter_q, 1e-3))
+    _, secs = iir_ops.lp24_sections(hz, q, sample_rate)
+    a1 = np.stack([np.asarray(s[3]) for s in secs])
+    a2 = np.stack([np.asarray(s[4]) for s in secs])
+    return bool(((a1 < iir_ops._CRITICAL_A1)
+                 & (a2 > iir_ops._CRITICAL_A2)).any())
+
+
+def filter_fidelity_mode(params: WelshVoiceParams,
+                         sample_rate: float = 44100.0) -> str | None:
+    """Host routing for the voice's internal cascade: 'serial' on
+    non-Pallas backends for deep-corner parked cascades (see
+    needs_filter_serial), else 'refine' for near-critical sustained
+    points, else None (single-pass blocked/Pallas)."""
+    if not iir_ops._pallas_available() \
+            and needs_filter_serial(params, sample_rate):
+        return "serial"
+    if needs_filter_refinement(params, sample_rate):
+        return "refine"
+    return None
+
+
 def render_notes(
     params: WelshVoiceParams,
     keys,
@@ -113,7 +156,13 @@ def render_notes(
     in-graph code cannot decide)."""
     keys = jnp.asarray(keys, jnp.float32)
     n_notes = keys.shape[0]
-    t = jnp.arange(span, dtype=jnp.float32)[None, :] / sample_rate  # [1, span]
+    # t is a HOST-computed constant: an in-graph arange/sample_rate lets
+    # XLA's simplifier rewrite the divide into a reciprocal multiply,
+    # shifting phases by ulps BETWEEN jit and eager — which flips
+    # saw/pulse EDGE samples (measured -29 dBFS jit-vs-eager on scale-c4).
+    # A literal keeps phases identical under any fusion.
+    t = jnp.asarray(np.arange(span, dtype=np.float32)[None, :]
+                    / np.float32(sample_rate))  # [1, span]
     base_freq = note_freqs(keys)[:, None]  # [n, 1]
     gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
 
@@ -229,10 +278,14 @@ def render_notes(
     q = params.filter_q
     if routing == "resonance":
         q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
-    # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU)
+    # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU).
+    # refine_filter may be a fidelity MODE string from filter_fidelity_mode
+    # ("serial" routes deep-corner parked cascades on non-Pallas backends).
+    fidelity = refine_filter if isinstance(refine_filter, str) \
+        else ("refine" if refine_filter else None)
     y = iir_ops.lp24_apply_blockrate(
         osc_out, jnp.broadcast_to(cutoff_hz, (n_notes, nb)), q, sample_rate,
-        fidelity="refine" if refine_filter else None,
+        fidelity=fidelity,
     )
 
     # Amp envelope + velocity + amplitude LFO.

@@ -490,9 +490,23 @@ def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
     cutoff_b = jnp.broadcast_to(jnp.asarray(cutoff_b, jnp.float32), cshape)
     gain_b, sections_b = lp24_sections(cutoff_b, q_b, sample_rate)
     y = x * upsample_hold(jnp.broadcast_to(gain_b, cshape), n, cblock)
+    if fidelity == "serial" and not _pallas_available():
+        # Deep-corner PARKED cascade on the test (non-Pallas) backend:
+        # the refined fallback under-converges there (section A's output
+        # is f32 noise, section B's resonance amplifies it: measured
+        # -24 dBFS vs f64 at 25 Hz q 5.33, while the strict per-sample
+        # serial scan reads -79). The fused TPU kernel handles the same
+        # corner at -95 and never takes this branch
+        # (welsh.filter_fidelity_mode routes host-side).
+        for sec in sections_b:
+            coefs = tuple(upsample_hold(jnp.broadcast_to(
+                jnp.asarray(c, jnp.float32), cshape), n, cblock)
+                for c in sec)
+            y = biquad_serial(y, coefs)
+        return y
     if fidelity in ("refine", "serial"):
-        # "serial" can only arrive for a static device; an automated one
-        # always classifies as refine — refined is the parallel answer
+        # "serial" with Pallas available: the fused refined kernel is the
+        # accuracy reference at the deep corner (-95 dBFS on-chip)
         if _pallas_available():
             # fused kernel: both sections' solve+defect+correction in one
             # launch with the correction reusing the solve prefix rows —

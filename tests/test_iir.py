@@ -283,6 +283,64 @@ def _filter_device_song(kind, params):
     }))
 
 
+def test_parked_corner_serial_fidelity_on_cpu():
+    """VERDICT r2 item 5: a cascade PARKED at the literal 25 Hz floor with
+    high q (octave-switch's resting point) must route to the serial scan
+    on this non-Pallas backend: the refined fallback reads ~-24 dBFS vs
+    f64 there (section A in f32 noise, section B's resonance amplifying),
+    the serial path ~-79."""
+    sr = 44100.0
+    cblock = 64
+    n = 8192
+    nb = n // cblock
+    hz = np.full(nb, 25.0, np.float32)
+    x = (np.random.default_rng(1).standard_normal(n) * 0.3).astype(np.float32)
+    gain_b, secs = iir.lp24_sections(jnp.asarray(hz), jnp.float32(5.331), sr)
+    gain_up = np.asarray(iir.upsample_hold(gain_b, n), np.float32)
+    secs_up = [
+        tuple(np.asarray(iir.upsample_hold(jnp.asarray(c), n), np.float32)
+              for c in s_)
+        for s_ in secs
+    ]
+    y_ref = _tv_serial_ref64((x * gain_up).astype(np.float64), secs_up)
+    y = np.asarray(iir.lp24_apply_blockrate(
+        jnp.asarray(x), jnp.asarray(hz), 5.331, sr, fidelity="serial"))
+    db = 20 * np.log10(float(np.abs(y.astype(np.float64) - y_ref).max())
+                       + 1e-30)
+    assert db <= -70.0, f"serial fallback at the parked corner: {db:.1f} dBFS"
+    y_rf = np.asarray(iir.lp24_apply_blockrate(
+        jnp.asarray(x), jnp.asarray(hz), 5.331, sr, fidelity="refine"))
+    db_rf = 20 * np.log10(float(np.abs(y_rf.astype(np.float64) - y_ref).max())
+                          + 1e-30)
+    assert db < db_rf - 30.0, \
+        f"serial ({db:.1f}) must beat refined ({db_rf:.1f}) at the corner"
+
+
+def test_octave_switch_routes_serial_and_matches_tpu_truth():
+    """The one corpus file in the parked-corner regime: its welsh voice
+    must classify 'serial' on this backend and the CPU render must now
+    agree with the TPU/f64 truth (rms 0.5996, CORPUS_TPU.md) — the round-2
+    8% CPU<->TPU divergence is closed."""
+    from pathlib import Path
+
+    from groove_tpu.compiler.song import compile_song
+    from groove_tpu.engine.render import Renderer
+    from groove_tpu.models import welsh as welsh_model
+    from groove_tpu.project.schema import SongSettings
+
+    ref = Path("/root/reference/projects/demos/instruments/welsh-octave-switch.json")
+    if not ref.exists():
+        import pytest
+        pytest.skip("reference corpus not mounted")
+    c = compile_song(SongSettings.from_project_file(ref))
+    dev = next(d for d in c.devices.values() if d.kind == "welsh")
+    assert welsh_model.filter_fidelity_mode(dev.voice, 44100.0) == "serial"
+    out = np.asarray(Renderer(c).render())
+    rms = float(np.sqrt((out ** 2).mean()))
+    assert abs(rms - 0.5996) / 0.5996 < 0.005, \
+        f"CPU rms {rms} still diverges from TPU truth 0.5996"
+
+
 def test_engine_static_deep_corner_dispatches_serial_in_graph():
     """Inside the compiled program coefficients are tracers, so the ops'
     own float(a1) checks are inert — the Renderer must route static
