@@ -36,17 +36,15 @@ BLOCK = SAMPLE_BUFFER_SIZE
 
 # Params the registry lists as controllable (compiler/params.py) but whose
 # render reading is static — changing them per-sample would change the
-# program's structure (delay-line lengths, voice counts, comb feedback).
-# None are automated anywhere in the reference corpus; a trip targeting one
-# warns instead of silently pinning the static value.
+# program's structure (comb feedback networks, voice counts). None are
+# automated anywhere in the reference corpus; a trip targeting one warns
+# instead of silently pinning the static value. (Delay time and the FM
+# ratio/depth/beta ARE automatable since round 3: per-block gather taps /
+# per-block FM coefficients with an integrated modulator phase.)
 STATIC_ONLY_PARAMS = {
     ("reverb", "seconds"),
-    ("delay", "delay"),
     ("chorus", "voices"),
     ("chorus", "delay-seconds"),
-    ("fm-synthesizer", "ratio"),
-    ("fm-synthesizer", "depth"),
-    ("fm-synthesizer", "beta"),
     ("oscillator", "frequency"),
     ("toy", "my-value"),
 }
@@ -284,7 +282,7 @@ class Renderer:
         count = keys.shape[0]
         per_chunk = max(1, self.NOTE_CHUNK_ELEMS // max(span, 1))
         if count <= per_chunk:
-            return scatter_notes(render_fn(keys, vels, gate), on, n)
+            return scatter_notes(render_fn(keys, vels, gate, on), on, n)
         n_chunks = -(-count // per_chunk)
         padn = n_chunks * per_chunk - count
         keys_c = jnp.pad(keys, (0, padn)).reshape(n_chunks, per_chunk)
@@ -294,7 +292,7 @@ class Renderer:
 
         def body(mono, chunk):
             k, v, g, o = chunk
-            notes = render_fn(k, v, g)
+            notes = render_fn(k, v, g, o)
             return mono + scatter_notes(notes, o, n), None
 
         mono0 = jnp.zeros((n,), jnp.float32)
@@ -359,18 +357,29 @@ class Renderer:
             if dev.voice is None:
                 return jnp.zeros((2, n), jnp.float32)
             if dev.kind == "fm-synthesizer":
-                render = fm_model.render_notes
+                # ratio/depth/beta automation: per-block coefficients
+                # sliced at each note's absolute position (item 10)
+                ac = {nm: inputs[f"{u}/auto/{nm}"]
+                      for nm in ("ratio", "depth", "beta")
+                      if f"{u}/auto/{nm}" in inputs}
+                render = (lambda p_, k, v, g, o, s_, sr_, ac_=ac:
+                          fm_model.render_notes(
+                              p_, k, v, g, s_, sr_, on_frames=o,
+                              ratio_b=ac_.get("ratio"),
+                              depth_b=ac_.get("depth"),
+                              beta_b=ac_.get("beta")))
             else:
                 # host fidelity decision for the voice's internal cascade
                 # (precomputed at init: can't run eager jnp inside trace)
                 rf = self._welsh_refine.get(u, False)
-                render = (lambda p_, k, v, g, s_, sr_, rf_=rf:
+                render = (lambda p_, k, v, g, o, s_, sr_, rf_=rf:
                           welsh_model.render_notes(p_, k, v, g, s_, sr_,
                                                    refine_filter=rf_))
             mono = jnp.zeros((n,), jnp.float32)
             for j, span in enumerate(self._buckets[u]):
                 mono = mono + self._chunked_mono(
-                    lambda k, v, g, s=span: render(dev.voice, k, v, g, s, sr),
+                    lambda k, v, g, o, s=span:
+                    render(dev.voice, k, v, g, o, s, sr),
                     inputs[f"{u}/b{j}/keys"], inputs[f"{u}/b{j}/vels"],
                     inputs[f"{u}/b{j}/gate"], inputs[f"{u}/b{j}/on"],
                     span, n,
@@ -479,6 +488,11 @@ class Renderer:
                 return dynamics.compressor(x, thr, ratio)
             return dynamics.compressor_smoothed(x, thr, ratio, att, rel, sr)
         if k == "delay":
+            key = f"{dev.uvid}/auto/delay"
+            if key in inputs:
+                # automated delay TIME: per-block gather taps
+                # (delayfx.delay_automated; VERDICT r2 item 10)
+                return delayfx.delay_automated(x, inputs[key], sr)
             return delayfx.delay(x, float(dev.params.get("delay", 0.0)), sr)
         if k == "chorus":
             return delayfx.chorus(

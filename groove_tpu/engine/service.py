@@ -126,6 +126,19 @@ class EngineService:
     def remove_device(self, uvid: str):
         self._q.put(Command("device-remove", uvid))
 
+    def set_device_param(self, uvid: str, name: str, value):
+        """Set a device's configured parameter (domain units) — the
+        per-entity parameter widgets' message (the reference's Control
+        derive exposes the same names; compiler/params.py registry)."""
+        self._q.put(Command("device-param", (uvid, name, value)))
+
+    def set_pattern_step(self, pattern_id: str, row: int, notes):
+        """Replace one step row of a pattern's note grid
+        (PatternSettings.notes: Vec<Vec<u8>>, settings/src/lib.rs:48-78).
+        `notes` is the new list of MIDI keys for that row ([] = rest)."""
+        self._q.put(Command("pattern-step", (pattern_id, int(row),
+                                             list(notes))))
+
     def sync(self, timeout: float = 600.0) -> bool:
         """Block until every previously queued command has been processed
         (used by interactive front ends to refresh views after edits)."""
@@ -185,8 +198,7 @@ class EngineService:
                         self.song.clock.bpm = cmd.arg
                         self._dirty = True
                         self.on_event("tempo", cmd.arg)
-                elif cmd.kind.startswith("track-") or \
-                        cmd.kind.startswith("device-"):
+                elif cmd.kind.startswith(("track-", "device-", "pattern-")):
                     if self.song is not None:
                         self._edit(cmd)
                         self._dirty = True
@@ -322,6 +334,25 @@ class EngineService:
                     kind in ("signal-passthrough-controller", "calculator"):
                 song.patch_cables.append([uvid, "main-mixer"])
             self.on_event("device-added", uvid)
+        elif cmd.kind == "device-param":
+            uvid, name, value = cmd.arg
+            dev = next((d for d in song.devices if d.uvid == uvid), None)
+            if dev is None:
+                self.on_event("error", f"no device {uvid!r}")
+                return
+            settings = dev.instrument or dev.controller or dev.effect
+            settings.params[name] = value
+            self.on_event("device-param", (uvid, name, value))
+        elif cmd.kind == "pattern-step":
+            pattern_id, row, notes = cmd.arg
+            pat = next((p for p in song.patterns if p.id == pattern_id), None)
+            if pat is None:
+                self.on_event("error", f"no pattern {pattern_id!r}")
+                return
+            while len(pat.notes) <= row:
+                pat.notes.append([])
+            pat.notes[row] = [int(n) for n in notes]
+            self.on_event("pattern-step", (pattern_id, row, notes))
         elif cmd.kind == "device-remove":
             uvid = cmd.arg
             song.devices = [d for d in song.devices if d.uvid != uvid]

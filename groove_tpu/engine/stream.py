@@ -74,9 +74,13 @@ class StreamingRenderer:
         self.n_segs = max(1, -(-compiled.n_frames // self.S))
         self.plan_frames = self.n_segs * self.S
         self.inputs: dict[str, np.ndarray] = {}
-        self._spans: dict[str, int] = {}
-        self._notes_np: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        self._caps: dict[str, int] = {}
+        # per-device SPAN BUCKETS (models/voices.bucket_notes — the same
+        # wasted-work bound the whole-song path applies): _spans[u] is a
+        # list of bucket spans; _bucket_on[u][j] the bucket's note-on
+        # frames; caps are per (device, bucket)
+        self._spans: dict[str, list[int]] = {}
+        self._bucket_on: dict[str, list[np.ndarray]] = {}
+        self._caps: dict[tuple[str, int], int] = {}
         from groove_tpu.engine.render import compute_filter_fidelity
         self._filter_modes = compute_filter_fidelity(compiled)
         self._welsh_refine = {
@@ -92,27 +96,32 @@ class StreamingRenderer:
 
     # ---- host-side collection ---------------------------------------------
 
-    def _note_span(self, dev: DeviceIR) -> int:
+    def _note_tail(self, dev: DeviceIR) -> float:
+        sr = self.c.sample_rate
+        if dev.kind == "welsh" and dev.voice is not None:
+            return welsh_model.tail_seconds(dev.voice)
+        if dev.kind == "fm-synthesizer":
+            return fm_model.tail_seconds(dev.voice)
+        if dev.kind in ("drumkit", "calculator"):
+            return float(dev.sample_table.lengths.max()) / sr
+        if dev.kind == "envelope":
+            return float(dev.params.get("release", 0.0))
+        return 0.0
+
+    def _note_buckets(self, dev: DeviceIR) -> list:
+        """Span buckets [(span, note_indices)] for one instrument — the
+        whole-song path's wasted-work bound (one drone must not force
+        every short note to render a drone-length window; in the stream
+        it additionally multiplies by the segment-overlap factor). Spans
+        crop to the timeline like the whole-song Renderer."""
+        from groove_tpu.models.voices import bucket_notes
+
         notes = dev.notes
         sr = self.c.sample_rate
-        gate = notes.off_frames - notes.on_frames
-        max_gate = int(gate.max()) if notes.count else 0
-        if dev.kind == "welsh" and dev.voice is not None:
-            tail = welsh_model.tail_seconds(dev.voice)
-        elif dev.kind == "fm-synthesizer":
-            tail = fm_model.tail_seconds(dev.voice)
-        elif dev.kind in ("drumkit", "calculator"):
-            tail = float(dev.sample_table.lengths.max()) / sr
-        elif dev.kind == "envelope":
-            tail = float(dev.params.get("release", 0.0))
-        else:
-            tail = 0.0
-        span = span_for(max_gate, tail, sr)
-        # same timeline crop as the whole-song Renderer: a window never
-        # usefully outlives the song (memory bound for streamed songs is
-        # max note span — a pathological hours-long drone is the one shape
-        # this path does not bound)
-        return min(span, -(-self.c.n_frames // 128) * 128)
+        gate = (notes.off_frames - notes.on_frames).astype(np.int64)
+        tail = self._note_tail(dev)
+        need = gate + int(np.ceil(tail * sr)) + 1
+        return bucket_notes(need, self.c.n_frames)
 
     def _collect_inputs(self) -> None:
         from groove_tpu.engine.render import warn_static_only
@@ -153,55 +162,70 @@ class StreamingRenderer:
                 continue
             if dev.kind == "toy-instrument":
                 continue
+            if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer") \
+                    and dev.voice is None:
+                continue  # loader already warned; renders silent
             notes = dev.notes
-            span = self._note_span(dev)
-            self._spans[u] = span
             gate = (notes.off_frames - notes.on_frames).astype(np.int32)
-            self.inputs[f"{u}/keys"] = notes.keys
-            self.inputs[f"{u}/vels"] = notes.vels
-            self.inputs[f"{u}/on"] = notes.on_frames
-            self.inputs[f"{u}/gate"] = gate
-            self._notes_np[u] = (np.asarray(notes.on_frames, np.int64), span)
-            if dev.sample_table is not None:
-                self.inputs[f"{u}/table"] = dev.sample_table.data
-                self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
-                self.inputs[f"{u}/rates"] = dev.sample_table.rates
-                self.inputs[f"{u}/slots"] = dev.slots
+            buckets = self._note_buckets(dev)
+            self._spans[u] = [s for s, _ in buckets]
+            self._bucket_on[u] = []
             if dev.kind == "sampler":
-                self.inputs[f"{u}/ratios"] = np.asarray(
+                ratios = np.asarray(
                     sampler_model.sampler_ratios(
                         notes.keys, float(dev.params.get("root", 440.0))
                     ),
                     np.float32,
                 )
-        # per-device capacity = max notes overlapping any linear segment
-        for u, (on, span) in self._notes_np.items():
-            cap = 1
-            for k in range(self.n_segs):
-                t0 = k * self.S
-                cap = max(cap, int(self._overlap(u, t0, self.S).size))
-            self._caps[u] = cap
+            for j, (span, idx) in enumerate(buckets):
+                b = f"{u}/b{j}"
+                self.inputs[f"{b}/keys"] = notes.keys[idx]
+                self.inputs[f"{b}/vels"] = notes.vels[idx]
+                self.inputs[f"{b}/on"] = notes.on_frames[idx]
+                self.inputs[f"{b}/gate"] = gate[idx]
+                if dev.sample_table is not None:
+                    self.inputs[f"{b}/slots"] = dev.slots[idx]
+                if dev.kind == "sampler":
+                    self.inputs[f"{b}/ratios"] = ratios[idx]
+                self._bucket_on[u].append(
+                    np.asarray(notes.on_frames[idx], np.int64))
+            if dev.sample_table is not None:
+                self.inputs[f"{u}/table"] = dev.sample_table.data
+                self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
+                self.inputs[f"{u}/rates"] = dev.sample_table.rates
+        # per-bucket capacity = max notes overlapping any linear segment
+        for u, ons in self._bucket_on.items():
+            for j in range(len(ons)):
+                cap = 1
+                for k in range(self.n_segs):
+                    cap = max(cap, int(self._overlap(
+                        u, j, k * self.S, self.S).size))
+                self._caps[(u, j)] = cap
 
-    def _overlap(self, u: str, t0: int, seg_len: int) -> np.ndarray:
-        on, span = self._notes_np[u]
+    def _overlap(self, u: str, j: int, t0: int, seg_len: int) -> np.ndarray:
+        on = self._bucket_on[u][j]
+        span = self._spans[u][j]
         return np.nonzero((on < t0 + seg_len) & (on + span > t0))[0]
 
     def _seg_xs(self, t0: int, seg_len: int) -> dict:
-        """Per-segment traced inputs: playhead + padded note index lists."""
+        """Per-segment traced inputs: playhead + padded per-bucket note
+        index lists (indices are into the bucket's own arrays)."""
         xs = {"t0": np.int32(t0)}
-        for u, cap in self._caps.items():
-            idx = self._overlap(u, t0, seg_len)
+        for (u, j), cap in self._caps.items():
+            idx = self._overlap(u, j, t0, seg_len)
             if idx.size > cap:
                 # loop windows can overlap more notes than any linear
                 # segment; widen the capacity (step re-jits once)
-                self._caps[u] = cap = int(idx.size)
+                self._caps[(u, j)] = cap = int(idx.size)
                 self._steps.clear()
+                if getattr(self, "_scans", None):
+                    self._scans.clear()
             mask = np.zeros(cap, np.float32)
             mask[: idx.size] = 1.0
             full = np.zeros(cap, np.int32)
             full[: idx.size] = idx
-            xs[f"{u}/idx"] = full
-            xs[f"{u}/m"] = mask
+            xs[f"{u}/b{j}/idx"] = full
+            xs[f"{u}/b{j}/m"] = mask
         return xs
 
     # ---- state -------------------------------------------------------------
@@ -232,7 +256,13 @@ class StreamingRenderer:
                 st[f"{u}/catt"] = z(2)
                 st[f"{u}/crel"] = z(2)
             elif k == "delay":
-                d = int(round(float(dev.params.get("delay", 0.0)) * sr))
+                if "delay" in dev.automation:
+                    # automated delay time: the carried tail covers the
+                    # curve's MAXIMUM length (host data)
+                    d = int(round(float(np.max(dev.automation["delay"]))
+                                  * sr))
+                else:
+                    d = int(round(float(dev.params.get("delay", 0.0)) * sr))
                 if d > 0:
                     st[f"{u}/dl"] = z(2, d)
             elif k == "chorus":
@@ -304,72 +334,101 @@ class StreamingRenderer:
                 float(dev.params.get("fake-value", 0.0)), n
             )
             return jnp.stack([mono, mono])
-        if u not in self._caps:
+        if u not in self._spans:
+            if dev.role == "instrument" or dev.kind == "calculator":
+                return jnp.zeros((2, n), jnp.float32)
+            warn(f"unknown instrument kind {dev.kind}; silent")
             return jnp.zeros((2, n), jnp.float32)
 
-        span = self._spans[u]
-        idx = xs[f"{u}/idx"]
-        m = xs[f"{u}/m"]
-        keys = jnp.take(inputs[f"{u}/keys"], idx, axis=0)
-        vels = jnp.take(inputs[f"{u}/vels"], idx, axis=0) * m
-        on = jnp.take(inputs[f"{u}/on"], idx, axis=0)
-        gate = jnp.take(inputs[f"{u}/gate"], idx, axis=0)
-        on_rel = (on - t0 + span).astype(jnp.int32)
+        P = lambda name, default: self._param_seg(  # noqa: E731
+            inputs, dev, name, default, t0, n)
+        out = jnp.zeros((2, n), jnp.float32)
+        for j, span in enumerate(self._spans[u]):
+            b = f"{u}/b{j}"
+            idx = xs[f"{b}/idx"]
+            m = xs[f"{b}/m"]
+            keys = jnp.take(inputs[f"{b}/keys"], idx, axis=0)
+            vels = jnp.take(inputs[f"{b}/vels"], idx, axis=0) * m
+            on = jnp.take(inputs[f"{b}/on"], idx, axis=0)
+            gate = jnp.take(inputs[f"{b}/gate"], idx, axis=0)
+            on_rel = (on - t0 + span).astype(jnp.int32)
 
-        def place(note_audio):
-            # padding rows are zeroed via the mask so their scatter adds
-            # exact zeros (bit-exact segmentation invariance)
-            mshape = (m.shape[0],) + (1,) * (note_audio.ndim - 1)
-            note_audio = note_audio * m.reshape(mshape)
-            out = scatter_notes(note_audio, on_rel, n + span)
-            return out[..., span:span + n]
+            def place(note_audio, m=m, on_rel=on_rel, span=span):
+                # padding rows are zeroed via the mask so their scatter
+                # adds exact zeros (bit-exact segmentation invariance)
+                mshape = (m.shape[0],) + (1,) * (note_audio.ndim - 1)
+                note_audio = note_audio * m.reshape(mshape)
+                placed = scatter_notes(note_audio, on_rel, n + span)
+                return placed[..., span:span + n]
 
-        if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
-            if dev.kind == "fm-synthesizer":
-                render = fm_model.render_notes
+            if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
+                if dev.kind == "fm-synthesizer":
+                    ac = {nm: inputs[f"{u}/auto/{nm}"]
+                          for nm in ("ratio", "depth", "beta")
+                          if f"{u}/auto/{nm}" in inputs}
+                    render = (lambda p_, k, v, g, o, s_, sr_, ac_=ac:
+                              fm_model.render_notes(
+                                  p_, k, v, g, s_, sr_, on_frames=o,
+                                  ratio_b=ac_.get("ratio"),
+                                  depth_b=ac_.get("depth"),
+                                  beta_b=ac_.get("beta")))
+                else:
+                    rf = self._welsh_refine.get(u, False)
+                    render = (lambda p_, k, v, g, o, s_, sr_, rf_=rf:
+                              welsh_model.render_notes(p_, k, v, g, s_, sr_,
+                                                       refine_filter=rf_))
+                mono = place(render(dev.voice, keys, vels, gate, on,
+                                    span, sr))
+                out = out + jnp.stack([mono, mono])  # DCA applied after
+            elif dev.kind in ("drumkit", "sampler", "calculator"):
+                slots = jnp.take(inputs[f"{b}/slots"], idx, axis=0)
+                unity = dev.kind in ("drumkit", "calculator") and all(
+                    int(r) == self.c.sample_rate
+                    for r in dev.sample_table.rates)
+                if unity:
+                    # aligned row copy (no fractional gather): the general
+                    # gather path measured ~30 ns/element on TPU — it was
+                    # the dominant cost of streamed drum tracks
+                    stereo = sampler_model.render_notes_aligned(
+                        inputs[f"{u}/table"], inputs[f"{u}/lengths"],
+                        slots, jnp.full_like(gate, span), vels, span,
+                    )
+                else:
+                    if dev.kind == "sampler":
+                        gate_eff = gate
+                        ratios = jnp.take(inputs[f"{b}/ratios"], idx, axis=0)
+                    else:
+                        gate_eff = jnp.full_like(gate, span)  # one-shots
+                        ratios = jnp.ones((keys.shape[0],), jnp.float32)
+                    stereo = sampler_model.render_notes(
+                        inputs[f"{u}/table"], inputs[f"{u}/lengths"],
+                        inputs[f"{u}/rates"], slots, ratios, gate_eff,
+                        vels, span, sr,
+                    )
+                out = out + place(stereo)
+            elif dev.kind == "envelope":
+                adsr = (
+                    float(dev.params.get("attack", 0.0)),
+                    float(dev.params.get("decay", 0.0)),
+                    float(dev.params.get("sustain", 1.0)),
+                    float(dev.params.get("release", 0.0)),
+                )
+                mono = place(simple_model.envelope_instrument(
+                    adsr, keys, vels, gate, span, sr
+                ))
+                out = out + jnp.stack([mono, mono])
             else:
-                rf = self._welsh_refine.get(u, False)
-                render = (lambda p_, k, v, g, s_, sr_, rf_=rf:
-                          welsh_model.render_notes(p_, k, v, g, s_, sr_,
-                                                   refine_filter=rf_))
-            mono = place(render(dev.voice, keys, vels, gate, span, sr))
-            P = lambda name, default: self._param_seg(  # noqa: E731
-                inputs, dev, name, default, t0, n)
-            if dev.kind == "fm-synthesizer":
-                left, right = pan_gains(P("pan", dev.voice.pan))
-                g = P("gain", dev.voice.gain)
-                return jnp.stack([mono * left * g, mono * right * g])
+                warn(f"unknown instrument kind {dev.kind}; silent")
+        if dev.kind in ("welsh", "welsh-raw"):
             lv, rv = pan_gains(0.0)
             ls, rs = pan_gains(P("pan", 0.0))
             g = P("gain", 1.0)
-            return jnp.stack([mono * lv * ls * g, mono * rv * rs * g])
-        if dev.kind in ("drumkit", "sampler", "calculator"):
-            if dev.kind == "sampler":
-                gate_eff = gate
-                ratios = jnp.take(inputs[f"{u}/ratios"], idx, axis=0)
-            else:
-                gate_eff = jnp.full_like(gate, span)  # one-shots
-                ratios = jnp.ones((keys.shape[0],), jnp.float32)
-            slots = jnp.take(inputs[f"{u}/slots"], idx, axis=0)
-            stereo = sampler_model.render_notes(
-                inputs[f"{u}/table"], inputs[f"{u}/lengths"],
-                inputs[f"{u}/rates"], slots, ratios, gate_eff, vels,
-                span, sr,
-            )
-            return place(stereo)
-        if dev.kind == "envelope":
-            adsr = (
-                float(dev.params.get("attack", 0.0)),
-                float(dev.params.get("decay", 0.0)),
-                float(dev.params.get("sustain", 1.0)),
-                float(dev.params.get("release", 0.0)),
-            )
-            mono = place(simple_model.envelope_instrument(
-                adsr, keys, vels, gate, span, sr
-            ))
-            return jnp.stack([mono, mono])
-        warn(f"unknown instrument kind {dev.kind}; silent")
-        return jnp.zeros((2, n), jnp.float32)
+            out = jnp.stack([out[0] * lv * ls * g, out[1] * rv * rs * g])
+        elif dev.kind == "fm-synthesizer":
+            left, right = pan_gains(P("pan", dev.voice.pan))
+            g = P("gain", dev.voice.gain)
+            out = jnp.stack([out[0] * left * g, out[1] * right * g])
+        return out
 
     def _apply_effect_seg(self, inputs, dev: DeviceIR, x, t0, n: int,
                           overrides, state, new_state):
@@ -412,7 +471,14 @@ class StreamingRenderer:
         if k == "delay":
             if f"{u}/dl" not in state:
                 return x
-            y, h = sops.delay_stream(x, state[f"{u}/dl"])
+            key = f"{u}/auto/delay"
+            if key in inputs:
+                d_b = jax.lax.dynamic_slice(
+                    inputs[key], (t0 // BLOCK,), (n // BLOCK,))
+                y, h = sops.delay_stream_automated(
+                    x, state[f"{u}/dl"], d_b, sr)
+            else:
+                y, h = sops.delay_stream(x, state[f"{u}/dl"])
             new_state[f"{u}/dl"] = h
             return y
         if k == "chorus":

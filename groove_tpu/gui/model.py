@@ -27,7 +27,7 @@ from groove_tpu.engine import factory
 from groove_tpu.engine.service import EngineService
 from groove_tpu.gui.prefs import Preferences
 
-PANELS = ("tracks", "palette", "browser")
+PANELS = ("tracks", "palette", "browser", "params", "pattern")
 
 
 def _browser_roots() -> list[Path]:
@@ -95,6 +95,69 @@ class TuiModel:
         return [f"{d.uvid} ({d.effect.kind})"
                 for d in (self.song.devices if self.song else [])
                 if d.role == "effect"]
+
+    # -- parameter editor (generated from the Control-derive registry,
+    #    compiler/params.py; the reference's per-entity widgets) ----------
+
+    def param_rows(self) -> list:
+        """[(uvid, kind, Param, current_value_or_None)] for every
+        controllable param of every device."""
+        from groove_tpu.compiler import params as param_mod
+        rows = []
+        for d in (self.song.devices if self.song else []):
+            settings = d.instrument or d.controller or d.effect
+            for p in param_mod.REGISTRY.get(settings.kind, []):
+                rows.append((d.uvid, settings.kind, p,
+                             settings.params.get(p.name)))
+        return rows
+
+    def adjust_param(self, direction: int) -> None:
+        """Nudge the selected param by 5% of its ControlValue range
+        (arrow keys; the reference drags its widgets continuously)."""
+        rows = self.param_rows()
+        c = self.cursor["params"]
+        if not rows or c >= len(rows):
+            return
+        uvid, kind, p, value = rows[c]
+        cv = p.from_domain(float(value)) if value is not None else 0.5
+        cv = min(1.0, max(0.0, cv + 0.05 * direction))
+        self.svc.set_device_param(uvid, p.name, p.to_domain(cv))
+        self.svc.sync()
+
+    # -- pattern grid (note rows, settings/src/lib.rs:48-78) --------------
+
+    def _sel_pattern(self):
+        t = self._sel_track()
+        if not t or not t.pattern_ids or not self.song:
+            return None
+        pid = t.pattern_ids[0]
+        return next((p for p in self.song.patterns if p.id == pid), None)
+
+    def pattern_rows(self) -> list:
+        pat = self._sel_pattern()
+        return list(pat.notes) if pat else []
+
+    def transpose_step(self, direction: int) -> None:
+        """Shift every key of the selected step row by one semitone."""
+        pat = self._sel_pattern()
+        c = self.cursor["pattern"]
+        if not pat or c >= len(pat.notes):
+            return
+        row = [min(127, max(0, int(k) + direction)) if k else 0
+               for k in pat.notes[c]]
+        self.svc.set_pattern_step(pat.id, c, row)
+        self.svc.sync()
+
+    def toggle_step(self) -> None:
+        """Rest <-> note: clear the row, or plant middle C on a rest
+        (key 0 = rest, compiler/events.py)."""
+        pat = self._sel_pattern()
+        c = self.cursor["pattern"]
+        if not pat or c >= len(pat.notes):
+            return
+        row = [] if any(pat.notes[c]) else [60]
+        self.svc.set_pattern_step(pat.id, c, row)
+        self.svc.sync()
 
     # -- actions ----------------------------------------------------------
 
@@ -174,6 +237,16 @@ class TuiModel:
                 if c < len(ts):
                     self.selected_track = ts[c].id
             return
+        if key in ("left", "right"):
+            d = 1 if key == "right" else -1
+            if self.focus == "params":
+                self.adjust_param(d)
+            elif self.focus == "pattern":
+                self.transpose_step(d)
+            return
+        if key == "x" and self.focus == "pattern":
+            self.toggle_step()
+            return
         if key == "enter":
             self._activate()
             return
@@ -197,6 +270,10 @@ class TuiModel:
             return self.tracks()
         if self.focus == "palette":
             return factory.sorted_keys()
+        if self.focus == "params":
+            return self.param_rows()
+        if self.focus == "pattern":
+            return self.pattern_rows()
         return self.browser_files
 
     def _activate(self):
@@ -269,6 +346,29 @@ class TuiModel:
             if chain:
                 lines.append("  effects:")
                 lines.extend(f"      {d}" for d in chain)
+            return lines
+        if panel == "params":
+            lines = [f"{mark} params (←/→: adjust)"]
+            for i, (uvid, kind, p, value) in enumerate(self.param_rows()):
+                cur = ">" if (self.focus == panel
+                              and self.cursor[panel] == i) else " "
+                shown = "(default)" if value is None else (
+                    f"{value:g}" if isinstance(value, (int, float))
+                    else str(value))
+                lines.append(f"{cur} {uvid}.{p.name} = {shown}")
+            return lines
+        if panel == "pattern":
+            t = self._sel_track()
+            pat = self._sel_pattern()
+            head = f"{mark} pattern"
+            if pat is not None:
+                head += f" {pat.id} (track {t.id}; ←/→: transpose, x: rest)"
+            lines = [head]
+            for i, row in enumerate(self.pattern_rows()):
+                cur = ">" if (self.focus == panel
+                              and self.cursor[panel] == i) else " "
+                keys = " ".join(str(k) for k in row if k) or "·"
+                lines.append(f"{cur} {i:2d}  {keys}")
             return lines
         if panel == "log":
             return [f"  [{k}] {d if d is not None else ''}".rstrip()

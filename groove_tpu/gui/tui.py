@@ -5,8 +5,9 @@ palette, right project browser, center track lanes, bottom event log.
 
     $ python -m groove_tpu.gui [project.json]
 
-Keys: Tab cycle focus · arrows move · Enter activate · Space play/stop ·
-=/- BPM ±1 · +/_ BPM ±10 · n new track · d duplicate · D delete ·
+Keys: Tab cycle focus · arrows move (←/→ adjust param / transpose step) ·
+Enter activate · Space play/stop · =/- BPM ±1 · +/_ BPM ±10 ·
+n new track · d duplicate · D delete · x rest toggle (pattern) ·
 s save · q quit.
 """
 
@@ -20,6 +21,8 @@ from groove_tpu.gui.model import TuiModel
 KEYMAP = {
     curses.KEY_UP: "up",
     curses.KEY_DOWN: "down",
+    curses.KEY_LEFT: "left",
+    curses.KEY_RIGHT: "right",
     9: "tab",
     10: "enter",
     curses.KEY_ENTER: "enter",
@@ -52,8 +55,18 @@ def run(stdscr, model: TuiModel) -> None:
         except curses.error:
             pass
         _blit(stdscr, 2, 0, model.panel_lines("palette"), left_w, body_h)
+        # center: track lanes on top, param editor + pattern grid below
+        # (the per-entity widgets / note rows of the reference's center
+        # panel, orchestrator_panel.rs)
+        tracks_h = max(4, body_h // 2)
+        edit_h = body_h - tracks_h
         _blit(stdscr, 2, left_w, model.panel_lines("tracks"),
-              center_w, body_h)
+              center_w, tracks_h)
+        edit_w = center_w // 2
+        _blit(stdscr, 2 + tracks_h, left_w, model.panel_lines("params"),
+              edit_w, edit_h)
+        _blit(stdscr, 2 + tracks_h, left_w + edit_w,
+              model.panel_lines("pattern"), center_w - edit_w, edit_h)
         _blit(stdscr, 2, left_w + center_w, model.panel_lines("browser"),
               right_w, body_h)
         _blit(stdscr, h - log_h, 0, model.panel_lines("log"), w, log_h)

@@ -80,6 +80,26 @@ def delay(x, delay_seconds: float, sample_rate: float):
     return delay_signal(x, int(round(delay_seconds * sample_rate)))
 
 
+def delay_automated(x, delay_seconds_b, sample_rate: float,
+                    cblock: int = 64):
+    """Automated delay TIME (VERDICT r2 item 10): the delay length is a
+    block-rate curve held for 64 samples (the reference recomputes params
+    at handle_work cadence, orchestrator.rs:631-708) and the output is a
+    gather y[n] = x[n - D(block(n))] — length changes take effect at
+    block boundaries with no crossfade, exactly like a live param tweak
+    in the reference's per-buffer model."""
+    from groove_tpu.ops.iir import upsample_hold
+
+    n = x.shape[-1]
+    d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
+                    * sample_rate).astype(jnp.int32)
+    d_up = upsample_hold(d_b, n, cblock)
+    idx = jnp.arange(n, dtype=jnp.int32) - d_up
+    valid = (idx >= 0).astype(x.dtype)
+    idx = jnp.clip(idx, 0, n - 1)
+    return jnp.take(x, idx, axis=-1) * valid
+
+
 def chorus(x, voices: int, delay_seconds: float, sample_rate: float,
            wet_dry_mix=1.0):
     """Multi-tap chorus. `wet-dry-mix` is a controllable param in the

@@ -371,7 +371,61 @@ def _blockrate_fast(x, coefs_full, cblock: int):
     return biquad(x, coefs, block=max(block_for(n), cblock))
 
 
-def biquad_blockrate_refined(x, coefs_b, cblock: int = CONTROL_BLOCK):
+def _solve_chunked(x, coefs_up, chunks: int, block: int):
+    """Exact blocked solve with the TIME axis split into `chunks`
+    independent rows (row packing): pass 1 solves every chunk from zero
+    entry state and returns each chunk's exit state + 2x2 transition
+    (biquad return_state); a tiny `chunks`-step scan composes the exact
+    entry states; pass 2 re-solves with them. 2x the FLOPs, but the
+    serial phases (in-block scan + cross-block scan) shorten by `chunks`
+    — the win when few rows leave the dependency chains latency-bound
+    (the [2, n] master-bus cascade: measured 4779x realtime fused-kernel
+    refined vs 7430x unrefined on the north star; see
+    lp24_apply_blockrate).
+
+    x: [..., n]; coefs_up: 5-tuple of [..., n] per-sample arrays.
+    n is padded up to a chunks*block multiple (x with zeros, coefficients
+    by edge) and the result trimmed."""
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    R = int(np.prod(lead)) if lead else 1
+    L = -(-n // (chunks * block)) * block
+    n_pad = chunks * L
+
+    def prep(a, edge):
+        a = jnp.broadcast_to(a, lead + (n,)).reshape(R, n)
+        if n_pad > n:
+            pad_val = a[:, -1:] if edge else jnp.zeros_like(a[:, -1:])
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(pad_val, (R, n_pad - n))], axis=-1)
+        return a.reshape(R * chunks, L)
+
+    xc = prep(x, edge=False)
+    cc = tuple(prep(c, edge=True) for c in coefs_up)
+    _, (e1, e2), (m11, m12, m21, m22) = biquad(
+        xc, cc, block=block, return_state=True)
+
+    def cr(a):  # [R*chunks] -> [chunks, R]
+        return a.reshape(R, chunks).T
+
+    def compose(S, per):
+        m11c, m12c, m21c, m22c, c1c, c2c = per
+        s1, s2 = S
+        return (m11c * s1 + m12c * s2 + c1c,
+                m21c * s1 + m22c * s2 + c2c), S  # emit the ENTRY state
+
+    zero = jnp.zeros((R,), x.dtype)
+    _, entries = jax.lax.scan(
+        compose, (zero, zero),
+        tuple(cr(a) for a in (m11, m12, m21, m22, e1, e2)))
+    ent1 = entries[0].T.reshape(R * chunks)
+    ent2 = entries[1].T.reshape(R * chunks)
+    y = biquad(xc, cc, block=block, initial_state=(ent1, ent2))
+    return y.reshape(R, n_pad)[:, :n].reshape(lead + (n,))
+
+
+def biquad_blockrate_refined(x, coefs_b, cblock: int = CONTROL_BLOCK,
+                             chunks: int | None = None):
     """Blocked solve + ONE defect-correction pass, for automated filters
     that sweep through near-critical poles.
 
@@ -401,8 +455,13 @@ def biquad_blockrate_refined(x, coefs_b, cblock: int = CONTROL_BLOCK):
         jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape)
         for c in coefs_b
     )
-    y0 = _blockrate_fast(x, cb_f, cblock)
     b0u, b1u, b2u, a1u, a2u = (upsample_hold(c, n, cblock) for c in cb_f)
+    if chunks:
+        # row-packed solves (few-row latency-bound case, _solve_chunked)
+        coefs_up = (b0u, b1u, b2u, a1u, a2u)
+        y0 = _solve_chunked(x, coefs_up, chunks, cblock)
+    else:
+        y0 = _blockrate_fast(x, cb_f, cblock)
     b1s, b2s = _roll0(b1u, 1), _roll0(b2u, 2)
     a1s, a2s = _roll0(a1u, 1), _roll0(a2u, 2)
     y1v, y2v = _roll0(y0, 1), _roll0(y0, 2)
@@ -411,6 +470,12 @@ def biquad_blockrate_refined(x, coefs_b, cblock: int = CONTROL_BLOCK):
     second = (y0 - y1v) - (y1v - y2v)   # nearly exact: y0 is smooth there
     d = (b0u * x + b1s * _roll0(x, 1) + b2s * _roll0(x, 2)) \
         - second - e1 * y1v - e2 * y2v
+    if chunks:
+        ones_u = jnp.ones_like(a1u)
+        zeros_u = jnp.zeros_like(a1u)
+        c = _solve_chunked(d, (ones_u, zeros_u, zeros_u, a1u, a2u),
+                           chunks, cblock)
+        return y0 + c
     ones_b = jnp.ones(cshape, jnp.float32)
     zeros_b = jnp.zeros(cshape, jnp.float32)
     c = _blockrate_fast(d, (ones_b, zeros_b, zeros_b, cb_f[3], cb_f[4]),
@@ -508,6 +573,16 @@ def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
         # "serial" with Pallas available: the fused refined kernel is the
         # accuracy reference at the deep corner (-95 dBFS on-chip)
         if _pallas_available():
+            rows = int(np.prod(y.shape[:-1])) if y.ndim > 1 else 1
+            if rows <= 4 and n >= 16 * 4096:
+                # FEW rows (the [2, n] master-bus cascade): the fused
+                # kernel's serial phases run latency-bound, so the
+                # row-packed two-pass refined solves win (measured: the
+                # north star's refined pass cost the headline 7430x ->
+                # 4779x; chunking recovers most of it)
+                for sec in sections_b:
+                    y = biquad_blockrate_refined(y, sec, cblock, chunks=16)
+                return y
             # fused kernel: both sections' solve+defect+correction in one
             # launch with the correction reusing the solve prefix rows —
             # the 4-launch XLA formulation measured 2.4x the unrefined
@@ -554,23 +629,45 @@ def one_pole(x: jax.Array, a: jax.Array, b: jax.Array, axis: int = -1) -> jax.Ar
 # RBJ Audio EQ Cookbook coefficients (doc/Audio-EQ-Cookbook.txt:100-200).
 # All functions are vectorized: cutoff/q/... may be arrays (per-block or
 # per-sample automation); returns normalized (b0, b1, b2, a1, a2).
+#
+# BACKEND-GENERIC: numpy inputs evaluate with numpy (f32), tracers/jnp
+# arrays with jnp. Host-side fidelity planning (compute_filter_fidelity,
+# welsh.filter_fidelity_mode) calls these with numpy — on this machine's
+# tunnel-attached TPU, eager jnp evaluation cost a remote compile per
+# tiny op (~240 s of renderer init for an 8-channel SMF).
+
+
+def _coef_ns(*vals):
+    """numpy for host (numpy/python) inputs, jnp when anything is traced."""
+    import numpy as _np
+    for v in vals:
+        if not isinstance(v, (int, float, _np.ndarray, _np.floating,
+                              _np.integer)):
+            return jnp
+    return _np
 
 
 def _norm(b0, b1, b2, a0, a1, a2):
     return (b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0)
 
 
-def _w0(cutoff, sample_rate):
-    return 2.0 * jnp.pi * cutoff / sample_rate
+def _w0(cutoff, sample_rate, ns=jnp):
+    return 2.0 * ns.pi * cutoff / sample_rate
+
+
+def _f32(ns, *vals):
+    return tuple(ns.asarray(v, ns.float32) for v in vals)
 
 
 def rbj_low_pass(cutoff, q, sample_rate):
-    w0 = _w0(cutoff, sample_rate)
-    cw, sw = jnp.cos(w0), jnp.sin(w0)
+    ns = _coef_ns(cutoff, q)
+    cutoff, q = _f32(ns, cutoff, q)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw, sw = ns.cos(w0), ns.sin(w0)
     alpha = sw / (2.0 * q)
     # 1-cos(w0) == 2 sin^2(w0/2): cancellation-free at low cutoffs, where
     # the f32 difference 1-cw loses ~5 digits and audibly shifts the zero.
-    one_minus_cw = 2.0 * jnp.sin(w0 / 2.0) ** 2
+    one_minus_cw = 2.0 * ns.sin(w0 / 2.0) ** 2
     return _norm(
         one_minus_cw / 2, one_minus_cw, one_minus_cw / 2,
         1 + alpha, -2 * cw, 1 - alpha,
@@ -578,53 +675,63 @@ def rbj_low_pass(cutoff, q, sample_rate):
 
 
 def rbj_high_pass(cutoff, q, sample_rate):
-    w0 = _w0(cutoff, sample_rate)
-    cw, sw = jnp.cos(w0), jnp.sin(w0)
+    ns = _coef_ns(cutoff, q)
+    cutoff, q = _f32(ns, cutoff, q)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw, sw = ns.cos(w0), ns.sin(w0)
     alpha = sw / (2.0 * q)
-    one_plus_cw = 2.0 * jnp.cos(w0 / 2.0) ** 2
+    one_plus_cw = 2.0 * ns.cos(w0 / 2.0) ** 2
     return _norm(
         one_plus_cw / 2, -one_plus_cw, one_plus_cw / 2,
         1 + alpha, -2 * cw, 1 - alpha,
     )
 
 
-def _alpha_bw_hz(w0, cutoff, bandwidth_hz):
+def _alpha_bw_hz(w0, cutoff, bandwidth_hz, ns=jnp):
     """alpha from a bandwidth given in Hz: Q = cutoff / bandwidth.
 
     The reference's band filters take `bandwidth` (settings/src/effects.rs)
     with corpus values 2..2000 Hz around a 1000 Hz cutoff
     (projects/demos/effects/filter-band-*_bandwidth-{2,30,2000}.json) —
     clearly Hz, not the cookbook's octaves (2000 octaves overflows)."""
-    q = cutoff / jnp.maximum(bandwidth_hz, 1e-6)
-    return jnp.sin(w0) / (2.0 * q)
+    q = cutoff / ns.maximum(bandwidth_hz, 1e-6)
+    return ns.sin(w0) / (2.0 * q)
 
 
 def rbj_band_pass(cutoff, bandwidth, sample_rate):
     """Constant 0 dB peak gain variant (cookbook's second BPF form)."""
-    w0 = _w0(cutoff, sample_rate)
-    cw = jnp.cos(w0)
-    alpha = _alpha_bw_hz(w0, cutoff, bandwidth)
-    return _norm(alpha, jnp.zeros_like(alpha), -alpha, 1 + alpha, -2 * cw, 1 - alpha)
+    ns = _coef_ns(cutoff, bandwidth)
+    cutoff, bandwidth = _f32(ns, cutoff, bandwidth)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw = ns.cos(w0)
+    alpha = _alpha_bw_hz(w0, cutoff, bandwidth, ns)
+    return _norm(alpha, ns.zeros_like(alpha), -alpha, 1 + alpha, -2 * cw, 1 - alpha)
 
 
 def rbj_band_stop(cutoff, bandwidth, sample_rate):
-    w0 = _w0(cutoff, sample_rate)
-    cw = jnp.cos(w0)
-    alpha = _alpha_bw_hz(w0, cutoff, bandwidth)
-    one = jnp.ones_like(alpha)
+    ns = _coef_ns(cutoff, bandwidth)
+    cutoff, bandwidth = _f32(ns, cutoff, bandwidth)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw = ns.cos(w0)
+    alpha = _alpha_bw_hz(w0, cutoff, bandwidth, ns)
+    one = ns.ones_like(alpha)
     return _norm(one, -2 * cw, one, 1 + alpha, -2 * cw, 1 - alpha)
 
 
 def rbj_all_pass(cutoff, q, sample_rate):
-    w0 = _w0(cutoff, sample_rate)
-    cw, sw = jnp.cos(w0), jnp.sin(w0)
+    ns = _coef_ns(cutoff, q)
+    cutoff, q = _f32(ns, cutoff, q)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw, sw = ns.cos(w0), ns.sin(w0)
     alpha = sw / (2.0 * q)
     return _norm(1 - alpha, -2 * cw, 1 + alpha, 1 + alpha, -2 * cw, 1 - alpha)
 
 
 def rbj_peaking_eq(cutoff, q, db_gain, sample_rate):
-    w0 = _w0(cutoff, sample_rate)
-    cw, sw = jnp.cos(w0), jnp.sin(w0)
+    ns = _coef_ns(cutoff, q, db_gain)
+    cutoff, q, db_gain = _f32(ns, cutoff, q, db_gain)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw, sw = ns.cos(w0), ns.sin(w0)
     a = 10.0 ** (db_gain / 40.0)
     alpha = sw / (2.0 * q)
     return _norm(
@@ -632,17 +739,19 @@ def rbj_peaking_eq(cutoff, q, db_gain, sample_rate):
     )
 
 
-def _shelf_alpha(w0, a, slope=1.0):
-    sw = jnp.sin(w0)
-    return sw / 2.0 * jnp.sqrt((a + 1.0 / a) * (1.0 / slope - 1.0) + 2.0)
+def _shelf_alpha(w0, a, slope=1.0, ns=jnp):
+    sw = ns.sin(w0)
+    return sw / 2.0 * ns.sqrt((a + 1.0 / a) * (1.0 / slope - 1.0) + 2.0)
 
 
 def rbj_low_shelf(cutoff, db_gain, sample_rate, slope=1.0):
-    w0 = _w0(cutoff, sample_rate)
-    cw = jnp.cos(w0)
+    ns = _coef_ns(cutoff, db_gain)
+    cutoff, db_gain = _f32(ns, cutoff, db_gain)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw = ns.cos(w0)
     a = 10.0 ** (db_gain / 40.0)
-    alpha = _shelf_alpha(w0, a, slope)
-    two_sqrt_a_alpha = 2.0 * jnp.sqrt(a) * alpha
+    alpha = _shelf_alpha(w0, a, slope, ns)
+    two_sqrt_a_alpha = 2.0 * ns.sqrt(a) * alpha
     return _norm(
         a * ((a + 1) - (a - 1) * cw + two_sqrt_a_alpha),
         2 * a * ((a - 1) - (a + 1) * cw),
@@ -654,11 +763,13 @@ def rbj_low_shelf(cutoff, db_gain, sample_rate, slope=1.0):
 
 
 def rbj_high_shelf(cutoff, db_gain, sample_rate, slope=1.0):
-    w0 = _w0(cutoff, sample_rate)
-    cw = jnp.cos(w0)
+    ns = _coef_ns(cutoff, db_gain)
+    cutoff, db_gain = _f32(ns, cutoff, db_gain)
+    w0 = _w0(cutoff, sample_rate, ns)
+    cw = ns.cos(w0)
     a = 10.0 ** (db_gain / 40.0)
-    alpha = _shelf_alpha(w0, a, slope)
-    two_sqrt_a_alpha = 2.0 * jnp.sqrt(a) * alpha
+    alpha = _shelf_alpha(w0, a, slope, ns)
+    two_sqrt_a_alpha = 2.0 * ns.sqrt(a) * alpha
     return _norm(
         a * ((a + 1) + (a - 1) * cw + two_sqrt_a_alpha),
         -2 * a * ((a - 1) + (a + 1) * cw),
@@ -684,11 +795,14 @@ def lp24_sections(cutoff, q, sample_rate):
     `cutoff`/`q` may be arrays (per-sample automation). Mirrors
     szxform(): prewarp both polynomials at fc, then bilinear
     (filters004.txt:300-410). Numerator is 1, so prewarping it is a no-op.
+    Backend-generic like the RBJ family (numpy for host inputs).
     """
-    cutoff = jnp.asarray(cutoff, jnp.float32)
+    ns = _coef_ns(cutoff, q)
+    cutoff = ns.asarray(cutoff, ns.float32)
+    q = ns.asarray(q, ns.float32)
     fs = sample_rate
-    wp = 2.0 * fs * jnp.tan(jnp.pi * cutoff / fs)
-    gain = jnp.ones_like(cutoff)
+    wp = 2.0 * fs * ns.tan(ns.pi * cutoff / fs)
+    gain = ns.ones_like(cutoff)
     sections = []
     for b1s in _LP24_B1:
         # s-domain denominator (1, b1s/q, 1) prewarped: b2/wp^2, b1/wp
@@ -696,7 +810,7 @@ def lp24_sections(cutoff, q, sample_rate):
         b1p = (b1s / q) / wp
         b2p = 1.0 / (wp * wp)
         # bilinear (filters004.txt:352-380); numerator a = (1, 0, 0)
-        ad = jnp.ones_like(cutoff)
+        ad = ns.ones_like(cutoff)
         bd = 4.0 * b2p * fs * fs + 2.0 * b1p * fs + b0s
         gain = gain * ad / bd
         beta1 = (2.0 * b0s - 8.0 * b2p * fs * fs) / bd
@@ -704,10 +818,10 @@ def lp24_sections(cutoff, q, sample_rate):
         # z-domain numerator of 1 -> (1, 2, 1) scaled into the global gain?
         # No: bilinear of constant numerator 1 gives alpha1 = 2*1/ad = 2,
         # alpha2 = 1 (the (1+z^-1)^2 factor), with ad = 1.
-        alpha1 = 2.0 * jnp.ones_like(cutoff)
-        alpha2 = jnp.ones_like(cutoff)
+        alpha1 = 2.0 * ns.ones_like(cutoff)
+        alpha2 = ns.ones_like(cutoff)
         sections.append(
-            (jnp.ones_like(cutoff), alpha1, alpha2, beta1, beta2)
+            (ns.ones_like(cutoff), alpha1, alpha2, beta1, beta2)
         )
     return gain, sections
 

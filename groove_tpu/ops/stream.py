@@ -62,11 +62,39 @@ def biquad_stream(x, coefs, state, serial: bool = False):
 
 def biquad_serial_stream(x, coefs, state):
     """Per-sample TDF2 serial scan with entry/exit state (cf.
-    iir.biquad_serial, which is the zero-state version)."""
-    b0, b1, b2, a1, a2 = [jnp.asarray(c, x.dtype) for c in coefs]
+    iir.biquad_serial, which is the zero-state version). Coefficients may
+    be static scalars or per-sample [..., S] arrays (automated filters
+    whose residence in the deep-corner band routes them serially —
+    engine/render.compute_filter_fidelity)."""
+    S = x.shape[-1]
+    cs = [jnp.asarray(c, x.dtype) for c in coefs]
+    tv = any(c.ndim >= 1 and c.shape[-1] == S for c in cs)
     xt = jnp.moveaxis(x, -1, 0)  # [S, ...]
     s1 = jnp.broadcast_to(jnp.asarray(state[0], x.dtype), xt[0].shape)
     s2 = jnp.broadcast_to(jnp.asarray(state[1], x.dtype), xt[0].shape)
+
+    if tv:
+        # per-sample coefficient rows ride the scan; a [..., S] coef with
+        # leading batch dims moves its time axis first like x
+        cts = tuple(
+            jnp.moveaxis(jnp.broadcast_to(c, x.shape), -1, 0)
+            if c.ndim > 1 else jnp.broadcast_to(c, (S,))
+            for c in cs
+        )
+
+        def step_tv(carry, inp):
+            xn, b0, b1, b2, a1, a2 = inp
+            c1, c2 = carry
+            yn = b0 * xn + c1
+            n1 = b1 * xn - a1 * yn + c2
+            n2 = b2 * xn - a2 * yn
+            return (n1, n2), yn
+
+        (s1, s2), yt = jax.lax.scan(step_tv, (s1, s2), (xt,) + cts,
+                                    unroll=8)
+        return jnp.moveaxis(yt, 0, -1), (s1, s2)
+
+    b0, b1, b2, a1, a2 = cs
 
     def step(carry, xn):
         c1, c2 = carry
@@ -130,6 +158,25 @@ def delay_stream(x, hist):
     z = jnp.concatenate([hist, x], axis=-1)
     n = x.shape[-1]
     return z[..., :n], z[..., -d:]
+
+
+def delay_stream_automated(x, hist, delay_seconds_b, sample_rate: float,
+                           cblock: int = STREAM_BLOCK):
+    """Automated delay time over a segment: hist carries the last D_max
+    input samples; y[n] = history[n - D(block(n))] by pure gather, so
+    segmentation is bit-invisible (no arithmetic on the carried values).
+    delay_seconds_b: this segment's block-rate curve [S/64]."""
+    from groove_tpu.ops.iir import upsample_hold
+
+    d_max = hist.shape[-1]
+    n = x.shape[-1]
+    z = jnp.concatenate([hist, x], axis=-1)
+    d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
+                    * sample_rate).astype(jnp.int32)
+    d_up = jnp.minimum(upsample_hold(d_b, n, cblock), d_max)
+    idx = jnp.arange(n, dtype=jnp.int32) + d_max - d_up
+    y = jnp.take(z, idx, axis=-1)
+    return y, z[..., -d_max:] if d_max else hist
 
 
 def chorus_stream(x, hist, voices: int, total_delay: int, wet_dry_mix):

@@ -250,9 +250,12 @@ def test_refinement_not_triggered_for_safe_sweeps():
     assert not iir.needs_refinement(a1s, a2s)
 
 
-def test_renderer_flags_north_star_for_refinement():
-    """drums-filtered-24db's rising-cutoff trip starts at 25 Hz: the
-    Renderer's host-side plan must add the refinement pass."""
+def test_renderer_flags_north_star_fidelity():
+    """drums-filtered-24db's rising-cutoff trip starts at 25 Hz and its
+    slow-start exponential PARKS there for hundreds of blocks: on this
+    non-Pallas backend the host plan routes it serially (residence-based
+    deepening; the Pallas backends keep the refine pass — the fused
+    kernel handles the corner at -95 dBFS)."""
     from pathlib import Path
 
     from groove_tpu.compiler.song import compile_song
@@ -262,7 +265,8 @@ def test_renderer_flags_north_star_for_refinement():
     c = compile_song(SongSettings.from_project_file(Path(
         "/root/reference/projects/demos/effects/drums-filtered-24db.json")))
     r = Renderer(c)
-    assert r._filter_modes.get("low-pass-1") == "refine"
+    expect = "refine" if iir._pallas_available() else "serial"
+    assert r._filter_modes.get("low-pass-1") == expect
 
 
 def _filter_device_song(kind, params):
@@ -281,6 +285,44 @@ def _filter_device_song(kind, params):
         "patterns": [{"id": "p", "notes": [[60]]}],
         "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
     }))
+
+
+def test_chunked_refined_meets_bar_on_sweep():
+    """The row-packed refined solver (_solve_chunked two-pass + exact
+    entry composition; the few-row latency fix for the master-bus
+    cascade) must still clear -80 dBFS vs f64 on the north-star sweep and
+    agree with the unchunked refined path to float tolerance."""
+    sr = 44100.0
+    n = 165376
+    cblock = 64
+    nb = -(-n // cblock)
+    pct = np.linspace(0.0, 1.0, nb)
+    hz = np.asarray(25.0 * (800.0 ** pct), np.float32)
+    x = (np.random.default_rng(2).standard_normal((2, n)) * 0.3).astype(
+        np.float32)
+    gain_b, secs = iir.lp24_sections(jnp.asarray(hz), jnp.float32(0.707), sr)
+    gain_up = np.asarray(iir.upsample_hold(jnp.asarray(gain_b), n))
+    xg = x * gain_up
+    secs_up = [
+        tuple(np.asarray(iir.upsample_hold(jnp.asarray(c), n), np.float32)
+              for c in s_)
+        for s_ in secs
+    ]
+    y_ref = _tv_serial_ref64((xg[0]).astype(np.float64), secs_up)
+
+    y_chunk = jnp.asarray(xg)
+    y_plain = jnp.asarray(xg)
+    for sec in secs:
+        sec_t = tuple(jnp.asarray(c) for c in sec)
+        y_chunk = iir.biquad_blockrate_refined(y_chunk, sec_t, cblock,
+                                               chunks=16)
+        y_plain = iir.biquad_blockrate_refined(y_plain, sec_t, cblock)
+    y_chunk = np.asarray(y_chunk)
+    db = 20 * np.log10(
+        float(np.abs(y_chunk[0].astype(np.float64) - y_ref).max()) + 1e-30)
+    assert db <= -80.0, f"chunked refined vs f64: {db:.1f} dBFS"
+    diff = float(np.abs(y_chunk - np.asarray(y_plain)).max())
+    assert diff < 1e-4, f"chunked vs plain refined: {diff}"
 
 
 def test_parked_corner_serial_fidelity_on_cpu():
