@@ -273,3 +273,76 @@ def test_timer_extends_past_patterns():
     c = compile_song(song)
     # patterns stamp 1 measure (4 beats); the 12-beat timer wins: 3 s
     assert c.n_frames == -(-3 * 44100 // 64) * 64
+
+
+def test_steal_rings_out_through_release():
+    """A stolen voice is gated into RELEASE at the steal point, not
+    truncated: its tone must remain audible (decaying over the amp
+    envelope's release) underneath the stealing note, and be gone after
+    the release elapses. Render-level proof of the MultiLimit policy's
+    interaction with ops/envelope.adsr (release from the value at t_off,
+    settings/src/patches.rs:193-200 reconstruction)."""
+    from groove_tpu.compiler.song import NoteTensors
+    from groove_tpu.utils.spectrum import analyze
+
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 120},
+        "devices": [{"instrument": ["i1", {"welsh-raw": [
+            {"midi-in": 0},
+            {
+                "oscillator-1": {"waveform": "sine",
+                                 "tune": {"float": 1}, "mix-pct": 1},
+                "oscillator-2": {"waveform": "none",
+                                 "tune": {"float": 1}, "mix-pct": 0},
+                "oscillator-2-track": True,
+                "oscillator-2-sync": False,
+                "noise": 0,
+                "lfo": {"routing": "none", "waveform": "none",
+                        "frequency": 0, "depth": "none"},
+                "glide": 0, "unison": False,
+                "polyphony": {"multi-limit": 1},
+                # weight is the sweep TARGET pct (patches.rs derive): keep
+                # the filter parked open with sustain 1 + weight 1
+                "filter-type-24db": {"cutoff-hz": 20000, "cutoff-pct": 1.0},
+                "filter-type-12db": {"cutoff-hz": 20000, "cutoff-pct": 1.0},
+                "filter-resonance": 0,
+                "filter-envelope-weight": 1.0,
+                "filter-envelope": {"attack": 0, "decay": 0,
+                                    "sustain": 1, "release": 0},
+                # release:=decay quirk (patches.rs:133-138): decay 0.5
+                # gives the 0.5 s release this test relies on
+                "amp-envelope": {"attack": 0.005, "decay": 0.5,
+                                 "sustain": 1.0, "release": 0.5},
+            },
+        ]}]}],
+        "patch-cables": [["i1", "main-mixer"]],
+        "patterns": [{"id": "p", "note-value": "whole",
+                      "notes": [[69], [69], [69], [69]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    dev = c.devices["i1"]
+    assert dev.voice.poly_limit == 1
+    sr = c.sample_rate
+    # two overlapping notes: A4 held, C5 arrives at 0.5 s and steals it
+    on = np.array([0, sr // 2], np.int32)
+    off = np.array([3 * sr // 2, 3 * sr // 2], np.int32)
+    off = apply_multilimit_policy(on, off, limit=1).astype(np.int32)
+    assert off[0] == sr // 2  # stolen at the C5 onset
+    dev.notes = NoteTensors(np.array([69, 72], np.int32),
+                            np.array([100.0, 100.0], np.float32), on, off)
+    out = np.asarray(Renderer(c).render()).T  # [2, n]
+
+    # During the first 0.3 s after the steal both tones sound: the stolen
+    # A4 is releasing (0.5 s) under the new C5.
+    during = analyze(out[:, sr // 2 + 2205: sr // 2 + int(0.3 * sr)], sr)
+    a4, c5 = during.level_at(440.0), during.level_at(523.25)
+    assert c5 > -20.0, c5
+    assert a4 > -40.0, a4          # ring-out present (not truncated)
+    assert a4 < c5, (a4, c5)       # but decaying below the live note
+
+    # Well after the release has elapsed, A4 is gone and C5 remains.
+    t2 = sr // 2 + int(0.7 * sr)
+    after = analyze(out[:, t2: t2 + int(0.3 * sr)], sr)
+    assert after.level_at(523.25) > -20.0
+    assert after.level_at(440.0) < after.level_at(523.25) - 35.0
