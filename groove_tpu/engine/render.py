@@ -197,7 +197,7 @@ class Renderer:
         sr = self.c.sample_rate
         gate = notes.off_frames - notes.on_frames
         max_gate = int(gate.max()) if notes.count else 0
-        if dev.kind == "welsh" and dev.voice is not None:
+        if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None:
             tail = welsh_model.tail_seconds(dev.voice)
         elif dev.kind == "fm-synthesizer":
             tail = fm_model.tail_seconds(dev.voice)
@@ -229,6 +229,9 @@ class Renderer:
                 self.inputs[f"{u}/b{j}/vels"] = notes.vels[idx]
                 self.inputs[f"{u}/b{j}/on"] = notes.on_frames[idx]
                 self.inputs[f"{u}/b{j}/gate"] = gate[idx].astype(np.int32)
+                # global note indices: noise keying must be invariant to
+                # the bucket partition (welsh.render_notes note_ids)
+                self.inputs[f"{u}/b{j}/ids"] = idx.astype(np.int32)
             return
         self.inputs[f"{u}/keys"] = notes.keys
         self.inputs[f"{u}/vels"] = notes.vels
@@ -270,7 +273,7 @@ class Renderer:
     # otherwise materialize ~0.5 GB per intermediate).
     NOTE_CHUNK_ELEMS = 16_000_000
 
-    def _chunked_mono(self, render_fn, keys, vels, gate, on, span: int,
+    def _chunked_mono(self, render_fn, keys, vels, gate, on, ids, span: int,
                       n: int):
         """Render note batches in chunks and scatter-sum into the timeline.
 
@@ -282,21 +285,23 @@ class Renderer:
         count = keys.shape[0]
         per_chunk = max(1, self.NOTE_CHUNK_ELEMS // max(span, 1))
         if count <= per_chunk:
-            return scatter_notes(render_fn(keys, vels, gate, on), on, n)
+            return scatter_notes(render_fn(keys, vels, gate, on, ids), on, n)
         n_chunks = -(-count // per_chunk)
         padn = n_chunks * per_chunk - count
         keys_c = jnp.pad(keys, (0, padn)).reshape(n_chunks, per_chunk)
         vels_c = jnp.pad(vels, (0, padn)).reshape(n_chunks, per_chunk)
         gate_c = jnp.pad(gate, (0, padn)).reshape(n_chunks, per_chunk)
         on_c = jnp.pad(on, (0, padn)).reshape(n_chunks, per_chunk)
+        ids_c = jnp.pad(ids, (0, padn)).reshape(n_chunks, per_chunk)
 
         def body(mono, chunk):
-            k, v, g, o = chunk
-            notes = render_fn(k, v, g, o)
+            k, v, g, o, i = chunk
+            notes = render_fn(k, v, g, o, i)
             return mono + scatter_notes(notes, o, n), None
 
         mono0 = jnp.zeros((n,), jnp.float32)
-        mono, _ = jax.lax.scan(body, mono0, (keys_c, vels_c, gate_c, on_c))
+        mono, _ = jax.lax.scan(
+            body, mono0, (keys_c, vels_c, gate_c, on_c, ids_c))
         return mono
 
     def _plan_filters(self) -> None:
@@ -362,7 +367,7 @@ class Renderer:
                 ac = {nm: inputs[f"{u}/auto/{nm}"]
                       for nm in ("ratio", "depth", "beta")
                       if f"{u}/auto/{nm}" in inputs}
-                render = (lambda p_, k, v, g, o, s_, sr_, ac_=ac:
+                render = (lambda p_, k, v, g, o, i_, s_, sr_, ac_=ac:
                           fm_model.render_notes(
                               p_, k, v, g, s_, sr_, on_frames=o,
                               ratio_b=ac_.get("ratio"),
@@ -372,16 +377,18 @@ class Renderer:
                 # host fidelity decision for the voice's internal cascade
                 # (precomputed at init: can't run eager jnp inside trace)
                 rf = self._welsh_refine.get(u, False)
-                render = (lambda p_, k, v, g, o, s_, sr_, rf_=rf:
+                render = (lambda p_, k, v, g, o, i_, s_, sr_, rf_=rf:
                           welsh_model.render_notes(p_, k, v, g, s_, sr_,
-                                                   refine_filter=rf_))
+                                                   refine_filter=rf_,
+                                                   note_ids=i_))
             mono = jnp.zeros((n,), jnp.float32)
             for j, span in enumerate(self._buckets[u]):
                 mono = mono + self._chunked_mono(
-                    lambda k, v, g, o, s=span:
-                    render(dev.voice, k, v, g, o, s, sr),
+                    lambda k, v, g, o, i, s=span:
+                    render(dev.voice, k, v, g, o, i, s, sr),
                     inputs[f"{u}/b{j}/keys"], inputs[f"{u}/b{j}/vels"],
                     inputs[f"{u}/b{j}/gate"], inputs[f"{u}/b{j}/on"],
+                    inputs[f"{u}/b{j}/ids"],
                     span, n,
                 )
             if dev.kind == "fm-synthesizer":

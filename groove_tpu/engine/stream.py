@@ -98,7 +98,7 @@ class StreamingRenderer:
 
     def _note_tail(self, dev: DeviceIR) -> float:
         sr = self.c.sample_rate
-        if dev.kind == "welsh" and dev.voice is not None:
+        if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None:
             return welsh_model.tail_seconds(dev.voice)
         if dev.kind == "fm-synthesizer":
             return fm_model.tail_seconds(dev.voice)
@@ -183,6 +183,10 @@ class StreamingRenderer:
                 self.inputs[f"{b}/vels"] = notes.vels[idx]
                 self.inputs[f"{b}/on"] = notes.on_frames[idx]
                 self.inputs[f"{b}/gate"] = gate[idx]
+                # global note indices: noise keying must be invariant to
+                # the bucket partition AND the per-segment overlap set
+                # (welsh.render_notes note_ids)
+                self.inputs[f"{b}/ids"] = idx.astype(np.int32)
                 if dev.sample_table is not None:
                     self.inputs[f"{b}/slots"] = dev.slots[idx]
                 if dev.kind == "sampler":
@@ -193,9 +197,21 @@ class StreamingRenderer:
                 self.inputs[f"{u}/table"] = dev.sample_table.data
                 self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
                 self.inputs[f"{u}/rates"] = dev.sample_table.rates
-        # per-bucket capacity = max notes overlapping any linear segment
+        # per-bucket capacity = max notes overlapping any linear segment.
+        # Exception: welsh devices routed to the SERIAL cascade (deep-corner
+        # fidelity on non-Pallas backends) pin cap to the FULL bucket size —
+        # the per-sample serial scan's codegen is batch-shape-sensitive at
+        # the ulp level (XLA compiles cap=1 and cap=2 batches differently),
+        # so bitwise segmentation invariance requires every segmentation of
+        # the song to compile the IDENTICAL note-batch shape. Those devices
+        # are rare (parked <~100 Hz cascades) and CPU-only, so the recompute
+        # cost of masking instead of subsetting is confined to them.
         for u, ons in self._bucket_on.items():
+            fixed = self._welsh_refine.get(u) == "serial"
             for j in range(len(ons)):
+                if fixed:
+                    self._caps[(u, j)] = max(1, len(ons[j]))
+                    continue
                 cap = 1
                 for k in range(self.n_segs):
                     cap = max(cap, int(self._overlap(
@@ -351,6 +367,7 @@ class StreamingRenderer:
             vels = jnp.take(inputs[f"{b}/vels"], idx, axis=0) * m
             on = jnp.take(inputs[f"{b}/on"], idx, axis=0)
             gate = jnp.take(inputs[f"{b}/gate"], idx, axis=0)
+            ids = jnp.take(inputs[f"{b}/ids"], idx, axis=0)
             on_rel = (on - t0 + span).astype(jnp.int32)
 
             def place(note_audio, m=m, on_rel=on_rel, span=span):
@@ -374,9 +391,10 @@ class StreamingRenderer:
                                   beta_b=ac_.get("beta")))
                 else:
                     rf = self._welsh_refine.get(u, False)
-                    render = (lambda p_, k, v, g, o, s_, sr_, rf_=rf:
+                    render = (lambda p_, k, v, g, o, s_, sr_, i_=ids, rf_=rf:
                               welsh_model.render_notes(p_, k, v, g, s_, sr_,
-                                                       refine_filter=rf_))
+                                                       refine_filter=rf_,
+                                                       note_ids=i_))
                 mono = place(render(dev.voice, keys, vels, gate, on,
                                     span, sr))
                 out = out + jnp.stack([mono, mono])  # DCA applied after

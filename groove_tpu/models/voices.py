@@ -65,10 +65,15 @@ def bucket_notes(need_frames: np.ndarray, cap: int, max_buckets: int = 3,
     A single per-instrument span is the MAX over notes, so one whole-note
     drone makes every sixteenth render a 300k-sample window (jingle_bells
     ch-0: 410 notes x 299k span = 123M samples for 5.5M frames of audio).
-    Buckets group notes by their own need = gate + tail, on a x2 geometric
-    grid, then greedily merge the cheapest pairs until <= max_buckets
-    remain (each bucket duplicates the voice pipeline in HLO, so the count
-    must stay small for the remote compiler).
+    Buckets group notes by their own need = gate + tail rounded up to 128
+    frames — EXACT spans, not a geometric grid: jingle ch-0's needs
+    cluster at ~176k, and a x2 grid rounded every one of its 409 notes to
+    262144 (1.65x wasted cascade work song-wide). Unique needs then
+    greedily merge the cheapest adjacent pairs until <= max_buckets
+    remain (each bucket duplicates the voice pipeline in HLO, so the
+    count must stay small for the remote compiler). Extending a note's
+    window past its own need appends exact zeros (the amp envelope is
+    exactly 0 past gate+release), so bucket spans never change audio.
 
     need_frames: [n] per-note required window (gate + tail + 1).
     cap: upper clamp (timeline length, rounded up).
@@ -77,34 +82,42 @@ def bucket_notes(need_frames: np.ndarray, cap: int, max_buckets: int = 3,
     cap128 = -(-cap // 128) * 128
     need = np.minimum(np.maximum(need_frames.astype(np.int64), minimum),
                       cap128)
-    # geometric grid: minimum * 2^k, 128-aligned, clamped to the cap
-    gvals = []
-    g = minimum
-    while True:
-        gv = min(-(-g // 128) * 128, cap128)
-        if not gvals or gv > gvals[-1]:
-            gvals.append(gv)
-        if g >= cap128:
-            break
-        g *= 2
-    gvals = np.asarray(gvals, np.int64)
-    which = np.searchsorted(gvals, need, side="left")
-    buckets = {}
-    for j in np.unique(which):
-        idx = np.nonzero(which == j)[0]
-        buckets[int(gvals[j])] = idx
-    items = sorted(buckets.items())  # [(span, idx)] ascending
-    # merge cheapest adjacent pair until bounded
-    while len(items) > max_buckets:
-        costs = [
-            len(items[i][1]) * (items[i + 1][0] - items[i][0])
-            for i in range(len(items) - 1)
-        ]
-        i = int(np.argmin(costs))
-        merged = (items[i + 1][0],
-                  np.concatenate([items[i][1], items[i + 1][1]]))
-        items[i:i + 2] = [merged]
-    return [(int(s), np.sort(idx)) for s, idx in items]
+    need = np.minimum(-(-need // 128) * 128, cap128)  # 128-aligned spans
+    spans = np.unique(need)                       # [m] ascending
+    groups = [np.nonzero(need == v)[0] for v in spans]
+    m = len(spans)
+    if m <= max_buckets:
+        return [(int(s), np.sort(g)) for s, g in zip(spans, groups)]
+    # exact minimal-waste partition into <= max_buckets contiguous
+    # segments (a bucket's span is its largest member, so waste of
+    # segment a..b = span_b * count(a..b) - sum(count_g * span_g)):
+    # O(k m^2) DP, vectorized over the split point.
+    cnt = np.array([len(g) for g in groups], np.int64)
+    C = np.concatenate([[0], np.cumsum(cnt)])            # [m+1]
+    S = np.concatenate([[0], np.cumsum(cnt * spans)])    # [m+1]
+    INF = np.int64(2**62)
+    f = np.full((max_buckets + 1, m + 1), INF)
+    arg = np.zeros((max_buckets + 1, m + 1), np.int64)
+    f[0][0] = 0
+    for k in range(1, max_buckets + 1):
+        for b in range(1, m + 1):
+            # segment (a..b-1] for each split a: waste + f[k-1][a]
+            a = np.arange(b)
+            cand = f[k - 1][a] + spans[b - 1] * (C[b] - C[a]) - (S[b] - S[a])
+            i = int(np.argmin(cand))
+            f[k][b], arg[k][b] = cand[i], a[i]
+    k = int(np.argmin(f[:, m]))
+    cuts = []
+    b = m
+    while b > 0:
+        a = int(arg[k][b])
+        cuts.append((a, b))
+        b, k = a, k - 1
+    out = []
+    for a, b in reversed(cuts):
+        idx = np.concatenate(groups[a:b])
+        out.append((int(spans[b - 1]), np.sort(idx)))
+    return out
 
 
 def apply_mono_policy(on: np.ndarray, off: np.ndarray) -> np.ndarray:

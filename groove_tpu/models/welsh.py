@@ -149,13 +149,20 @@ def render_notes(
     sample_rate: float,
     noise_seed: int = 0,
     refine_filter: bool = False,
+    note_ids=None,
 ) -> jnp.ndarray:
     """Render all notes -> mono [n_notes, span]. refine_filter: add the
     defect-correction pass to the cascade (host decision via
     needs_filter_refinement; the coefficients here are traced, so the
-    in-graph code cannot decide)."""
+    in-graph code cannot decide). note_ids: [n] per-note identity for
+    noise keying (defaults to arange) — callers that batch a SUBSET of an
+    instrument's notes (span buckets, per-segment overlap sets) must pass
+    the notes' global indices so a note's noise is invariant to how the
+    batch was formed (osc_ops.noise_rows)."""
     keys = jnp.asarray(keys, jnp.float32)
     n_notes = keys.shape[0]
+    if note_ids is None:
+        note_ids = jnp.arange(n_notes, dtype=jnp.int32)
     # t is a HOST-computed constant: an in-graph arange/sample_rate lets
     # XLA's simplifier rewrite the divide into a reciprocal multiply,
     # shifting phases by ulps BETWEEN jit and eager — which flips
@@ -220,9 +227,9 @@ def render_notes(
                 width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
             return osc_ops.pulse_width(phase, width)
         if kind == "noise":
-            return osc_ops.noise(
+            return osc_ops.noise_rows(
                 jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
-                (n_notes, span),
+                note_ids, span,
             )
         return osc_ops.evaluate(kind, phase)
 
@@ -252,9 +259,9 @@ def render_notes(
         osc_out = jnp.zeros((n_notes, span), jnp.float32)
 
     if params.noise > 0.0:
-        nz = osc_ops.noise(
+        nz = osc_ops.noise_rows(
             jax.random.fold_in(jax.random.PRNGKey(noise_seed), 3),
-            (n_notes, span),
+            note_ids, span,
         )
         osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
 

@@ -108,6 +108,22 @@ def noise(key: jax.Array, shape) -> jax.Array:
     return jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0)
 
 
+def noise_rows(key: jax.Array, row_ids, span: int) -> jax.Array:
+    """White noise [n, span] where row i is keyed by row_ids[i].
+
+    A row's values depend on its IDENTITY, not its position in the batch:
+    the render paths batch notes by span bucket (engine/render) and by
+    per-segment overlap sets (engine/stream), so the same note must draw
+    the same noise whatever batch it lands in — position-keyed noise made
+    audio depend on the bucket partition and broke the streamed path's
+    bitwise segmentation invariance."""
+    ids = jnp.asarray(row_ids, jnp.int32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(ids)
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (span,), jnp.float32, -1.0, 1.0)
+    )(keys)
+
+
 def phase_from_const_freq(freq_hz, n: int, sample_rate: float, dtype=jnp.float32):
     """Phase trajectory for a constant frequency: [..., n].
 

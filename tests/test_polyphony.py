@@ -36,3 +36,55 @@ def test_mono_patch_gets_policy_applied():
         notes.off_frames[i] <= notes.on_frames[i + 1]
         for i in range(notes.count - 1)
     )
+
+
+def test_bucket_notes_exact_spans_cover_needs():
+    """Every note's need <= its bucket span; spans are 128-aligned EXACT
+    needs (not pow2-rounded), and the <=3-bucket partition is the
+    minimal-waste one (checked against brute force)."""
+    from itertools import combinations
+
+    from groove_tpu.models.voices import bucket_notes
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        need = rng.integers(100, 300_000, size=rng.integers(1, 40))
+        cap = int(rng.integers(50_000, 400_000))
+        buckets = bucket_notes(need, cap)
+        assert 1 <= len(buckets) <= 3
+        cap128 = -(-cap // 128) * 128
+        seen = np.concatenate([idx for _, idx in buckets])
+        assert sorted(seen) == list(range(len(need)))  # partition
+        for span, idx in buckets:
+            assert span % 128 == 0 and span <= cap128
+            assert all(min(max(int(n), 256), cap128) <= span
+                       for n in need[idx])
+        # minimal waste vs brute-force over contiguous splits of the
+        # unique 128-aligned needs
+        aligned = np.minimum(
+            -(-np.minimum(np.maximum(need, 256), cap128) // 128) * 128,
+            cap128)
+        uniq = np.unique(aligned)
+        cnt = np.array([(aligned == v).sum() for v in uniq])
+        best = None
+        m = len(uniq)
+        for k in range(1, min(3, m) + 1):
+            for cuts in combinations(range(1, m), k - 1):
+                bounds = [0, *cuts, m]
+                tot = sum(
+                    int(uniq[b - 1]) * int(cnt[a:b].sum())
+                    for a, b in zip(bounds, bounds[1:]))
+                best = tot if best is None else min(best, tot)
+        got = sum(int(s) * len(idx) for s, idx in buckets)
+        assert got == best, (got, best, trial)
+
+
+def test_bucket_notes_no_pow2_waste():
+    """The jingle ch-0 pattern: needs clustered at ~176k must NOT round to
+    262144 (the round-2 geometric grid did, 1.49x wasted cascade work)."""
+    from groove_tpu.models.voices import bucket_notes
+
+    need = np.full(400, 176_000, np.int64)
+    (span, idx), = bucket_notes(need, 5_500_000)
+    assert span == -(-176_000 // 128) * 128  # 176128, not 262144
+    assert len(idx) == 400
