@@ -182,13 +182,82 @@ class Renderer:
 
     def _collect_inputs(self) -> None:
         c = self.c
+        welsh_devs = []
         for dev in c.devices.values():
             if (dev.role == "instrument" or dev.kind == "calculator") \
                     and dev.notes is not None:
-                self._collect_instrument(dev)
+                if dev.kind in ("welsh", "welsh-raw") \
+                        and dev.voice is not None and dev.notes.count:
+                    welsh_devs.append(dev)
+                else:
+                    self._collect_instrument(dev)
             warn_static_only(dev)
             for pname, curve in dev.automation.items():
                 self.inputs[f"{dev.uvid}/auto/{pname}"] = curve
+        self._collect_welsh_merged(welsh_devs)
+
+    # Welsh merge layout: with WELSH_MERGE_GLOBAL, span buckets are
+    # computed over ALL welsh devices' notes together so notes from
+    # different instruments share buckets and one cascade launch serves
+    # them all; otherwise each device buckets alone (launches never
+    # shared). Bucket-count ceilings trade span tightness (wasted
+    # samples) against launch floors + HLO size. Interleaved A/B on the
+    # v5e (tools/ab_welsh_layout.py, jingle_bells, two rounds): waste
+    # dominates — per-device tight buckets beat global sharing (76 ms vs
+    # 79-92 ms; global buckets widen every member's span), and a light
+    # launch_rows=16 edges out 0 and clearly beats 136 (87 ms). The
+    # machinery still renders through the shared packet path so the
+    # global mode stays one flag away.
+    WELSH_MERGE_GLOBAL = False
+    WELSH_GLOBAL_BUCKETS = 12
+    WELSH_DEVICE_BUCKETS = 3
+    WELSH_LAUNCH_ROWS = 16
+
+    def _collect_welsh_merged(self, devs) -> None:
+        """Build the merged-welsh plan (see class attrs above):
+        self._wm_plan = [(span, [(uvid, n_rows), ...]), ...]."""
+        self._wm_plan: list = []
+        if not devs:
+            return
+        sr = self.c.sample_rate
+        if self.WELSH_MERGE_GLOBAL:
+            groups, mb = [devs], self.WELSH_GLOBAL_BUCKETS
+        else:
+            groups, mb = [[d] for d in devs], self.WELSH_DEVICE_BUCKETS
+        j = 0
+        for grp in groups:
+            needs, owner, local, per_dev = [], [], [], {}
+            for di, d in enumerate(grp):
+                notes = d.notes
+                gate = (notes.off_frames - notes.on_frames).astype(np.int64)
+                tail = welsh_model.tail_seconds(d.voice)
+                needs.append(gate + int(np.ceil(tail * sr)) + 1)
+                owner.append(np.full(notes.count, di))
+                local.append(np.arange(notes.count))
+                per_dev[d.uvid] = (notes, gate)
+            owner = np.concatenate(owner)
+            local = np.concatenate(local)
+            buckets = bucket_notes(np.concatenate(needs), self.c.n_frames,
+                                   max_buckets=mb,
+                                   launch_rows=self.WELSH_LAUNCH_ROWS)
+            for span, idx in buckets:
+                members = []
+                for di, d in enumerate(grp):
+                    li = np.sort(local[idx[owner[idx] == di]])
+                    if li.size == 0:
+                        continue
+                    notes, gate = per_dev[d.uvid]
+                    b = f"wm/b{j}/{d.uvid}"
+                    self.inputs[f"{b}/keys"] = notes.keys[li]
+                    self.inputs[f"{b}/vels"] = notes.vels[li]
+                    self.inputs[f"{b}/on"] = notes.on_frames[li]
+                    self.inputs[f"{b}/gate"] = gate[li].astype(np.int32)
+                    # global note indices within the DEVICE (noise keying
+                    # — welsh.render_notes_parts note_ids)
+                    self.inputs[f"{b}/ids"] = li.astype(np.int32)
+                    members.append((d.uvid, int(li.size)))
+                self._wm_plan.append((int(span), members))
+                j += 1
 
     def _collect_instrument(self, dev: DeviceIR) -> None:
         notes = dev.notes
@@ -270,8 +339,21 @@ class Renderer:
 
     # Cap on notes-per-batch x span elements: bounds peak memory of the
     # voice pipelines (a 1300-note channel of a long MIDI file would
-    # otherwise materialize ~0.5 GB per intermediate).
+    # otherwise materialize ~0.5 GB per intermediate). On TPU the cap is
+    # 12x higher: the fused cascade kernel's serial phase is a per-LAUNCH
+    # floor (~8 ms at span 178k) with only ~61 us marginal cost per row,
+    # so splitting a bucket into chunks pays one floor per chunk — the
+    # cap must admit a whole bucket-x-fidelity group in ONE launch
+    # (jingle's merged serial group: 762 rows x 190464 = 145M elems).
+    # 192M elems x ~5 live intermediates x 4 B ~= 4 GB, inside the v5e's
+    # 16 GB HBM. The CPU (test) backend keeps 16M so golden ulps and
+    # host memory stay stable there.
     NOTE_CHUNK_ELEMS = 16_000_000
+
+    @property
+    def _note_chunk_elems(self) -> int:
+        return (self.NOTE_CHUNK_ELEMS if jax.default_backend() == "cpu"
+                else 12 * self.NOTE_CHUNK_ELEMS)
 
     def _chunked_mono(self, render_fn, keys, vels, gate, on, ids, span: int,
                       n: int):
@@ -283,7 +365,7 @@ class Renderer:
         compiler on 2,400-note SMF imports). Padding notes are silent
         (velocity 0)."""
         count = keys.shape[0]
-        per_chunk = max(1, self.NOTE_CHUNK_ELEMS // max(span, 1))
+        per_chunk = max(1, self._note_chunk_elems // max(span, 1))
         if count <= per_chunk:
             return scatter_notes(render_fn(keys, vels, gate, on, ids), on, n)
         n_chunks = -(-count // per_chunk)
@@ -303,6 +385,88 @@ class Renderer:
         mono, _ = jax.lax.scan(
             body, mono0, (keys_c, vels_c, gate_c, on_c, ids_c))
         return mono
+
+    def _render_welsh_merged(self, inputs, n: int, only=None) -> dict:
+        """uvid -> mono [n] for every merged welsh device. Per span
+        bucket and fidelity group, members pack into packets bounded by
+        the chunk element cap; each packet runs its members'
+        render_notes_parts, concatenates rows, and pays ONE cascade
+        launch. A member too big for any packet falls back to the
+        per-device chunked scan (bounded memory, one pipeline in HLO).
+        only: restrict to one uvid (per-device profiling breakdowns)."""
+        monos: dict = {}
+        sr = float(self.c.sample_rate)
+        cap = self._note_chunk_elems
+        for j, (span, members) in enumerate(self._wm_plan):
+            groups: dict = {}
+            for uvid, count in members:
+                if only is not None and uvid != only:
+                    continue
+                monos.setdefault(uvid, jnp.zeros((n,), jnp.float32))
+                mode = self._welsh_refine.get(uvid, False)
+                fid = mode if isinstance(mode, str) \
+                    else ("refine" if mode else None)
+                groups.setdefault(fid, []).append((uvid, count))
+            for fid, mem in groups.items():
+                packet, rows = [], 0
+                for uvid, count in mem:
+                    if count * span > cap:
+                        # oversize member: per-device chunked fallback
+                        b = f"wm/b{j}/{uvid}"
+                        dev = self.c.devices[uvid]
+                        rf = self._welsh_refine.get(uvid, False)
+                        mono = self._chunked_mono(
+                            lambda k, v, g, o, i, s=span, p=dev.voice,
+                            rf_=rf:
+                            welsh_model.render_notes(
+                                p, k, v, g, s, sr, refine_filter=rf_,
+                                note_ids=i),
+                            inputs[f"{b}/keys"], inputs[f"{b}/vels"],
+                            inputs[f"{b}/gate"], inputs[f"{b}/on"],
+                            inputs[f"{b}/ids"], span, n,
+                        )
+                        monos[uvid] = monos[uvid] + mono
+                        continue
+                    if rows and (rows + count) * span > cap:
+                        self._cascade_packet(
+                            inputs, j, span, packet, fid, n, monos)
+                        packet, rows = [], 0
+                    packet.append((uvid, count))
+                    rows += count
+                if packet:
+                    self._cascade_packet(
+                        inputs, j, span, packet, fid, n, monos)
+        return monos
+
+    def _cascade_packet(self, inputs, j: int, span: int, packet, fid,
+                        n: int, monos) -> None:
+        sr = float(self.c.sample_rate)
+        oss, cuts, qs, amps, ons = [], [], [], [], []
+        for uvid, _count in packet:
+            dev = self.c.devices[uvid]
+            b = f"wm/b{j}/{uvid}"
+            o, cb, qb, am = welsh_model.render_notes_parts(
+                dev.voice, inputs[f"{b}/keys"], inputs[f"{b}/vels"],
+                inputs[f"{b}/gate"], span, sr,
+                note_ids=inputs[f"{b}/ids"],
+            )
+            oss.append(o)
+            cuts.append(cb)
+            qs.append(qb)
+            amps.append(am)
+            ons.append(inputs[f"{b}/on"])
+        if len(oss) == 1:
+            osc, cut, q = oss[0], cuts[0], qs[0]
+        else:
+            osc = jnp.concatenate(oss)
+            cut = jnp.concatenate(cuts)
+            q = jnp.concatenate(qs)
+        y = iir.lp24_apply_blockrate(osc, cut, q, sr, fidelity=fid)
+        r0 = 0
+        for (uvid, count), am, on in zip(packet, amps, ons):
+            mono = scatter_notes(y[r0:r0 + count] * am, on, n)
+            monos[uvid] = monos[uvid] + mono
+            r0 += count
 
     def _plan_filters(self) -> None:
         self._filter_modes = compute_filter_fidelity(self.c)
@@ -327,7 +491,8 @@ class Renderer:
             return _upsample_block(inputs[key], n)
         return float(dev.params.get(name, default))
 
-    def _render_instrument(self, inputs, dev: DeviceIR, n: int):
+    def _render_instrument(self, inputs, dev: DeviceIR, n: int,
+                           welsh_monos=None):
         u = dev.uvid
         sr = float(self.c.sample_rate)
         if dev.kind == "oscillator":
@@ -361,7 +526,13 @@ class Renderer:
         if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
             if dev.voice is None:
                 return jnp.zeros((2, n), jnp.float32)
-            if dev.kind == "fm-synthesizer":
+            if dev.kind in ("welsh", "welsh-raw"):
+                # rendered by the cross-device merged-cascade stage
+                # (_render_welsh_merged), one launch per span bucket
+                if welsh_monos is None:  # standalone (profiling breakdowns)
+                    welsh_monos = self._render_welsh_merged(inputs, n, only=u)
+                mono = welsh_monos.get(u, jnp.zeros((n,), jnp.float32))
+            else:
                 # ratio/depth/beta automation: per-block coefficients
                 # sliced at each note's absolute position (item 10)
                 ac = {nm: inputs[f"{u}/auto/{nm}"]
@@ -373,24 +544,16 @@ class Renderer:
                               ratio_b=ac_.get("ratio"),
                               depth_b=ac_.get("depth"),
                               beta_b=ac_.get("beta")))
-            else:
-                # host fidelity decision for the voice's internal cascade
-                # (precomputed at init: can't run eager jnp inside trace)
-                rf = self._welsh_refine.get(u, False)
-                render = (lambda p_, k, v, g, o, i_, s_, sr_, rf_=rf:
-                          welsh_model.render_notes(p_, k, v, g, s_, sr_,
-                                                   refine_filter=rf_,
-                                                   note_ids=i_))
-            mono = jnp.zeros((n,), jnp.float32)
-            for j, span in enumerate(self._buckets[u]):
-                mono = mono + self._chunked_mono(
-                    lambda k, v, g, o, i, s=span:
-                    render(dev.voice, k, v, g, o, i, s, sr),
-                    inputs[f"{u}/b{j}/keys"], inputs[f"{u}/b{j}/vels"],
-                    inputs[f"{u}/b{j}/gate"], inputs[f"{u}/b{j}/on"],
-                    inputs[f"{u}/b{j}/ids"],
-                    span, n,
-                )
+                mono = jnp.zeros((n,), jnp.float32)
+                for j, span in enumerate(self._buckets[u]):
+                    mono = mono + self._chunked_mono(
+                        lambda k, v, g, o, i, s=span:
+                        render(dev.voice, k, v, g, o, i, s, sr),
+                        inputs[f"{u}/b{j}/keys"], inputs[f"{u}/b{j}/vels"],
+                        inputs[f"{u}/b{j}/gate"], inputs[f"{u}/b{j}/on"],
+                        inputs[f"{u}/b{j}/ids"],
+                        span, n,
+                    )
             if dev.kind == "fm-synthesizer":
                 pan = self._param(inputs, dev, "pan", dev.voice.pan, n)
                 g = self._param(inputs, dev, "gain", dev.voice.gain, n)
@@ -584,11 +747,13 @@ class Renderer:
         for src, aux, amount in c.sends:
             sends_by_aux.setdefault(aux, []).append((src, amount))
 
+        welsh_monos = self._render_welsh_merged(inputs, n)
         for uvid in c.order:
             dev = c.devices[uvid]
             if dev.role == "instrument" or dev.kind == "calculator":
                 # calculator: controller+instrument hybrid (entities.rs:88-89)
-                outputs[uvid] = self._render_instrument(inputs, dev, n)
+                outputs[uvid] = self._render_instrument(
+                    inputs, dev, n, welsh_monos)
                 continue
             sources = c.sinks.get(uvid, [])
             acc = jnp.zeros((2, n), jnp.float32)

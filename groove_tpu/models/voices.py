@@ -59,7 +59,7 @@ def scatter_notes(note_audio: jnp.ndarray, on_frames, n_frames: int) -> jnp.ndar
 
 
 def bucket_notes(need_frames: np.ndarray, cap: int, max_buckets: int = 3,
-                 minimum: int = 256):
+                 minimum: int = 256, launch_rows: int = 16):
     """Partition notes into span buckets to bound wasted render work.
 
     A single per-instrument span is the MAX over notes, so one whole-note
@@ -69,11 +69,18 @@ def bucket_notes(need_frames: np.ndarray, cap: int, max_buckets: int = 3,
     frames — EXACT spans, not a geometric grid: jingle ch-0's needs
     cluster at ~176k, and a x2 grid rounded every one of its 409 notes to
     262144 (1.65x wasted cascade work song-wide). Unique needs then
-    greedily merge the cheapest adjacent pairs until <= max_buckets
-    remain (each bucket duplicates the voice pipeline in HLO, so the
-    count must stay small for the remote compiler). Extending a note's
-    window past its own need appends exact zeros (the amp envelope is
-    exactly 0 past gate+release), so bucket spans never change audio.
+    partition into <= max_buckets contiguous segments by an exact
+    minimum-cost DP where cost(bucket) = span x (rows + launch_rows):
+    the launch_rows term models the PER-LAUNCH overhead of a bucket
+    (cascade kernel pipeline fill + one more voice-pipeline instance in
+    HLO). An interleaved A/B on the v5e (tools/ab_welsh_layout.py,
+    jingle_bells) showed waste dominates: launch_rows=136 (the naive
+    floor/marginal ratio from isolated kernel timings) merged ch-0's
+    three tight buckets into one wide one and LOST ~15%, so the default
+    is a light thumb on the scale that only merges near-equal spans.
+    Extending a note's window past its own need appends exact zeros
+    (the amp envelope is exactly 0 past gate+release), so bucket spans
+    never change audio.
 
     need_frames: [n] per-note required window (gate + tail + 1).
     cap: upper clamp (timeline length, rounded up).
@@ -86,24 +93,18 @@ def bucket_notes(need_frames: np.ndarray, cap: int, max_buckets: int = 3,
     spans = np.unique(need)                       # [m] ascending
     groups = [np.nonzero(need == v)[0] for v in spans]
     m = len(spans)
-    if m <= max_buckets:
-        return [(int(s), np.sort(g)) for s, g in zip(spans, groups)]
-    # exact minimal-waste partition into <= max_buckets contiguous
-    # segments (a bucket's span is its largest member, so waste of
-    # segment a..b = span_b * count(a..b) - sum(count_g * span_g)):
-    # O(k m^2) DP, vectorized over the split point.
+    # O(k m^2) DP, vectorized over the split point (cost of segment
+    # (a..b-1] = span_{b-1} * (count(a..b) + launch_rows)).
     cnt = np.array([len(g) for g in groups], np.int64)
     C = np.concatenate([[0], np.cumsum(cnt)])            # [m+1]
-    S = np.concatenate([[0], np.cumsum(cnt * spans)])    # [m+1]
     INF = np.int64(2**62)
     f = np.full((max_buckets + 1, m + 1), INF)
     arg = np.zeros((max_buckets + 1, m + 1), np.int64)
     f[0][0] = 0
     for k in range(1, max_buckets + 1):
         for b in range(1, m + 1):
-            # segment (a..b-1] for each split a: waste + f[k-1][a]
             a = np.arange(b)
-            cand = f[k - 1][a] + spans[b - 1] * (C[b] - C[a]) - (S[b] - S[a])
+            cand = f[k - 1][a] + spans[b - 1] * (C[b] - C[a] + launch_rows)
             i = int(np.argmin(cand))
             f[k][b], arg[k][b] = cand[i], a[i]
     k = int(np.argmin(f[:, m]))

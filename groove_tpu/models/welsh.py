@@ -140,7 +140,7 @@ def filter_fidelity_mode(params: WelshVoiceParams,
     return None
 
 
-def render_notes(
+def render_notes_parts(
     params: WelshVoiceParams,
     keys,
     vels,
@@ -148,17 +148,23 @@ def render_notes(
     span: int,
     sample_rate: float,
     noise_seed: int = 0,
-    refine_filter: bool = False,
     note_ids=None,
-) -> jnp.ndarray:
-    """Render all notes -> mono [n_notes, span]. refine_filter: add the
-    defect-correction pass to the cascade (host decision via
-    needs_filter_refinement; the coefficients here are traced, so the
-    in-graph code cannot decide). note_ids: [n] per-note identity for
-    noise keying (defaults to arange) — callers that batch a SUBSET of an
-    instrument's notes (span buckets, per-segment overlap sets) must pass
-    the notes' global indices so a note's noise is invariant to how the
-    batch was formed (osc_ops.noise_rows)."""
+):
+    """Everything but the cascade: (osc_out [n, span], cutoff_hz [n, nb],
+    q_b [n, nb], amp [n, span]).
+
+    Split out so the engine can CONCATENATE several welsh devices' note
+    batches on the row axis and run ONE fused cascade per span bucket
+    (engine/render._render_welsh_merged): the cascade kernel's serial
+    phase is a per-launch floor (~8 ms at span 178k on the v5e)
+    regardless of row count, so per-device launches pay one floor each
+    while a merged launch pays one total. Coefficients and the amp
+    envelope are per-row data, so merging never changes a row's math.
+    note_ids: [n] per-note identity for noise keying (defaults to
+    arange) — callers that batch a SUBSET of an instrument's notes (span
+    buckets, per-segment overlap sets) must pass the notes' global
+    indices so a note's noise is invariant to how the batch was formed
+    (osc_ops.noise_rows)."""
     keys = jnp.asarray(keys, jnp.float32)
     n_notes = keys.shape[0]
     if note_ids is None:
@@ -285,15 +291,8 @@ def render_notes(
     q = params.filter_q
     if routing == "resonance":
         q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
-    # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU).
-    # refine_filter may be a fidelity MODE string from filter_fidelity_mode
-    # ("serial" routes deep-corner parked cascades on non-Pallas backends).
-    fidelity = refine_filter if isinstance(refine_filter, str) \
-        else ("refine" if refine_filter else None)
-    y = iir_ops.lp24_apply_blockrate(
-        osc_out, jnp.broadcast_to(cutoff_hz, (n_notes, nb)), q, sample_rate,
-        fidelity=fidelity,
-    )
+    q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n_notes, nb))
+    cutoff_b = jnp.broadcast_to(cutoff_hz, (n_notes, nb))
 
     # Amp envelope + velocity + amplitude LFO.
     ae = params.amp_envelope
@@ -301,6 +300,37 @@ def render_notes(
     amp = a_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
     if routing in ("amplitude", "cutoff-amp"):
         amp = amp * (1.0 + lfo_val)
+    return osc_out, cutoff_b, q_b, amp
+
+
+def render_notes(
+    params: WelshVoiceParams,
+    keys,
+    vels,
+    gate_frames,
+    span: int,
+    sample_rate: float,
+    noise_seed: int = 0,
+    refine_filter: bool = False,
+    note_ids=None,
+) -> jnp.ndarray:
+    """Render all notes -> mono [n_notes, span]. refine_filter: add the
+    defect-correction pass to the cascade (host decision via
+    needs_filter_refinement; the coefficients here are traced, so the
+    in-graph code cannot decide) — may also be a fidelity MODE string
+    from filter_fidelity_mode ("serial" routes deep-corner parked
+    cascades on non-Pallas backends). See render_notes_parts for the
+    note_ids contract."""
+    osc_out, cutoff_b, q_b, amp = render_notes_parts(
+        params, keys, vels, gate_frames, span, sample_rate,
+        noise_seed=noise_seed, note_ids=note_ids,
+    )
+    # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU)
+    fidelity = refine_filter if isinstance(refine_filter, str) \
+        else ("refine" if refine_filter else None)
+    y = iir_ops.lp24_apply_blockrate(
+        osc_out, cutoff_b, q_b, sample_rate, fidelity=fidelity,
+    )
     return y * amp
 
 

@@ -46,6 +46,8 @@ def test_bucket_notes_exact_spans_cover_needs():
 
     from groove_tpu.models.voices import bucket_notes
 
+    import inspect
+    LR = inspect.signature(bucket_notes).parameters["launch_rows"].default
     rng = np.random.default_rng(7)
     for trial in range(20):
         need = rng.integers(100, 300_000, size=rng.integers(1, 40))
@@ -59,8 +61,9 @@ def test_bucket_notes_exact_spans_cover_needs():
             assert span % 128 == 0 and span <= cap128
             assert all(min(max(int(n), 256), cap128) <= span
                        for n in need[idx])
-        # minimal waste vs brute-force over contiguous splits of the
-        # unique 128-aligned needs
+        # minimal cost vs brute-force over contiguous splits of the
+        # unique 128-aligned needs; cost(bucket) = span * (rows + LR)
+        # (LR models the per-launch overhead; see bucket_notes)
         aligned = np.minimum(
             -(-np.minimum(np.maximum(need, 256), cap128) // 128) * 128,
             cap128)
@@ -72,10 +75,10 @@ def test_bucket_notes_exact_spans_cover_needs():
             for cuts in combinations(range(1, m), k - 1):
                 bounds = [0, *cuts, m]
                 tot = sum(
-                    int(uniq[b - 1]) * int(cnt[a:b].sum())
+                    int(uniq[b - 1]) * (int(cnt[a:b].sum()) + LR)
                     for a, b in zip(bounds, bounds[1:]))
                 best = tot if best is None else min(best, tot)
-        got = sum(int(s) * len(idx) for s, idx in buckets)
+        got = sum(int(s) * (len(idx) + LR) for s, idx in buckets)
         assert got == best, (got, best, trial)
 
 
