@@ -198,16 +198,20 @@ class StreamingRenderer:
                 self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
                 self.inputs[f"{u}/rates"] = dev.sample_table.rates
         # per-bucket capacity = max notes overlapping any linear segment.
-        # Exception: welsh devices routed to the SERIAL cascade (deep-corner
-        # fidelity on non-Pallas backends) pin cap to the FULL bucket size —
-        # the per-sample serial scan's codegen is batch-shape-sensitive at
-        # the ulp level (XLA compiles cap=1 and cap=2 batches differently),
-        # so bitwise segmentation invariance requires every segmentation of
-        # the song to compile the IDENTICAL note-batch shape. Those devices
-        # are rare (parked <~100 Hz cascades) and CPU-only, so the recompute
-        # cost of masking instead of subsetting is confined to them.
+        # Exception: welsh devices routed to the SERIAL cascade on a
+        # NON-PALLAS backend pin cap to the FULL bucket size — the
+        # per-sample serial scan's codegen is batch-shape-sensitive at
+        # the ulp level (XLA compiles cap=1 and cap=2 batches
+        # differently), so bitwise segmentation invariance requires every
+        # segmentation of the song to compile the IDENTICAL note-batch
+        # shape. Confined to the CPU test backend: on TPU "serial" routes
+        # to the refined Pallas kernel, whose output is verified bitwise
+        # batch-shape-independent (ops/pallas_iir R sweep), and pinning
+        # there would re-render whole buckets every segment.
+        from groove_tpu.ops import iir as _iir
+        pin_serial = not _iir._pallas_available()
         for u, ons in self._bucket_on.items():
-            fixed = self._welsh_refine.get(u) == "serial"
+            fixed = pin_serial and self._welsh_refine.get(u) == "serial"
             for j in range(len(ons)):
                 if fixed:
                     self._caps[(u, j)] = max(1, len(ons[j]))

@@ -50,6 +50,19 @@ from jax.experimental.pallas import tpu as pltpu
 L = 128   # max in-block length (adaptive per call, see _pick_l)
 CB = 128  # block-columns (lanes) per grid chunk
 
+# Sublane-axis row-pack caps for the BLOCK-RATE kernel families (the
+# welsh cascades). R only regroups rows (outputs are bitwise identical —
+# verified on-chip at R=8/16/24), and an interleaved A/B at 288 and 762
+# rows x 178k samples measured NO time difference either: at hundreds of
+# rows these kernels are VPU issue-bound on the phase-1/phase-3 work
+# (~0.3-0.4 ns/sample), not grid-latency-bound, so R stops mattering
+# once the pipeline is full. Caps are therefore set by VMEM alone: the
+# refined kernel's 6 full-tile scratches + double-buffered IO exceed the
+# 16 MB scoped VMEM at R=24 (Mosaic rejects the compile), so it stays at
+# 16; the plain kernels (4 scratches) fit at 24.
+BLK_MAX_R = 24
+REFINED_MAX_R = 16
+
 
 def _pick_l(n: int) -> int:
     """In-block length ~sqrt(n). Delegates to ops/iir.block_for so the XLA
@@ -440,7 +453,8 @@ def _pad_fold_blk(vb, B, nb64, G, lb, nbp, R):
 def _biquad_blk_2d(x, coefs_b, cblock: int, interpret: bool = False):
     """x: [B, n]; coefs_b: 5 block-rate arrays [B, ceil(n/cblock)]."""
     B, n = x.shape
-    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock)
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock,
+                                                  max_r=BLK_MAX_R)
     kernel, lb = _make_kernel_ps_blk(ln, T, cblock)
     nb64 = coefs_b[0].shape[-1]
     b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs_b]
@@ -472,7 +486,8 @@ def _biquad_blk_2d(x, coefs_b, cblock: int, interpret: bool = False):
 def _lp24_blk_2d(x, na1a, na2a, na1b, na2b, cblock: int,
                  interpret: bool = False):
     B, n = x.shape
-    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock)
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock,
+                                                  max_r=BLK_MAX_R)
     kernel, lb = _make_kernel_lp24_blk(ln, T, cblock)
     nb64 = na1a.shape[-1]
     foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp, R)  # noqa: E731
@@ -775,8 +790,9 @@ def _make_kernel_lp24_refined_blk(ln, T, cblock):
 def _lp24_refined_blk_2d(x, na1a, na2a, na1b, na2b, cblock: int,
                          interpret: bool = False):
     B, n = x.shape
-    # 7 full-tile scratches bound VMEM: R caps at 16 here
-    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock, max_r=16)
+    # 6 full-tile scratches + double-buffered IO bound VMEM here
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(B, n, cblock,
+                                                  max_r=REFINED_MAX_R)
     kernel, lb = _make_kernel_lp24_refined_blk(ln, T, cblock)
     nb64 = na1a.shape[-1]
     foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp, R)  # noqa: E731
