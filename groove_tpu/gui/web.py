@@ -1,0 +1,403 @@
+"""Windowed (pixel) GUI: the groove-egui analog served to a browser.
+
+The reference ships an eframe/egui windowed DAW (src/bin/groove-egui.rs:
+96-159) — this image has no desktop GUI toolkit, so the windowed surface
+is rendered by the browser instead: a stdlib HTTP server exposes the
+same panel set the TUI mirrors, as a single dark-theme page with real
+pixel widgets (canvas waveform, sliders, a clickable pattern grid):
+
+  top    — ControlBar: title, BPM spinner, transport, loop checkbox +
+           range (src/panels/control_panel.rs:80-173)
+  left   — PalettePanel: entity factory keys, click-to-add
+           (palette_panel.rs:30-46)
+  right  — EntityBrowser: project tree, click-to-open
+           (legacy/thing_browser.rs:14-50)
+  center — OrchestratorPanel: track lanes with channel devices
+           (orchestrator_panel.rs), the generated per-entity parameter
+           sliders (Control-derive registry, compiler/params.py), the
+           pattern note grid (settings/src/lib.rs:48-78), and a master
+           waveform canvas
+  bottom — toasts / event log (groove-egui.rs:386-392)
+
+All mutations go through EngineService (the OrchestratorInput analog),
+so the web page, the TUI, and the tests drive the same engine surface.
+No external dependencies: http.server + hand-written HTML/JS.
+
+Usage: python -m groove_tpu.gui.web [project] [--port 8177] [--no-audio]
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+from groove_tpu.compiler import params as param_mod
+from groove_tpu.engine import factory
+from groove_tpu.gui.model import TuiModel
+
+
+class WebGui:
+    """State/actions facade over the shared view-model + service."""
+
+    def __init__(self, use_audio: bool = False):
+        self.model = TuiModel(use_audio=use_audio)
+        self.lock = threading.RLock()
+
+    # -- state ----------------------------------------------------------
+
+    def state(self) -> dict:
+        with self.lock:
+            m = self.model
+            song = m.song
+            tracks = []
+            for t in m.tracks():
+                tracks.append({
+                    "id": t.id,
+                    "channel": t.midi_channel,
+                    "patterns": list(t.pattern_ids),
+                    "devices": m.devices_for_channel(t.midi_channel),
+                    "selected": t.id == m.selected_track,
+                })
+            params = []
+            for uvid, kind, p, value in m.param_rows():
+                cv = None
+                if isinstance(value, (int, float)):
+                    try:
+                        cv = float(p.from_domain(float(value)))
+                    except Exception:
+                        cv = None
+                params.append({"uvid": uvid, "kind": kind, "name": p.name,
+                               "value": value, "cv": cv})
+            pat = m._sel_pattern()
+            return {
+                "title": song.title if song else None,
+                "bpm": song.clock.bpm if song else None,
+                "playing": m.svc.is_playing(),
+                "loop_enabled": m.svc.is_loop_enabled,
+                "loop_range": m.svc.loop_range,
+                "project_path": m.project_path,
+                "tracks": tracks,
+                "effects": m.effect_chain(),
+                "palette": factory.sorted_keys(),
+                "browser": [str(p) for p in m.browser_files],
+                "params": params,
+                "pattern": None if pat is None else {
+                    "id": pat.id,
+                    "rows": [list(r) for r in pat.notes],
+                },
+                "events": [[k, str(d) if d is not None else ""]
+                           for k, d in m.events[-10:]],
+            }
+
+    def waveform(self, bins: int = 600) -> dict:
+        """Per-bin |peak| of the rendered master (renders if needed)."""
+        import numpy as np
+        with self.lock:
+            svc = self.model.svc
+            svc.sync()
+            samples = svc._ensure_rendered()
+            if samples is None or not len(samples):
+                return {"peaks": [], "frames": 0, "rate": svc.sample_rate}
+            mono = np.abs(np.asarray(samples)).max(axis=1)
+            n = len(mono)
+            edge = np.linspace(0, n, bins + 1).astype(int)
+            peaks = [float(mono[a:b].max()) if b > a else 0.0
+                     for a, b in zip(edge[:-1], edge[1:])]
+            return {"peaks": peaks, "frames": n, "rate": svc.sample_rate}
+
+    # -- commands -------------------------------------------------------
+
+    def command(self, cmd: str, a: dict) -> dict:
+        with self.lock:
+            m, svc = self.model, self.model.svc
+            if cmd == "open":
+                m.open_project(a["path"])
+            elif cmd == "new":
+                svc.new_project()
+                svc.sync()
+                m.project_path = None
+            elif cmd == "save":
+                m.save_project(a.get("path"))
+            elif cmd == "play":
+                svc.play()
+            elif cmd == "stop":
+                svc.stop()
+            elif cmd == "bpm":
+                svc.set_tempo(max(1.0, float(a["value"])))
+                svc.sync()
+            elif cmd == "loop_toggle":
+                m.toggle_loop()
+            elif cmd == "loop_range":
+                m.set_loop_range(float(a["start"]), float(a["end"]))
+            elif cmd == "add_track":
+                svc.add_track()
+                svc.sync()
+            elif cmd == "remove_track":
+                svc.remove_track(a["id"])
+                svc.sync()
+            elif cmd == "dup_track":
+                svc.duplicate_track(a["id"])
+                svc.sync()
+            elif cmd == "select_track":
+                m.selected_track = a["id"]
+            elif cmd == "add_device":
+                t = m._sel_track()
+                svc.add_device(a["kind"],
+                               midi_channel=t.midi_channel if t else 0)
+                svc.sync()
+            elif cmd == "remove_device":
+                svc.remove_device(a["uvid"])
+                svc.sync()
+            elif cmd == "set_param":
+                # slider sends ControlValue 0..1; convert through the
+                # registry's domain mapping (the reference's widget range)
+                p = next((p for p in param_mod.REGISTRY.get(a["kind"], [])
+                          if p.name == a["name"]), None)
+                if p is None:
+                    return {"ok": False, "error": "unknown param"}
+                svc.set_device_param(
+                    a["uvid"], a["name"],
+                    p.to_domain(min(1.0, max(0.0, float(a["cv"])))))
+                svc.sync()
+            elif cmd == "pattern_step":
+                svc.set_pattern_step(a["id"], int(a["row"]),
+                                     [int(k) for k in a["notes"]])
+                svc.sync()
+            else:
+                return {"ok": False, "error": f"unknown command {cmd}"}
+            return {"ok": True}
+
+
+def make_server(gui: WebGui, port: int = 0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            data = body if isinstance(body, bytes) else body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            try:
+                if self.path in ("/", "/index.html"):
+                    self._send(200, PAGE, "text/html; charset=utf-8")
+                elif self.path == "/api/state":
+                    self._send(200, json.dumps(gui.state()))
+                elif self.path.startswith("/api/waveform"):
+                    self._send(200, json.dumps(gui.waveform()))
+                else:
+                    self._send(404, '{"error": "not found"}')
+            except Exception as e:
+                self._send(500, json.dumps({"error": str(e)}))
+
+        def do_POST(self):
+            try:
+                if self.path != "/api/cmd":
+                    self._send(404, '{"error": "not found"}')
+                    return
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                cmd = body.pop("cmd", "")
+                self._send(200, json.dumps(gui.command(cmd, body)))
+            except Exception as e:
+                self._send(500, json.dumps({"error": str(e)}))
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+PAGE = r"""<!doctype html>
+<html><head><meta charset="utf-8"><title>groove</title><style>
+:root{--bg:#191b1f;--panel:#22252b;--edge:#33373f;--fg:#d6d9de;
+--dim:#8a8f98;--acc:#6aa1ff;--warm:#e0a050}
+*{box-sizing:border-box;margin:0}
+body{background:var(--bg);color:var(--fg);
+font:13px/1.45 system-ui,"Segoe UI",sans-serif;height:100vh;
+display:grid;grid-template-rows:auto 1fr auto;
+grid-template-columns:220px 1fr 260px;
+grid-template-areas:"bar bar bar" "pal mid bro" "log log log";gap:8px;
+padding:8px}
+.panel{background:var(--panel);border:1px solid var(--edge);
+border-radius:6px;padding:8px;overflow:auto}
+#bar{grid-area:bar;display:flex;gap:14px;align-items:center}
+#pal{grid-area:pal}#bro{grid-area:bro}#mid{grid-area:mid;display:flex;
+flex-direction:column;gap:8px;overflow:auto}
+#log{grid-area:log;height:92px;font-family:ui-monospace,monospace;
+font-size:12px;color:var(--dim)}
+h3{font-size:11px;text-transform:uppercase;letter-spacing:.08em;
+color:var(--dim);margin-bottom:6px}
+.item{padding:2px 6px;border-radius:4px;cursor:pointer;
+white-space:nowrap;overflow:hidden;text-overflow:ellipsis}
+.item:hover{background:#2b2f37}.item.sel{background:#2e3c55}
+button{background:#2b2f37;color:var(--fg);border:1px solid var(--edge);
+border-radius:4px;padding:4px 12px;cursor:pointer}
+button:hover{border-color:var(--acc)}
+button.on{background:var(--acc);color:#10131a}
+input[type=number]{width:72px;background:#14161a;color:var(--fg);
+border:1px solid var(--edge);border-radius:4px;padding:3px 6px}
+input[type=range]{width:160px;accent-color:var(--acc)}
+#wave{width:100%;height:64px;background:#14161a;border-radius:4px}
+table{border-collapse:collapse}
+td.cell{width:26px;height:20px;border:1px solid var(--edge);
+text-align:center;font-size:11px;cursor:pointer;user-select:none}
+td.cell.onn{background:var(--acc);color:#10131a}
+.dev{color:var(--dim);font-size:12px;padding-left:16px}
+.track{border-left:3px solid transparent;padding:4px 6px;margin:2px 0;
+cursor:pointer}.track.sel{border-left-color:var(--warm);
+background:#262a32}
+.prow{display:flex;gap:8px;align-items:center;margin:2px 0}
+.prow .nm{width:260px;color:var(--dim);overflow:hidden;
+white-space:nowrap;text-overflow:ellipsis}
+.prow .vv{width:70px;text-align:right;font-family:ui-monospace,monospace}
+</style></head><body>
+<div id="bar" class="panel">
+ <b id="title">groove</b>
+ <span>BPM <input id="bpm" type="number" step="1" min="1"></span>
+ <button id="play">Play</button><button id="stop">Stop</button>
+ <button id="loop">Loop</button>
+ <span>range <input id="ls" type="number" step="1" style="width:56px">
+ .. <input id="le" type="number" step="1" style="width:56px"></span>
+ <button id="render">Render</button>
+ <button id="save">Save</button>
+ <span id="state" style="color:var(--warm)"></span>
+</div>
+<div id="pal" class="panel"><h3>palette — click to add</h3>
+ <div id="palette"></div>
+ <h3 style="margin-top:10px">tracks</h3>
+ <button id="ntrk" style="width:100%">+ track</button></div>
+<div id="mid">
+ <div class="panel"><h3>master</h3><canvas id="wave"></canvas></div>
+ <div class="panel"><h3>tracks</h3><div id="tracks"></div>
+  <div id="effects" class="dev"></div></div>
+ <div class="panel"><h3>pattern</h3><div id="pattern"></div></div>
+ <div class="panel"><h3>params</h3><div id="params"></div></div>
+</div>
+<div id="bro" class="panel"><h3>projects — click to open</h3>
+ <div id="browser"></div></div>
+<div id="log" class="panel"></div>
+<script>
+const $=id=>document.getElementById(id);
+let S=null, bpmFocused=false;
+async function cmd(c,a={}){a.cmd=c;
+ await fetch('/api/cmd',{method:'POST',body:JSON.stringify(a)});
+ await refresh();}
+async function refresh(){
+ S=await (await fetch('/api/state')).json();
+ $('title').textContent=S.title||'(no project)';
+ if(!bpmFocused)$('bpm').value=S.bpm?S.bpm.toFixed(0):'';
+ $('play').classList.toggle('on',S.playing);
+ $('loop').classList.toggle('on',S.loop_enabled);
+ if(S.loop_range){$('ls').value=S.loop_range[0];
+  $('le').value=S.loop_range[1];}
+ $('state').textContent=S.playing?'PLAYING':'';
+ $('palette').innerHTML=S.palette.map(k=>
+  `<div class="item" onclick="cmd('add_device',{kind:'${k}'})">${k}</div>`
+ ).join('');
+ $('browser').innerHTML=S.browser.map(p=>{
+  const nm=p.split('/').pop();
+  return `<div class="item" title="${p}" `+
+   `onclick="cmd('open',{path:'${p}'})">${nm}</div>`;}).join('');
+ $('tracks').innerHTML=S.tracks.map(t=>
+  `<div class="track${t.selected?' sel':''}" `+
+  `onclick="cmd('select_track',{id:'${t.id}'})">`+
+  `<b>${t.id}</b> ch${t.channel} [${t.patterns.join(',')||'-'}] `+
+  `<button onclick="event.stopPropagation();`+
+  `cmd('dup_track',{id:'${t.id}'})">dup</button> `+
+  `<button onclick="event.stopPropagation();`+
+  `cmd('remove_track',{id:'${t.id}'})">del</button>`+
+  t.devices.map(d=>`<div class="dev">${d}</div>`).join('')+
+  `</div>`).join('');
+ $('effects').textContent=S.effects.length?
+  'effects: '+S.effects.join('  '):'';
+ renderPattern();renderParams();
+ $('log').innerHTML=S.events.map(e=>
+  `[${e[0]}] ${e[1]}`).join('<br>');
+}
+function renderPattern(){
+ const el=$('pattern');
+ if(!S.pattern){el.textContent='(select a track with a pattern)';return;}
+ let html=`<div style="color:var(--dim)">${S.pattern.id} — click: `+
+  `rest/note · shift-click: +1 semitone · alt-click: −1</div><table>`;
+ S.pattern.rows.forEach((row,i)=>{
+  const keys=row.filter(k=>k);
+  html+=`<tr><td style="color:var(--dim);padding-right:6px">${i}</td>`+
+   `<td class="cell${keys.length?' onn':''}" `+
+   `onclick="stepClick(event,${i})">${keys.join(' ')||'·'}</td></tr>`;});
+ el.innerHTML=html+'</table>';
+}
+function stepClick(ev,row){
+ const r=S.pattern.rows[row], keys=r.filter(k=>k);
+ let notes;
+ if(ev.shiftKey)notes=keys.map(k=>Math.min(127,k+1));
+ else if(ev.altKey)notes=keys.map(k=>Math.max(1,k-1));
+ else notes=keys.length?[]:[60];
+ cmd('pattern_step',{id:S.pattern.id,row:row,notes:notes});
+}
+function renderParams(){
+ $('params').innerHTML=S.params.map((p,i)=>
+  `<div class="prow"><span class="nm">${p.uvid}.${p.name}</span>`+
+  `<input type="range" min="0" max="1" step="0.01" `+
+  `value="${p.cv==null?0.5:p.cv}" onchange="cmd('set_param',`+
+  `{uvid:'${p.uvid}',kind:'${p.kind}',name:'${p.name}',`+
+  `cv:this.value})">`+
+  `<span class="vv">${p.value==null?'(default)':
+   (typeof p.value=='number'?p.value.toPrecision(4):p.value)}</span>`+
+  `</div>`).join('');
+}
+async function drawWave(){
+ const w=await (await fetch('/api/waveform')).json();
+ const c=$('wave');c.width=c.clientWidth;c.height=c.clientHeight;
+ const g=c.getContext('2d');g.fillStyle='#14161a';
+ g.fillRect(0,0,c.width,c.height);
+ g.fillStyle='#6aa1ff';
+ const n=w.peaks.length;if(!n)return;
+ const bw=c.width/n, mid=c.height/2;
+ const mx=Math.max(1,...w.peaks);
+ w.peaks.forEach((p,i)=>{const h=Math.max(1,(p/mx)*mid);
+  g.fillRect(i*bw,mid-h,Math.max(1,bw-0.5),2*h);});
+}
+$('play').onclick=()=>cmd('play');
+$('stop').onclick=()=>cmd('stop');
+$('loop').onclick=()=>cmd('loop_toggle');
+$('save').onclick=()=>cmd('save');
+$('ntrk').onclick=()=>cmd('add_track');
+$('render').onclick=drawWave;
+$('bpm').onfocus=()=>bpmFocused=true;
+$('bpm').onblur=()=>bpmFocused=false;
+$('bpm').onchange=e=>cmd('bpm',{value:e.target.value});
+$('ls').onchange=$('le').onchange=()=>cmd('loop_range',
+ {start:$('ls').value||0,end:$('le').value||4});
+refresh();setInterval(refresh,2000);
+</script></body></html>
+"""
+
+
+def main(argv=None) -> int:
+    import argparse
+    ap = argparse.ArgumentParser(prog="groove_tpu.gui.web")
+    ap.add_argument("project", nargs="?", help="project file to open")
+    ap.add_argument("--port", type=int, default=8177)
+    ap.add_argument("--no-audio", action="store_true")
+    args = ap.parse_args(argv)
+    gui = WebGui(use_audio=not args.no_audio)
+    if args.project:
+        gui.command("open", {"path": str(Path(args.project))})
+    srv = make_server(gui, args.port)
+    host, port = srv.server_address
+    print(f"groove web GUI: http://{host}:{port}/")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        gui.model.svc.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,105 @@
+"""Browser GUI (gui/web.py): the windowed groove-egui analog served over
+HTTP. Tests drive the real server through urllib — same surface the
+browser page uses."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from groove_tpu.gui.web import WebGui, make_server
+from tests.test_project import REF
+
+
+@pytest.fixture()
+def server():
+    gui = WebGui(use_audio=False)
+    srv = make_server(gui, 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, gui
+    srv.shutdown()
+    gui.model.svc.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def _cmd(base, cmd, **a):
+    a["cmd"] = cmd
+    req = urllib.request.Request(base + "/api/cmd",
+                                 data=json.dumps(a).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def test_page_and_state(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/", timeout=60) as r:
+        html = r.read().decode()
+    assert "groove" in html and "api/state" in html
+    s = _get(base, "/api/state")
+    assert "palette" in s and "welsh" in s["palette"]
+    assert s["browser"], "project browser should list reference projects"
+
+
+def test_open_edit_save_roundtrip(server, tmp_path):
+    base, gui = server
+    proj = str(REF / "test-data/kitchen-sink.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    s = _get(base, "/api/state")
+    assert s["title"] and s["tracks"]
+    # BPM edit (ControlBar, control_panel.rs:80-173)
+    assert _cmd(base, "bpm", value=97)["ok"]
+    assert _get(base, "/api/state")["bpm"] == 97
+    # param slider: set the first numeric param to full scale
+    p = next(p for p in s["params"] if p["cv"] is not None)
+    assert _cmd(base, "set_param", uvid=p["uvid"], kind=p["kind"],
+                name=p["name"], cv=1.0)["ok"]
+    s2 = _get(base, "/api/state")
+    p2 = next(q for q in s2["params"]
+              if q["uvid"] == p["uvid"] and q["name"] == p["name"])
+    assert p2["cv"] == pytest.approx(1.0, abs=1e-6)
+    # pattern grid: toggle the selected track's first step to a rest
+    if s2["pattern"] and s2["pattern"]["rows"]:
+        pid = s2["pattern"]["id"]
+        assert _cmd(base, "pattern_step", id=pid, row=0, notes=[])["ok"]
+        assert _get(base, "/api/state")["pattern"]["rows"][0] == []
+    # save and reload through the same surface
+    out = tmp_path / "edited.json"
+    assert _cmd(base, "save", path=str(out))["ok"]
+    gui.model.svc.sync()
+    assert out.exists()
+    assert _cmd(base, "open", path=str(out))["ok"]
+    assert _get(base, "/api/state")["bpm"] == 97
+
+
+def test_track_and_device_crud(server):
+    base, _ = server
+    _cmd(base, "new")
+    _cmd(base, "add_track")
+    s = _get(base, "/api/state")
+    assert len(s["tracks"]) == 1
+    tid = s["tracks"][0]["id"]
+    _cmd(base, "select_track", id=tid)
+    _cmd(base, "add_device", kind="welsh")
+    s = _get(base, "/api/state")
+    assert any("welsh" in d for d in s["tracks"][0]["devices"])
+    _cmd(base, "dup_track", id=tid)
+    assert len(_get(base, "/api/state")["tracks"]) == 2
+    _cmd(base, "remove_track", id=tid)
+    assert len(_get(base, "/api/state")["tracks"]) == 1
+
+
+def test_waveform_endpoint_renders_master(server):
+    base, _ = server
+    proj = str(REF / "projects/demos/effects/drums-filtered-24db.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    w = _get(base, "/api/waveform")
+    assert w["frames"] > 0 and len(w["peaks"]) > 0
+    assert max(w["peaks"]) > 0.01, "master waveform should not be silent"
