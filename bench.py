@@ -29,10 +29,41 @@ import jax.numpy as jnp
 PROJECT = "/root/reference/projects/demos/effects/drums-filtered-24db.json"
 
 
+def _watchdog(interval_s: float = 300.0):
+    """Progress watchdog: the tunnel-attached device can wedge (observed:
+    remote compile helper hung after a VMEM-overflow rejection, stalling
+    even cached execution) — in that state every device call blocks
+    silently forever. Periodically note the stall on stderr so a hung
+    bench is diagnosable; never touches stdout (the one-JSON-line
+    contract)."""
+    import threading
+
+    state = {"t0": time.time(), "phase": "startup"}
+
+    def tick():
+        while True:
+            time.sleep(interval_s)
+            dt = time.time() - state["t0"]
+            print(f"bench watchdog: '{state['phase']}' still running "
+                  f"after {dt:.0f}s — device/tunnel may be wedged",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=tick, daemon=True).start()
+
+    def phase(name):
+        state["t0"] = time.time()
+        state["phase"] = name
+
+    return phase
+
+
 def main():
     from groove_tpu.compiler.song import compile_song
     from groove_tpu.engine.render import Renderer
     from groove_tpu.project.schema import SongSettings
+
+    phase = _watchdog()
+    phase("compile song + renderer init")
 
     song = SongSettings.from_project_file(PROJECT)
     compiled = compile_song(song)
@@ -58,7 +89,9 @@ def main():
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
     many_fn = jax.jit(many)
+    phase("warm-up compile + first device execution")
     float(many_fn(r.inputs))  # warm up / compile
+    phase("measurement")
 
     # Measure the tunnel's scalar-readback round trip inline (it drifts):
     # time a trivial jitted scalar op, take the min of several runs.
