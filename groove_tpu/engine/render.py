@@ -286,12 +286,14 @@ class Renderer:
         span = min(span, -(-self.c.n_frames // 128) * 128)
         self._spans[dev.uvid] = span
         u = dev.uvid
-        if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer") \
-                and dev.voice is not None:
+        # welsh devices never reach here (they collect through
+        # _collect_welsh_merged); FM keeps per-device span buckets
+        if dev.kind == "fm-synthesizer" and dev.voice is not None:
             # span buckets: one drone note must not force every short note
             # to render a full-length window (see voices.bucket_notes)
             need = gate.astype(np.int64) + int(np.ceil(tail * sr)) + 1
-            buckets = bucket_notes(need, self.c.n_frames)
+            buckets = bucket_notes(need, self.c.n_frames,
+                                   launch_rows=self.WELSH_LAUNCH_ROWS)
             self._buckets[u] = [s for s, _ in buckets]
             for j, (_, idx) in enumerate(buckets):
                 self.inputs[f"{u}/b{j}/keys"] = notes.keys[idx]
