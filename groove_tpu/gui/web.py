@@ -310,7 +310,10 @@ async function refresh(){
   `cmd('dup_track',{id:'${t.id}'})">dup</button> `+
   `<button onclick="event.stopPropagation();`+
   `cmd('remove_track',{id:'${t.id}'})">del</button>`+
-  t.devices.map(d=>`<div class="dev">${d}</div>`).join('')+
+  t.devices.map(d=>{const u=d.split(' ')[0];
+   return `<div class="dev">${d} <span style="cursor:pointer;`+
+    `color:var(--warm)" onclick="event.stopPropagation();`+
+    `cmd('remove_device',{uvid:'${u}'})">✕</span></div>`;}).join('')+
   `</div>`).join('');
  $('effects').textContent=S.effects.length?
   'effects: '+S.effects.join('  '):'';

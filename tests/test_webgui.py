@@ -90,6 +90,10 @@ def test_track_and_device_crud(server):
     _cmd(base, "add_device", kind="welsh")
     s = _get(base, "/api/state")
     assert any("welsh" in d for d in s["tracks"][0]["devices"])
+    uvid = s["tracks"][0]["devices"][0].split(" ")[0]
+    _cmd(base, "remove_device", uvid=uvid)
+    s = _get(base, "/api/state")
+    assert not any(uvid in d for d in s["tracks"][0]["devices"])
     _cmd(base, "dup_track", id=tid)
     assert len(_get(base, "/api/state")["tracks"]) == 2
     _cmd(base, "remove_track", id=tid)
