@@ -67,6 +67,17 @@ class StreamingRenderer:
     segment_frames must be a multiple of 64 and at least 64.
     """
 
+    # SLICED welsh mode (opt-in; linear streams only): render exactly the
+    # segment's slice of every active note instead of recomputing its
+    # whole window per overlapping segment, carrying per-note cascade
+    # state in the stream pytree (welsh.render_notes_slice). Removes the
+    # ~(span/S + 1)x window recompute and makes every device's per-
+    # segment batch share the slice length S. Off by default: the
+    # bitwise-pinned default path keeps its round-proven behavior, and
+    # the loop/seek drivers (stream_loop) rewind note ages, which a
+    # stateful voice cannot follow — they always use the unsliced path.
+    WELSH_SLICED = False
+
     def __init__(self, compiled: CompiledSong, segment_frames: int = 65536):
         assert segment_frames % BLOCK == 0 and segment_frames >= BLOCK
         self.c = compiled
@@ -88,6 +99,15 @@ class StreamingRenderer:
                 dev.voice, float(compiled.sample_rate))
             for dev in compiled.devices.values()
             if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None
+        }
+        self._sliced = {
+            dev.uvid
+            for dev in compiled.devices.values()
+            if self.WELSH_SLICED
+            and dev.kind in ("welsh", "welsh-raw")
+            and dev.voice is not None
+            and dev.notes is not None and dev.notes.count
+            and welsh_model.can_slice(dev.voice)
         }
         self._collect_inputs()
         self.inputs = jax.device_put(self.inputs)
@@ -187,6 +207,13 @@ class StreamingRenderer:
                 # the bucket partition AND the per-segment overlap set
                 # (welsh.render_notes note_ids)
                 self.inputs[f"{b}/ids"] = idx.astype(np.int32)
+                if dev.uvid in self._sliced:
+                    # host time-base constants the slice path gathers
+                    # from (bitwise the whole path's t / t_blk values)
+                    tf, tbf = welsh_model.slice_time_bases(
+                        span, float(self.c.sample_rate))
+                    self.inputs[f"{b}/tfull"] = tf
+                    self.inputs[f"{b}/tbfull"] = tbf
                 if dev.sample_table is not None:
                     self.inputs[f"{b}/slots"] = dev.slots[idx]
                 if dev.kind == "sampler":
@@ -315,6 +342,14 @@ class StreamingRenderer:
                     st[f"{u}/bq/s2"] = z(2)
         for src, _, _ in c.sidechain:
             st[f"{src}/sc"] = z()
+        # sliced welsh: per-note cascade state, one slot per bucket note
+        # plus a scratch slot for padded batch rows (welsh.slice_state_init)
+        for u in self._sliced:
+            mode = self._welsh_refine.get(u)
+            for j, ons in enumerate(self._bucket_on[u]):
+                for k, v in welsh_model.slice_state_init(
+                        len(ons), mode).items():
+                    st[f"{u}/b{j}/wf/{k}"] = v
         return st
 
     # ---- traced step -------------------------------------------------------
@@ -382,7 +417,30 @@ class StreamingRenderer:
                 placed = scatter_notes(note_audio, on_rel, n + span)
                 return placed[..., span:span + n]
 
-            if dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
+            if dev.kind in ("welsh", "welsh-raw") and u in self._sliced \
+                    and state is not None:
+                # SLICED: render exactly this segment's slice of every
+                # active note, cascade state carried per note. Padded
+                # batch rows are remapped to the bucket's scratch state
+                # slot so duplicate scatters can never touch a real
+                # note's state; their audio is masked at the sum.
+                count = len(self._bucket_on[u][j])
+                slot = jnp.where(m > 0, idx, count).astype(jnp.int32)
+                age0 = (jnp.asarray(t0, jnp.int32) - on).astype(jnp.int32)
+                prefix = f"{b}/wf/"
+                fst = {k[len(prefix):]: state[k][slot]
+                       for k in state if k.startswith(prefix)}
+                mono_rows, fst2 = welsh_model.render_notes_slice(
+                    dev.voice, keys, vels, gate, age0, n, sr, fst,
+                    inputs[f"{b}/tfull"], inputs[f"{b}/tbfull"],
+                    note_ids=ids,
+                    fidelity=self._welsh_refine.get(u),
+                )
+                for k, v in fst2.items():
+                    new_state[prefix + k] = state[prefix + k].at[slot].set(v)
+                mono = jnp.sum(mono_rows * m[:, None], axis=0)
+                out = out + jnp.stack([mono, mono])  # DCA applied after
+            elif dev.kind in ("welsh", "welsh-raw", "fm-synthesizer"):
                 if dev.kind == "fm-synthesizer":
                     ac = {nm: inputs[f"{u}/auto/{nm}"]
                           for nm in ("ratio", "depth", "beta")
@@ -818,6 +876,11 @@ class StreamingRenderer:
         carried state crossing every seam (the reference's clock seek,
         orchestrator.rs:868-874). iterations=None loops forever; the
         generator yields host [seg, 2] arrays."""
+        if self._sliced:
+            raise NotImplementedError(
+                "sliced welsh is linear-stream only: a seek rewinds note "
+                "ages, which the carried per-note cascade state cannot "
+                "follow — use WELSH_SLICED=False for loop playback")
         ls, le = self.loop_frames(start_beats, end_beats)
         state = self._state0
 

@@ -339,6 +339,261 @@ def tail_seconds(params: WelshVoiceParams) -> float:
 
 
 # ---------------------------------------------------------------------------
+# SLICED rendering: one segment-sized slice of every note's window, with
+# the cascade state carried across slices (engine/stream WELSH_SLICED).
+#
+# The whole-window path (render_notes/_parts above) recomputes a note's
+# FULL span for every segment it overlaps (~2x recompute at the default
+# segment size) and pays the cascade launch floor per (device, bucket,
+# segment). Slicing renders exactly the segment's samples instead. Note
+# on-frames are 64-aligned by the compiler (buffer-quantized events, the
+# reference's dispatch granularity), so segment cuts (64-multiples)
+# always land on note-relative control-block boundaries and the cascade
+# streams on the same fixed 64-grid the effect filters already use
+# (ops/stream; bitwise segmentation-invariant).
+#
+# Osc/env/LFO/noise values are BITWISE equal to the whole path at the
+# same absolute note ages: time bases are GATHERS of the same host
+# constants (t_full/tb_full) rather than re-derived arithmetic, so no
+# XLA simplification can shift a saw/pulse edge between the paths. The
+# cascade itself regroups (fixed 64-blocks + carried state vs the whole
+# window's ~sqrt(span) blocks), so sliced-vs-whole agrees to ~1e-6 —
+# the same contract the streamed effect filters have.
+#
+# KEEP IN SYNC with render_notes_parts: the osc/LFO/envelope formulas
+# here must match it term for term.
+
+
+def can_slice(params: WelshVoiceParams) -> bool:
+    """Pitch-modulated phases integrate a cumsum over the whole window
+    and cannot be sliced; everything else is closed-form in note age."""
+    lfo = params.lfo
+    pitch_mod = (lfo.routing in ("pitch", "pitch-osc2")
+                 and lfo.frequency > 0.0 and lfo.depth != 0.0)
+    return not pitch_mod
+
+
+def slice_time_bases(span: int, sample_rate: float):
+    """Host constants the slice path gathers from: t_full [span] note-age
+    seconds (IDENTICAL construction to render_notes_parts' t) and
+    tb_full [nb] control-block times."""
+    cblock = iir_ops.CONTROL_BLOCK
+    nb = -(-span // cblock)
+    t_full = np.arange(span, dtype=np.float32) / np.float32(sample_rate)
+    tb_full = (np.arange(nb, dtype=np.float32) * cblock
+               ) / np.float32(sample_rate)
+    return t_full, tb_full
+
+
+def slice_state_init(count: int, mode) -> dict:
+    """Carried cascade state for `count` note slots plus one SCRATCH slot
+    (index `count`) that padded batch rows read/write so they can never
+    corrupt a real note's state. mode: None/'serial' -> plain TDF2 pairs
+    per section; 'refine' -> sops.refined_state_init per section with
+    per-row coefficient histories. Leaves all have the ROW as the leading
+    axis (gather/scatter-friendly); the refined 'ch' is stored
+    row-major [rows, 4, 2] and transposed around the op."""
+    from groove_tpu.ops import stream as sops
+
+    rows = count + 1
+    st: dict = {}
+    if mode == "refine":
+        for i in range(2):
+            ref = sops.refined_state_init((rows,), coef_batch=(rows,))
+            ref["ch"] = jnp.moveaxis(ref["ch"], 0, 1)  # [rows, 4, 2]
+            for k, v in ref.items():
+                st[f"rf{i}/{k}"] = v
+    else:
+        for i in range(2):
+            st[f"s{i}/1"] = jnp.zeros((rows,), jnp.float32)
+            st[f"s{i}/2"] = jnp.zeros((rows,), jnp.float32)
+    return st
+
+
+def render_notes_slice(
+    params: WelshVoiceParams,
+    keys,
+    vels,
+    gate_frames,
+    age0,
+    S: int,
+    sample_rate: float,
+    fstate: dict,
+    t_full,
+    tb_full,
+    noise_seed: int = 0,
+    note_ids=None,
+    fidelity=None,
+):
+    """Render note-age slice [age0, age0+S) of each note -> (mono [n, S],
+    new fstate). age0: [n] int32, multiples of 64 (negative while the
+    note hasn't started; past span while it has died — both masked to
+    exact zeros). fstate: per-ROW state (already gathered to the batch),
+    see slice_state_init. fidelity: None | 'serial' | 'refine' (the host
+    routing from filter_fidelity_mode)."""
+    from groove_tpu.ops import stream as sops
+
+    keys = jnp.asarray(keys, jnp.float32)
+    n = keys.shape[0]
+    if note_ids is None:
+        note_ids = jnp.arange(n, dtype=jnp.int32)
+    span = t_full.shape[0]
+    nb_total = tb_full.shape[0]
+    cblock = iir_ops.CONTROL_BLOCK
+    nb_seg = S // cblock
+    age0 = jnp.asarray(age0, jnp.int32)
+
+    ar = jnp.arange(S, dtype=jnp.int32)
+    age = age0[:, None] + ar[None, :]                     # [n, S]
+    valid = (age >= 0) & (age < span)
+    t = jnp.asarray(t_full)[jnp.clip(age, 0, span - 1)]   # [n, S] gather
+    bk = (age0 // cblock)[:, None] + jnp.arange(nb_seg)[None, :]
+    validb = (bk >= 0) & (bk < nb_total)
+    t_blk = jnp.asarray(tb_full)[jnp.clip(bk, 0, nb_total - 1)]
+
+    base_freq = note_freqs(keys)[:, None]                 # [n, 1]
+    gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
+
+    lfo = params.lfo
+
+    def lfo_value(tv):
+        if not (lfo.routing != "none" and lfo.frequency > 0.0
+                and lfo.depth != 0.0):
+            return jnp.zeros((1, 1), jnp.float32)
+        lfo_phase = lfo.frequency * tv
+        if lfo.waveform.kind == "noise":
+            # S&H bank sized from the WHOLE window (slice-invariant)
+            n_cycles = int(np.ceil(span * lfo.frequency / sample_rate)) + 2
+            vals = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
+                (n_cycles,), jnp.float32, -1.0, 1.0,
+            )
+            cycle = jnp.floor(lfo_phase).astype(jnp.int32)
+            return vals[jnp.clip(cycle, 0, n_cycles - 1)] * lfo.depth
+        return osc_ops.evaluate(
+            lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
+        ) * lfo.depth
+
+    lfo_val = lfo_value(t)
+    routing = lfo.routing
+    # pitch modulation is excluded by can_slice (cumsum phases)
+
+    def osc_freq(osc, fixed_hz):
+        if fixed_hz is not None:
+            f = jnp.full_like(base_freq, fixed_hz)
+        else:
+            f = base_freq * osc.tune_ratio
+        return jnp.broadcast_to(f, (n, S))
+
+    def osc_signal(osc, phase, which):
+        kind = osc.waveform.kind
+        if kind == "none":
+            return jnp.zeros((n, S), jnp.float32)
+        if kind == "pulse-width":
+            width = osc.waveform.pulse_width
+            if routing == "pulse-width" or routing == f"pw-osc{which}":
+                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
+            return osc_ops.pulse_width(phase, width)
+        if kind == "noise":
+            # full id-keyed rows sliced at the note age: bitwise the
+            # whole path's noise whatever the segmentation
+            nz = osc_ops.noise_rows(
+                jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
+                note_ids, span,
+            )
+            return jnp.take_along_axis(
+                nz, jnp.clip(age, 0, span - 1), axis=1)
+        return osc_ops.evaluate(kind, phase)
+
+    o1_active = params.oscillator_1.waveform.kind != "none"
+    o2_active = params.oscillator_2.waveform.kind != "none"
+    f1 = osc_freq(params.oscillator_1, None)
+    f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz)
+    phase1 = f1 * t
+    if params.oscillator_2_sync and o1_active:
+        phase2 = osc_ops.hard_sync_phase(phase1, f2 / jnp.maximum(f1, 1e-6))
+    else:
+        phase2 = f2 * t
+
+    s1 = osc_signal(params.oscillator_1, phase1, 1)
+    s2 = osc_signal(params.oscillator_2, phase2, 2)
+    mix = params.oscillator_mix
+    if o1_active and o2_active:
+        osc_out = mix * s1 + (1.0 - mix) * s2
+    elif o1_active:
+        osc_out = s1
+    elif o2_active:
+        osc_out = s2
+    else:
+        osc_out = jnp.zeros((n, S), jnp.float32)
+    if params.noise > 0.0:
+        nz = osc_ops.noise_rows(
+            jax.random.fold_in(jax.random.PRNGKey(noise_seed), 3),
+            note_ids, span,
+        )
+        nz = jnp.take_along_axis(nz, jnp.clip(age, 0, span - 1), axis=1)
+        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
+
+    # zero the out-of-window region BEFORE the filter: the cascade state
+    # must stay exactly 0 until note-on (the whole path's window starts
+    # there), and junk past the window end must not enter the recurrence
+    osc_out = jnp.where(valid, osc_out, 0.0)
+
+    fe = params.filter_envelope
+    f_env = env_ops.adsr(t_blk, gate_s, fe.attack, fe.decay, fe.sustain,
+                         fe.release)
+    cutoff_pct = params.filter_cutoff_start + (
+        params.filter_cutoff_end - params.filter_cutoff_start
+    ) * f_env
+    if routing in ("filter-cutoff", "cutoff-amp"):
+        cutoff_pct = cutoff_pct + lfo_value(t_blk)
+    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
+    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)
+    q = params.filter_q
+    if routing == "resonance":
+        q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
+    q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n, nb_seg))
+    del validb  # coefficients outside the window meet zero input/output
+
+    gain_b, secs_b = iir_ops.lp24_sections(
+        jnp.broadcast_to(cutoff_hz, (n, nb_seg)), q_b, sample_rate)
+    y = osc_out * iir_ops.upsample_hold(
+        jnp.broadcast_to(gain_b, (n, nb_seg)), S, cblock)
+    new_state = dict(fstate)
+    for i, sec in enumerate(secs_b):
+        sec_ps = tuple(
+            iir_ops.upsample_hold(
+                jnp.broadcast_to(jnp.asarray(c, jnp.float32), (n, nb_seg)),
+                S, cblock)
+            for c in sec
+        )
+        if fidelity == "refine":
+            st = {k: fstate[f"rf{i}/{k}"]
+                  for k in ("ss1", "ss2", "cs1", "cs2", "xh", "yh")}
+            st["ch"] = jnp.moveaxis(fstate[f"rf{i}/ch"], 1, 0)  # [4,n,2]
+            y, st2 = sops.biquad_stream_refined(y, sec_ps, st)
+            st2["ch"] = jnp.moveaxis(st2["ch"], 0, 1)           # [n,4,2]
+            for k, v in st2.items():
+                new_state[f"rf{i}/{k}"] = v
+        else:
+            y, (s1_, s2_) = sops.biquad_stream(
+                y, sec_ps, (fstate[f"s{i}/1"], fstate[f"s{i}/2"]),
+                serial=(fidelity == "serial"),
+            )
+            new_state[f"s{i}/1"] = s1_
+            new_state[f"s{i}/2"] = s2_
+
+    ae = params.amp_envelope
+    a_env = env_ops.adsr(t, gate_s, ae.attack, ae.decay, ae.sustain,
+                         ae.release)
+    amp = a_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
+    if routing in ("amplitude", "cutoff-amp"):
+        amp = amp * (1.0 + lfo_val)
+    amp = jnp.where(valid, amp, 0.0)
+    return y * amp, new_state
+
+
+# ---------------------------------------------------------------------------
 # Live (streaming) voice path: block-at-a-time with carried state, for the
 # interactive MIDI loop (engine/live.py). The reference's live path is the
 # same per-sample voice the offline render uses, pulled by the audio

@@ -325,15 +325,19 @@ def compressor_smoothed_stream(x, threshold, ratio, attack_s, release_s,
 # 64-grid and the defect is elementwise with exact 2-sample histories)
 
 
-def refined_state_init(batch_shape):
+def refined_state_init(batch_shape, coef_batch=()):
     """Zero state for biquad_stream_refined: solver TDF2 state, correction
     TDF2 state, 2-sample input/output histories, 2-sample histories of the
-    (b1, b2, a1, a2) per-sample coefficient streams."""
+    (b1, b2, a1, a2) per-sample coefficient streams. coef_batch: leading
+    batch dims of the coefficient arrays — () for coefs [S] shared across
+    rows (the effect filters), (n,) for per-row coefs [n, S] (the sliced
+    welsh cascade, where every note carries its own envelope-driven
+    denominators)."""
     z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
     b = tuple(batch_shape)
     return {
         "ss1": z(*b), "ss2": z(*b), "cs1": z(*b), "cs2": z(*b),
-        "xh": z(*b, 2), "yh": z(*b, 2), "ch": z(4, 2),
+        "xh": z(*b, 2), "yh": z(*b, 2), "ch": z(4, *coef_batch, 2),
     }
 
 
@@ -346,8 +350,9 @@ def _roll_hist(v, hist, k: int):
 def biquad_stream_refined(x, coefs, st: dict):
     """One biquad section with per-sample coefficients + the
     defect-correction pass, segment-streamed. x: [..., S]; coefs entries
-    [S] (shared across batch rows); st from refined_state_init.
-    Returns (y, st')."""
+    [S] (shared across batch rows) or [n, S] (per-row, e.g. per-note
+    envelope-driven denominators — pass coef_batch=(n,) to
+    refined_state_init); st from refined_state_init. Returns (y, st')."""
     b0, b1, b2, a1, a2 = [jnp.asarray(c, jnp.float32) for c in coefs]
     y0, (ss1, ss2) = biquad_stream(x, coefs, (st["ss1"], st["ss2"]))
     b1s = _roll_hist(b1, st["ch"][0], 1)
@@ -369,6 +374,7 @@ def biquad_stream_refined(x, coefs, st: dict):
     st2 = {
         "ss1": ss1, "ss2": ss2, "cs1": cs1, "cs2": cs2,
         "xh": x[..., -2:], "yh": y0[..., -2:],
-        "ch": jnp.stack([b1[-2:], b2[-2:], a1[-2:], a2[-2:]]),
+        "ch": jnp.stack([b1[..., -2:], b2[..., -2:],
+                         a1[..., -2:], a2[..., -2:]]),
     }
     return y0 + c, st2

@@ -1,0 +1,94 @@
+"""Sliced streamed welsh (StreamingRenderer.WELSH_SLICED, opt-in):
+per-segment note slices with carried per-note cascade state must be
+(a) bitwise segmentation-invariant — osc/env/noise values come from
+gathers of the same host constants at absolute note ages, and the
+cascade streams on the fixed 64-grid like the effect filters — and
+(b) equivalent to the whole-timeline Renderer within the streamed
+tolerance contract."""
+
+import json
+
+import numpy as np
+
+from groove_tpu.compiler.song import compile_midi_file, compile_song
+from groove_tpu.engine.render import Renderer
+from groove_tpu.engine.stream import StreamingRenderer
+from groove_tpu.project.schema import SongSettings
+from tests.test_project import REF
+
+
+class Sliced(StreamingRenderer):
+    WELSH_SLICED = True
+
+
+def _noise_song():
+    """welsh-raw with noise mixed in (exercises the sliced noise gather)
+    and two overlapping notes (state slots in one bucket)."""
+    return SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 120},
+        "devices": [{"instrument": ["i1", {"welsh-raw": [
+            {"midi-in": 0},
+            {
+                "oscillator-1": {"waveform": "sawtooth",
+                                 "tune": {"float": 1}, "mix-pct": 1},
+                "oscillator-2": {"waveform": "square",
+                                 "tune": {"float": 1.5}, "mix-pct": 0.5},
+                "oscillator-2-track": True, "oscillator-2-sync": False,
+                "noise": 0.25,
+                "lfo": {"routing": "none", "waveform": "none",
+                        "frequency": 0, "depth": "none"},
+                "glide": 0, "unison": False, "polyphony": "multi",
+                "filter-type-24db": {"cutoff-hz": 3000, "cutoff-pct": 0.6},
+                "filter-type-12db": {"cutoff-hz": 3000, "cutoff-pct": 0.6},
+                "filter-resonance": 0.3,
+                "filter-envelope-weight": 0.8,
+                "filter-envelope": {"attack": 0.05, "decay": 0.3,
+                                    "sustain": 0.4, "release": 0.5},
+                "amp-envelope": {"attack": 0.01, "decay": 0.1,
+                                 "sustain": 0.8, "release": 0.4},
+            },
+        ]}]}],
+        "patch-cables": [["i1", "main-mixer"]],
+        "patterns": [{"id": "p", "note-value": "quarter",
+                      "notes": [[60, 64], [67], [], [72, 55]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+
+
+def _check(c, seg=16384):
+    one_seg = -(-c.n_frames // 64) * 64
+    one = Sliced(c, segment_frames=one_seg).render()
+    many = Sliced(c, segment_frames=seg).render()
+    assert np.array_equal(one, many), "sliced segmentation not bitwise"
+    whole = np.asarray(Renderer(c).render())
+    peak = max(1.0, float(np.abs(whole).max()))
+    err = float(np.abs(whole - many).max())
+    assert err < 1e-4 * peak, f"sliced diverges from whole: {err}"
+    return many
+
+
+def test_sliced_noise_song_bitwise_and_matches_whole():
+    out = _check(compile_song(_noise_song()), seg=4096)
+    assert float(np.abs(out).max()) > 0.05
+
+
+def test_sliced_scale_c4_matches_whole():
+    _check(compile_song(SongSettings.from_project_file(
+        REF / "projects/scale-c4-major.json")))
+
+
+def test_sliced_smf_multichannel_matches_whole():
+    # 9 GM welsh channels incl. 'serial'-fidelity devices + drums
+    _check(compile_midi_file(REF / "test-data/midi/sound_of_music.mid"))
+
+
+def test_sliced_excludes_pitch_lfo_devices():
+    """Pitch-modulated phases integrate over the whole window and must
+    fall back to the unsliced path (welsh.can_slice)."""
+    from groove_tpu.models.welsh import can_slice
+
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/scale-c4-major.json"))
+    r = Sliced(c)
+    for u in r._sliced:
+        assert can_slice(c.devices[u].voice)
