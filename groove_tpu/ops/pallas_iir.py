@@ -139,10 +139,13 @@ def _phase1(read_c1c2, ln, w8, p11_s, p12_s, q1_s):
     )
 
 
-def _phase2(M, s_ref, srow, T, w8):
+def _phase2(M, s_ref, srow, T, w8, return_v: bool = False):
     """Serial cross-block chain via T lane-roll sweeps; per sublane row the
     chain is independent (each row is a different batch element). Returns
-    per-block ENTRY states S1, S2 and stores the chunk exit state."""
+    per-block ENTRY states S1, S2 and stores the chunk exit state (the
+    lane cb-1 EXIT value — only meaningful when the chunk's real chain
+    fills every lane; the state kernels export the true exit from the V
+    vectors instead, return_v=True)."""
     m11, m12, m21, m22, cb1, cb2 = M
     s1_in = s_ref[srow]
     s2_in = s_ref[srow + 1]
@@ -164,6 +167,8 @@ def _phase2(M, s_ref, srow, T, w8):
     w = w8[-1]
     s_ref[srow] = jnp.broadcast_to(V1[:, w - 1:w], w8)
     s_ref[srow + 1] = jnp.broadcast_to(V2[:, w - 1:w], w8)
+    if return_v:
+        return S1, S2, V1, V2
     return S1, S2
 
 
@@ -343,6 +348,143 @@ def _make_kernel_lp24_blk(ln, T, cblock):
         )
 
     return kernel, lb
+
+
+def _make_kernel_lp24_blk_state(ln, T, cblock, nchunks, last_lane):
+    """lp24 blockrate cascade WITH entry/exit state (the streamed/sliced
+    fixed-64-grid contract, ops/stream.biquad_stream): state tiles are
+    [1, 4, R] per group — rows (s1a, s2a, s1b, s2b), the TDF2 state
+    entering/exiting the call. Identical per-block math to
+    _make_kernel_lp24_blk; only the phase-2 chain seed and the final
+    state export differ. last_lane: the final REAL block's lane within
+    the last chunk ((nb-1) % cb) — the s_ref chunk carry reads lane
+    cb-1, which is padding when the last chunk is partial, so the
+    export takes phase 2's V vectors at the true exit lane."""
+    shift = cblock.bit_length() - 1
+    lb = ln // cblock
+
+    def kernel(sin_ref, x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref,
+               y_ref, sout_ref, s_ref, p11_s, p12_s, q1_s, y1_s):
+        step = pl.program_id(1)
+        w8 = x_ref.shape[-2:]
+
+        @pl.when(step == 0)
+        def _init():
+            # entry state: [4, R] scalars broadcast across the lane axis
+            # (phase 2 consumes them at lane 0 of the first chunk)
+            for srow in range(4):
+                s_ref[srow] = jnp.broadcast_to(
+                    sin_ref[0, srow][:, None], w8)
+
+        def read_a(j):
+            jb = j >> shift
+            na1 = na1a_ref[0, jb]
+            na2 = na2a_ref[0, jb]
+            xj = x_ref[0, j]
+            return (na1, na2, (2.0 + na1) * xj, (1.0 + na2) * xj)
+
+        M = _phase1(read_a, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2, Va1, Va2 = _phase2(M, s_ref, 0, T, w8, return_v=True)
+        y1_s[...] = x_ref[0] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
+        )
+
+        def read_b(j):
+            jb = j >> shift
+            na1 = na1b_ref[0, jb]
+            na2 = na2b_ref[0, jb]
+            xj = y1_s[j]
+            return (na1, na2, (2.0 + na1) * xj, (1.0 + na2) * xj)
+
+        M = _phase1(read_b, ln, w8, p11_s, p12_s, q1_s)
+        S1, S2, Vb1, Vb2 = _phase2(M, s_ref, 2, T, w8, return_v=True)
+        y_ref[0] = y1_s[...] + (
+            p11_s[...] * S1[None] + p12_s[...] * S2[None] + q1_s[...]
+        )
+
+        @pl.when(step == nchunks - 1)
+        def _export():
+            for srow, v in ((0, Va1), (1, Va2), (2, Vb1), (3, Vb2)):
+                sout_ref[0, srow] = v[:, last_lane]
+
+    return kernel, lb
+
+
+@functools.partial(jax.jit, static_argnames=("cblock", "interpret"))
+def _lp24_blk_state_2d(x, na1a, na2a, na1b, na2b, state, cblock: int,
+                       interpret: bool = False):
+    """Stateful variant of _lp24_blk_2d. state: [B, 4]. Returns
+    (y [B, n], state' [B, 4]). The in-block length is PINNED to cblock
+    (64) so the math matches ops/stream.biquad_stream's fixed grid —
+    output and exit state are bitwise the XLA streamed path's, and
+    therefore segmentation-invariant for any 64-multiple segmenting."""
+    B, n = x.shape
+    ln = cblock
+    nb = -(-n // ln)
+    cb = CB
+    nchunks = -(-nb // cb)
+    nbp = nchunks * cb
+    R = _pick_r(B, BLK_MAX_R)
+    G = -(-B // R)
+    T = nb if nchunks == 1 else cb
+    kernel, lb = _make_kernel_lp24_blk_state(ln, T, cblock, nchunks,
+                                             (nb - 1) % cb)
+    nb64 = na1a.shape[-1]
+    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp, R)  # noqa: E731
+    spec = _spec(ln, R, cb)
+    bspec = pl.BlockSpec((1, lb, R, cb), lambda g, i: (g, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 4, R), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sp = jnp.pad(jnp.asarray(state, jnp.float32), [(0, G * R - B), (0, 0)])
+    sp = sp.reshape(G, R, 4).transpose(0, 2, 1)  # [G, 4, R]
+    y, sout = pl.pallas_call(
+        kernel,
+        grid=(G, nchunks),
+        in_specs=[sspec, spec] + [bspec] * 4,
+        out_specs=[spec, sspec],
+        out_shape=[jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
+                   jax.ShapeDtypeStruct((G, 4, R), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((4, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sp, _pad_fold(x, B, n, G, ln, nbp, R), foldb(na1a), foldb(na2a),
+      foldb(na1b), foldb(na2b))
+    state_out = sout.transpose(0, 2, 1).reshape(G * R, 4)[:B]
+    return _unfold(y, B, n), state_out
+
+
+def lp24_blockrate_stream_pallas(x, sections_b, state, cblock: int = 64,
+                                 interpret: bool = False):
+    """Fused lp24 cascade with block-rate denominators AND carried TDF2
+    state — the kernel form of applying ops/stream.biquad_stream twice.
+    x: [..., n]; state: [..., 4] as (s1a, s2a, s1b, s2b).
+    Returns (y, state')."""
+    shape = x.shape
+    flat = _flat(x)
+    nb64 = -(-shape[-1] // cblock)
+    cshape = shape[:-1] + (nb64,)
+
+    def denoms(sec):
+        _, _, _, a1, a2 = sec
+        return (
+            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+        )
+
+    na1a, na2a = denoms(sections_b[0])
+    na1b, na2b = denoms(sections_b[1])
+    st = jnp.asarray(state, jnp.float32).reshape(flat.shape[0], 4)
+    y, st2 = _lp24_blk_state_2d(flat, na1a, na2a, na1b, na2b, st, cblock,
+                                interpret=interpret)
+    return y.reshape(shape), st2.reshape(shape[:-1] + (4,))
 
 
 def _spec(ln, R, cb):

@@ -254,3 +254,63 @@ def test_lp24_refined_kernel_beats_bar_on_deep_corner(rng):
         jnp.asarray(xg), secs_bc, cblock, interpret=True))[0]
     db = 20 * np.log10(float(np.abs(y_pl - y64).max()) + 1e-30)
     assert db <= -80.0, f"{db:.1f} dBFS"
+
+
+def test_lp24_blockrate_stream_state_kernel_matches_xla_stream():
+    """Stateful lp24 kernel (lp24_blockrate_stream_pallas, interpret
+    mode): (a) output/exit state track the XLA streamed contract
+    (ops/stream.biquad_stream per section at the fixed 64-grid) to the
+    blockrate-kernel tolerance — the kernel reads block-rate coefs
+    directly, so its groupings differ from the upsampled XLA path like
+    the other blockrate kernels (5e-5-ish at benign q; high-q cases are
+    routed to refine/serial by the fidelity planner anyway) — and
+    (b) chaining two half-length calls through the state is BITWISE one
+    full call: the segmentation-invariance the sliced welsh path needs."""
+    import jax.numpy as jnp
+
+    from groove_tpu.ops import iir, stream as sops
+    from groove_tpu.ops.pallas_iir import lp24_blockrate_stream_pallas
+
+    rng = np.random.default_rng(11)
+    B, n, cb = 5, 4096, 64
+    nb = n // cb
+    x = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    cut = jnp.asarray(200 + 4000 * rng.random((B, nb)), jnp.float32)
+    gain_b, secs_b = iir.lp24_sections(cut, jnp.float32(0.8), 44100.0)
+    y_in = x * iir.upsample_hold(gain_b, n, cb)
+    st0 = jnp.asarray(rng.standard_normal((B, 4)) * 0.1, jnp.float32)
+
+    # XLA streamed reference: two biquad_stream sections, same entry state
+    y_ref = y_in
+    sts = []
+    for i, sec in enumerate(secs_b):
+        sec_ps = tuple(iir.upsample_hold(
+            jnp.broadcast_to(jnp.asarray(c, jnp.float32), (B, nb)), n, cb)
+            for c in sec)
+        y_ref, (s1, s2) = sops.biquad_stream(
+            y_ref, sec_ps, (st0[:, 2 * i], st0[:, 2 * i + 1]))
+        sts += [s1, s2]
+    st_ref = jnp.stack(sts, axis=1)
+
+    y_k, st_k = lp24_blockrate_stream_pallas(
+        y_in, secs_b, st0, cblock=cb, interpret=True)
+    peak = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_k - y_ref).max()) < 1e-4 * max(peak, 1.0)
+    # exit states are internal TDF2 quantities (can be ~1e3 at low
+    # cutoffs); compare relative to their own scale
+    speak = float(jnp.abs(st_ref).max())
+    assert float(jnp.abs(st_k - st_ref).max()) < 1e-4 * max(speak, 1.0)
+
+    # chaining: two half calls through the state == one call (bitwise)
+    h = n // 2
+    secs_h1 = [tuple(jnp.asarray(c)[..., :nb // 2] for c in s)
+               for s in secs_b]
+    secs_h2 = [tuple(jnp.asarray(c)[..., nb // 2:] for c in s)
+               for s in secs_b]
+    ya, sa = lp24_blockrate_stream_pallas(
+        y_in[:, :h], secs_h1, st0, cblock=cb, interpret=True)
+    yb, sb = lp24_blockrate_stream_pallas(
+        y_in[:, h:], secs_h2, sa, cblock=cb, interpret=True)
+    assert np.array_equal(np.concatenate([ya, yb], axis=1),
+                          np.asarray(y_k))
+    assert np.array_equal(np.asarray(sb), np.asarray(st_k))
