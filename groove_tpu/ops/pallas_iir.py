@@ -779,18 +779,47 @@ def _corr_phase1(read_nad, ln, w8, q1c_s):
     return jax.lax.fori_loop(0, ln, step, (zeros, zeros))
 
 
-def _make_kernel_lp24_refined_blk(ln, T, cblock):
+def _make_kernel_lp24_refined_blk(ln, T, cblock, nchunks=None,
+                                  last_lane=None, state_io=False):
+    """state_io=False: the original zero-state kernel (signature and op
+    order unchanged). state_io=True: adds sin/sout refs [1, 20, R] —
+    per row and section (A rows 0-9, B rows 10-19): solve TDF2 pair,
+    correction TDF2 pair, z lag-1/-2, y lag-1/-2, na1/na2 coefficient
+    edges — everything the kernel itself carries across chunks, so
+    chaining segment calls through the state is bitwise one long call
+    (the sliced streamed welsh contract). Exports read the final REAL
+    block's lane (last_lane = (nb-1) %% cb): the in-call chunk carries
+    read lane cb-1, which is padding when the last chunk is partial."""
     shift = cblock.bit_length() - 1
     lb = ln // cblock
 
-    def kernel(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
-               s_ref, p11_s, p12_s, q1_s, y0_s, ya_s, d_s, edge_s):
+    def body(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
+             s_ref, p11_s, p12_s, q1_s, y0_s, ya_s, d_s, edge_s,
+             sin_ref=None, sout_ref=None):
         step = pl.program_id(1)
 
-        @pl.when(step == 0)
-        def _init():
-            s_ref[...] = jnp.zeros_like(s_ref)
-            edge_s[...] = jnp.zeros_like(edge_s)
+        if state_io:
+            @pl.when(step == 0)
+            def _init():
+                wq = x_ref.shape[-2:]
+                # s_ref rows: 0,1 solve A; 2,3 corr A; 4,5 solve B;
+                # 6,7 corr B <- sin rows 0-3 (A) and 10-13 (B)
+                for r in range(4):
+                    s_ref[r] = jnp.broadcast_to(
+                        sin_ref[0, r][:, None], wq)
+                    s_ref[4 + r] = jnp.broadcast_to(
+                        sin_ref[0, 10 + r][:, None], wq)
+                # edge rows: z1, z2, y1, y2, na1, na2 per section
+                for r in range(6):
+                    edge_s[r] = jnp.broadcast_to(
+                        sin_ref[0, 4 + r][:, None], wq)
+                    edge_s[8 + r] = jnp.broadcast_to(
+                        sin_ref[0, 14 + r][:, None], wq)
+        else:
+            @pl.when(step == 0)
+            def _init():
+                s_ref[...] = jnp.zeros_like(s_ref)
+                edge_s[...] = jnp.zeros_like(edge_s)
 
         w8 = x_ref.shape[-2:]
         cb = w8[1]
@@ -854,8 +883,8 @@ def _make_kernel_lp24_refined_blk(ln, T, cblock):
 
         def solve(read, srow):
             M = _phase1(read, ln, w8, p11_s, p12_s, q1_s)
-            S1, S2 = _phase2(M, s_ref, srow, T, w8)
-            return M, S1, S2
+            S1, S2, V1, V2 = _phase2(M, s_ref, srow, T, w8, return_v=True)
+            return M, S1, S2, (V1, V2)
 
         def correction(M, na1_ref, na2_ref, srow):
             def read_nad(j):
@@ -864,9 +893,24 @@ def _make_kernel_lp24_refined_blk(ln, T, cblock):
 
             r1, r2 = _corr_phase1(read_nad, ln, w8, q1_s)
             m11, m12, m21, m22 = M[0], M[1], M[2], M[3]
-            S1, S2 = _phase2((m11, m12, m21, m22, r1, r2),
-                             s_ref, srow, T, w8)
-            return S1, S2
+            S1, S2, V1, V2 = _phase2((m11, m12, m21, m22, r1, r2),
+                                     s_ref, srow, T, w8, return_v=True)
+            return S1, S2, (V1, V2)
+
+        def export_section(base, Vs, Vc, z_tile, y0_tile,
+                           na1_ref, na2_ref):
+            """sout rows base..base+9 at the final real block's lane."""
+            LL = last_lane
+            sout_ref[0, base + 0] = Vs[0][:, LL]
+            sout_ref[0, base + 1] = Vs[1][:, LL]
+            sout_ref[0, base + 2] = Vc[0][:, LL]
+            sout_ref[0, base + 3] = Vc[1][:, LL]
+            sout_ref[0, base + 4] = z_tile[ln - 1, :, LL]
+            sout_ref[0, base + 5] = z_tile[ln - 2, :, LL]
+            sout_ref[0, base + 6] = y0_tile[ln - 1, :, LL]
+            sout_ref[0, base + 7] = y0_tile[ln - 2, :, LL]
+            sout_ref[0, base + 8] = na1_ref[0, lb - 1, :, LL]
+            sout_ref[0, base + 9] = na2_ref[0, lb - 1, :, LL]
 
         def edge_update(base, z_tile, y0_tile, na1_ref, na2_ref):
             def bc(row):
@@ -891,14 +935,21 @@ def _make_kernel_lp24_refined_blk(ln, T, cblock):
         # denominator feedbacks na = -a; the constant numerators (1,2,1)
         # give c-terms (2 - (-na)) ... == (2 + na), matching the existing
         # lp24 kernels.
-        Ma, S1a, S2a = solve(read_a, 0)
+        Ma, S1a, S2a, Vsa = solve(read_a, 0)
         y0_s[...] = x_ref[0] + (
             p11_s[...] * S1a[None] + p12_s[...] * S2a[None] + q1_s[...]
         )
         ea = [edge_s[i] for i in range(6)]
         defect_into(d_s, x_ref[0], y0_s[...], na1a_ref, na2a_ref, *ea)
         edge_update(0, x_ref[0], y0_s[...], na1a_ref, na2a_ref)
-        S1c, S2c = correction(Ma, na1a_ref, na2a_ref, 2)
+        S1c, S2c, Vca = correction(Ma, na1a_ref, na2a_ref, 2)
+        if state_io:
+            # y0_s still holds section A's solve output here (section B
+            # overwrites it below)
+            @pl.when(step == nchunks - 1)
+            def _export_a():
+                export_section(0, Vsa, Vca, x_ref[0], y0_s,
+                               na1a_ref, na2a_ref)
         ya_s[...] = y0_s[...] + (
             d_s[...] + p11_s[...] * S1c[None] + p12_s[...] * S2c[None]
             + q1_s[...]
@@ -912,18 +963,36 @@ def _make_kernel_lp24_refined_blk(ln, T, cblock):
             zj = ya_s[j]
             return (na1, na2, (2.0 + na1) * zj, (1.0 + na2) * zj)
 
-        Mb, S1b, S2b = solve(read_b, 4)
+        Mb, S1b, S2b, Vsb = solve(read_b, 4)
         y0_s[...] = ya_s[...] + (
             p11_s[...] * S1b[None] + p12_s[...] * S2b[None] + q1_s[...]
         )
         eb = [edge_s[8 + i] for i in range(6)]
         defect_into(d_s, ya_s[...], y0_s[...], na1b_ref, na2b_ref, *eb)
         edge_update(8, ya_s[...], y0_s[...], na1b_ref, na2b_ref)
-        S1d, S2d = correction(Mb, na1b_ref, na2b_ref, 6)
+        S1d, S2d, Vcb = correction(Mb, na1b_ref, na2b_ref, 6)
+        if state_io:
+            @pl.when(step == nchunks - 1)
+            def _export_b():
+                export_section(10, Vsb, Vcb, ya_s, y0_s,
+                               na1b_ref, na2b_ref)
         y_ref[0] = y0_s[...] + (
             d_s[...] + p11_s[...] * S1d[None] + p12_s[...] * S2d[None]
             + q1_s[...]
         )
+
+    if state_io:
+        def kernel(sin_ref, x_ref, na1a_ref, na2a_ref, na1b_ref,
+                   na2b_ref, y_ref, sout_ref, s_ref, p11_s, p12_s, q1_s,
+                   y0_s, ya_s, d_s, edge_s):
+            body(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
+                 s_ref, p11_s, p12_s, q1_s, y0_s, ya_s, d_s, edge_s,
+                 sin_ref=sin_ref, sout_ref=sout_ref)
+    else:
+        def kernel(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
+                   s_ref, p11_s, p12_s, q1_s, y0_s, ya_s, d_s, edge_s):
+            body(x_ref, na1a_ref, na2a_ref, na1b_ref, na2b_ref, y_ref,
+                 s_ref, p11_s, p12_s, q1_s, y0_s, ya_s, d_s, edge_s)
 
     return kernel, lb
 
@@ -987,3 +1056,84 @@ def lp24_refined_blockrate_pallas(x, sections_b, cblock: int = 64,
     out = _lp24_refined_blk_2d(flat, na1a, na2a, na1b, na2b, cblock,
                                interpret=interpret)
     return out.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("cblock", "interpret"))
+def _lp24_refined_blk_state_2d(x, na1a, na2a, na1b, na2b, state,
+                               cblock: int, interpret: bool = False):
+    """Stateful refined cascade. state: [B, 20] (see
+    _make_kernel_lp24_refined_blk). In-block length pins to cblock so
+    chained calls are bitwise one long call for any 64-multiple
+    segmenting. Returns (y [B, n], state' [B, 20])."""
+    B, n = x.shape
+    ln = cblock
+    nb = -(-n // ln)
+    cb = CB
+    nchunks = -(-nb // cb)
+    nbp = nchunks * cb
+    R = _pick_r(B, REFINED_MAX_R)
+    G = -(-B // R)
+    T = nb if nchunks == 1 else cb
+    kernel, lb = _make_kernel_lp24_refined_blk(
+        ln, T, cblock, nchunks=nchunks, last_lane=(nb - 1) % cb,
+        state_io=True)
+    nb64 = na1a.shape[-1]
+    foldb = lambda v: _pad_fold_blk(v, B, nb64, G, lb, nbp, R)  # noqa: E731
+    spec = _spec(ln, R, cb)
+    bspec = pl.BlockSpec((1, lb, R, cb), lambda g, i: (g, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 20, R), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sp = jnp.pad(jnp.asarray(state, jnp.float32), [(0, G * R - B), (0, 0)])
+    sp = sp.reshape(G, R, 20).transpose(0, 2, 1)  # [G, 20, R]
+    y, sout = pl.pallas_call(
+        kernel,
+        grid=(G, nchunks),
+        in_specs=[sspec, spec] + [bspec] * 4,
+        out_specs=[spec, sspec],
+        out_shape=[jax.ShapeDtypeStruct((G, ln, R, nbp), jnp.float32),
+                   jax.ShapeDtypeStruct((G, 20, R), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((ln, R, cb), jnp.float32),
+            pltpu.VMEM((16, R, cb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sp, _pad_fold(x, B, n, G, ln, nbp, R), foldb(na1a), foldb(na2a),
+      foldb(na1b), foldb(na2b))
+    state_out = sout.transpose(0, 2, 1).reshape(G * R, 20)[:B]
+    return _unfold(y, B, n), state_out
+
+
+def lp24_refined_blockrate_stream_pallas(x, sections_b, state,
+                                         cblock: int = 64,
+                                         interpret: bool = False):
+    """Fused refined lp24 cascade with carried state — the kernel form
+    of segment-streaming the refinement. x: [..., n]; state: [..., 20]
+    (zeros to start). Chaining calls through the state is bitwise one
+    long call. Returns (y, state')."""
+    shape = x.shape
+    flat = _flat(x)
+    nb64 = -(-shape[-1] // cblock)
+    cshape = shape[:-1] + (nb64,)
+
+    def denoms(sec):
+        _, _, _, a1, a2 = sec
+        return (
+            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
+            .reshape(flat.shape[0], nb64),
+        )
+
+    na1a, na2a = denoms(sections_b[0])
+    na1b, na2b = denoms(sections_b[1])
+    st = jnp.asarray(state, jnp.float32).reshape(flat.shape[0], 20)
+    y, st2 = _lp24_refined_blk_state_2d(flat, na1a, na2a, na1b, na2b,
+                                        st, cblock, interpret=interpret)
+    return y.reshape(shape), st2.reshape(shape[:-1] + (20,))

@@ -314,3 +314,46 @@ def test_lp24_blockrate_stream_state_kernel_matches_xla_stream():
     assert np.array_equal(np.concatenate([ya, yb], axis=1),
                           np.asarray(y_k))
     assert np.array_equal(np.asarray(sb), np.asarray(st_k))
+
+
+def test_lp24_refined_stream_state_kernel_chaining():
+    """Stateful REFINED cascade kernel: zero-state call equals the plain
+    refined kernel bitwise (the body refactor is pure code motion; pick n
+    so both use the same in-block length), and chaining half-length
+    calls through the 20-float state is bitwise one full call."""
+    import jax.numpy as jnp
+
+    from groove_tpu.ops import iir
+    from groove_tpu.ops.pallas_iir import (
+        lp24_refined_blockrate_pallas,
+        lp24_refined_blockrate_stream_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    B, n, cb = 3, 4096, 64  # block_for(4096) == 64 == cb
+    nb = n // cb
+    x = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    cut = jnp.asarray(60 + 500 * rng.random((B, nb)), jnp.float32)
+    gain_b, secs_b = iir.lp24_sections(cut, jnp.float32(4.0), 44100.0)
+    y_in = x * iir.upsample_hold(gain_b, n, cb)
+
+    y_plain = lp24_refined_blockrate_pallas(y_in, secs_b, cb,
+                                            interpret=True)
+    y_st, st = lp24_refined_blockrate_stream_pallas(
+        y_in, secs_b, jnp.zeros((B, 20)), cblock=cb, interpret=True)
+    assert np.array_equal(np.asarray(y_st), np.asarray(y_plain)), \
+        f"zero-state mismatch {float(jnp.abs(y_st - y_plain).max())}"
+
+    h = n // 2
+    secs_h1 = [tuple(jnp.asarray(c)[..., :nb // 2] for c in s)
+               for s in secs_b]
+    secs_h2 = [tuple(jnp.asarray(c)[..., nb // 2:] for c in s)
+               for s in secs_b]
+    ya, sa = lp24_refined_blockrate_stream_pallas(
+        y_in[:, :h], secs_h1, jnp.zeros((B, 20)), cblock=cb,
+        interpret=True)
+    yb, sb = lp24_refined_blockrate_stream_pallas(
+        y_in[:, h:], secs_h2, sa, cblock=cb, interpret=True)
+    assert np.array_equal(np.concatenate([ya, yb], axis=1),
+                          np.asarray(y_st)), "chained halves diverge"
+    assert np.array_equal(np.asarray(sb), np.asarray(st))
