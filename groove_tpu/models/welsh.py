@@ -392,11 +392,25 @@ def slice_state_init(count: int, mode) -> dict:
     per section; 'refine' -> sops.refined_state_init per section with
     per-row coefficient histories. Leaves all have the ROW as the leading
     axis (gather/scatter-friendly); the refined 'ch' is stored
-    row-major [rows, 4, 2] and transposed around the op."""
+    row-major [rows, 4, 2] and transposed around the op.
+
+    On TPU (iir._pallas_available) the cascade runs in the fused stream
+    kernels instead, whose carried state is one packed row vector:
+    'p4' [rows, 4] for the plain cascade (s1a, s2a, s1b, s2b — bitwise
+    ops/stream.biquad_stream's 64-grid), 'p20' [rows, 20] for the refined
+    cascade ('serial' routes to refined like the one-shot
+    iir.lp24_apply_blockrate dispatch: the fused refined kernel is the
+    accuracy reference at the deep corner, −95 dBFS on-chip). The key set
+    decides the dispatch in render_notes_slice."""
+    from groove_tpu.ops import iir as iir_mod
     from groove_tpu.ops import stream as sops
 
     rows = count + 1
     st: dict = {}
+    if iir_mod._pallas_available():
+        if mode in ("refine", "serial"):
+            return {"p20": jnp.zeros((rows, 20), jnp.float32)}
+        return {"p4": jnp.zeros((rows, 4), jnp.float32)}
     if mode == "refine":
         for i in range(2):
             ref = sops.refined_state_init((rows,), coef_batch=(rows,))
@@ -560,6 +574,30 @@ def render_notes_slice(
     y = osc_out * iir_ops.upsample_hold(
         jnp.broadcast_to(gain_b, (n, nb_seg)), S, cblock)
     new_state = dict(fstate)
+    if "p4" in fstate or "p20" in fstate:
+        # TPU: fused stream kernels (state layout from slice_state_init).
+        # The plain kernel's output/exit state are bitwise the XLA
+        # 64-grid biquad_stream path's; the refined kernel chains bitwise
+        # with itself and matches the one-shot refined kernel at zero
+        # state (tests/test_pallas.py).
+        from groove_tpu.ops import pallas_iir
+
+        interp = pallas_iir.FORCE_INTERPRET
+        secs_full = tuple(
+            tuple(jnp.broadcast_to(jnp.asarray(c, jnp.float32),
+                                   (n, nb_seg)) for c in sec)
+            for sec in secs_b
+        )
+        if "p20" in fstate:
+            y, st2 = pallas_iir.lp24_refined_blockrate_stream_pallas(
+                y, secs_full, fstate["p20"], cblock, interpret=interp)
+            new_state["p20"] = st2
+        else:
+            y, st2 = pallas_iir.lp24_blockrate_stream_pallas(
+                y, secs_full, fstate["p4"], cblock, interpret=interp)
+            new_state["p4"] = st2
+        return _slice_finish(params, y, t, gate_s, vels, lfo_val, valid,
+                             routing), new_state
     for i, sec in enumerate(secs_b):
         sec_ps = tuple(
             iir_ops.upsample_hold(
@@ -583,6 +621,14 @@ def render_notes_slice(
             new_state[f"s{i}/1"] = s1_
             new_state[f"s{i}/2"] = s2_
 
+    return _slice_finish(params, y, t, gate_s, vels, lfo_val, valid,
+                         routing), new_state
+
+
+def _slice_finish(params, y, t, gate_s, vels, lfo_val, valid, routing):
+    """Amp envelope + velocity + LFO amplitude routing + window mask —
+    identical on the XLA and Pallas cascade paths (and term-for-term
+    render_notes_parts' amp stage)."""
     ae = params.amp_envelope
     a_env = env_ops.adsr(t, gate_s, ae.attack, ae.decay, ae.sustain,
                          ae.release)
@@ -590,7 +636,7 @@ def render_notes_slice(
     if routing in ("amplitude", "cutoff-amp"):
         amp = amp * (1.0 + lfo_val)
     amp = jnp.where(valid, amp, 0.0)
-    return y * amp, new_state
+    return y * amp
 
 
 # ---------------------------------------------------------------------------

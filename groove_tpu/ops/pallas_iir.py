@@ -63,6 +63,11 @@ CB = 128  # block-columns (lanes) per grid chunk
 BLK_MAX_R = 24
 REFINED_MAX_R = 16
 
+# Tests set True (with ops.iir.USE_PALLAS = True) to route graph-level
+# callers (welsh.render_notes_slice) through these kernels on the CPU
+# backend via the Pallas interpreter.
+FORCE_INTERPRET = False
+
 
 def _pick_l(n: int) -> int:
     """In-block length ~sqrt(n). Delegates to ops/iir.block_for so the XLA

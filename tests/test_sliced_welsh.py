@@ -21,11 +21,11 @@ class Sliced(StreamingRenderer):
     WELSH_SLICED = True
 
 
-def _noise_song():
+def _noise_song(bpm=120):
     """welsh-raw with noise mixed in (exercises the sliced noise gather)
     and two overlapping notes (state slots in one bucket)."""
     return SongSettings.from_json5_str(json.dumps({
-        "clock": {"bpm": 120},
+        "clock": {"bpm": bpm},
         "devices": [{"instrument": ["i1", {"welsh-raw": [
             {"midi-in": 0},
             {
@@ -80,6 +80,80 @@ def test_sliced_scale_c4_matches_whole():
 def test_sliced_smf_multichannel_matches_whole():
     # 9 GM welsh channels incl. 'serial'-fidelity devices + drums
     _check(compile_midi_file(REF / "test-data/midi/sound_of_music.mid"))
+
+
+def test_sliced_pallas_kernel_path(monkeypatch):
+    """With Pallas routing forced (interpret mode on CPU), the sliced
+    cascade runs in the fused stream kernels with packed p4/p20 state:
+    (a) chaining two half-slices through the state is BITWISE one full
+    slice (segmentation invariance), and (b) the result tracks the XLA
+    sliced path to the blockrate-kernel tolerance (the kernel reads
+    block-rate coefs directly; groupings differ like the other
+    blockrate kernels)."""
+    from groove_tpu.models import welsh as wm
+    from groove_tpu.ops import iir, pallas_iir
+
+    c = compile_song(_noise_song())
+    params = c.devices["i1"].voice
+    sr, span, S = 44100.0, 8192, 4096
+    tf, tbf = wm.slice_time_bases(span, sr)
+    keys = np.array([60.0, 64.0, 67.0], np.float32)
+    vels = np.array([100.0, 90.0, 80.0], np.float32)
+    gate = np.array([4096.0, 6144.0, 2048.0], np.float32)
+    z3 = np.zeros(3, np.int32)
+
+    def run(fidelity, S_, n_calls):
+        st = wm.slice_state_init(2, fidelity)  # 3 rows == batch here
+        outs = []
+        for i in range(n_calls):
+            y, st = wm.render_notes_slice(
+                params, keys, vels, gate, z3 + i * S_, S_, sr, st,
+                tf, tbf, fidelity=fidelity)
+            outs.append(np.asarray(y))
+        return np.concatenate(outs, axis=-1), st
+
+    for fidelity, key in ((None, "p4"), ("refine", "p20")):
+        y_xla, st_xla = run(fidelity, span, 1)
+        assert key not in st_xla  # CPU default: XLA path
+
+        monkeypatch.setattr(iir, "USE_PALLAS", True)
+        monkeypatch.setattr(pallas_iir, "FORCE_INTERPRET", True)
+        y_full, st_full = run(fidelity, span, 1)
+        assert key in st_full
+        y_chain, st_chain = run(fidelity, S, 2)
+        assert np.array_equal(y_full, y_chain), "sliced pallas not bitwise"
+        assert np.array_equal(np.asarray(st_full[key]),
+                              np.asarray(st_chain[key]))
+        peak = max(1.0, float(np.abs(y_xla).max()))
+        err = float(np.abs(y_full - y_xla).max())
+        assert err < 1e-4 * peak, f"pallas vs xla sliced: {err}"
+        monkeypatch.setattr(iir, "USE_PALLAS", None)
+        monkeypatch.setattr(pallas_iir, "FORCE_INTERPRET", False)
+
+
+def test_sliced_pallas_end_to_end(monkeypatch):
+    """StreamingRenderer WELSH_SLICED under forced-Pallas routing: state
+    init produces the packed kernel state and segmented output is
+    bitwise-invariant and close to the whole-timeline render."""
+    from groove_tpu.ops import iir, pallas_iir
+
+    monkeypatch.setattr(iir, "USE_PALLAS", True)
+    monkeypatch.setattr(pallas_iir, "FORCE_INTERPRET", True)
+    c = compile_song(_noise_song(bpm=480))
+    one_seg = -(-c.n_frames // 64) * 64
+    r = Sliced(c, segment_frames=one_seg)
+    assert any(k.endswith("/p4") for k in r._state0), \
+        "pallas sliced state not active"
+    one = r.render()
+    many = Sliced(c, segment_frames=8192).render()
+    assert np.array_equal(one, many), "sliced segmentation not bitwise"
+    monkeypatch.setattr(iir, "USE_PALLAS", None)
+    monkeypatch.setattr(pallas_iir, "FORCE_INTERPRET", False)
+    whole = np.asarray(Renderer(c).render())
+    peak = max(1.0, float(np.abs(whole).max()))
+    err = float(np.abs(whole - np.asarray(many)).max())
+    assert err < 1e-3 * peak, f"sliced pallas diverges from whole: {err}"
+    assert float(np.abs(whole).max()) > 0.05
 
 
 def test_sliced_excludes_pitch_lfo_devices():
