@@ -286,15 +286,19 @@ def _render_streamed(compiled, input_filename: str, args) -> None:
                 print(".", end="", flush=True)
             yield c
 
+    # quantize=True: int16 conversion happens ON DEVICE (bitwise the host
+    # WAV spec — io.wav.quantize_16bit_device), halving the tunnel fetch
+    # that bounds streamed throughput on this machine
     if args.wav:
         out = output_path(input_filename, args.out_dir)
         total = write_wav_16bit_stereo_stream(
-            out, progress(r.stream(batch_segments=batch)), args.sample_rate)
+            out, progress(r.stream(batch_segments=batch, quantize=True)),
+            args.sample_rate)
         if not args.quiet:
             print(f"\nStreamed {total} frames to {out}")
     else:
-        total = sum(len(c)
-                    for c in progress(r.stream(batch_segments=batch)))
+        total = sum(len(c) for c in progress(
+            r.stream(batch_segments=batch, quantize=True)))
         if not args.quiet:
             print(f"\nStreamed {total} frames")
     if args.perf:

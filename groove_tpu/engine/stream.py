@@ -61,6 +61,16 @@ def _round_block(frames: int) -> int:
     return -(-int(frames) // BLOCK) * BLOCK
 
 
+def _copy_to_host_async(audio) -> None:
+    """Start the device->host transfer without blocking so it overlaps
+    later batches' compute (the tunnel fetch bounds streamed throughput
+    on this machine; np.asarray later completes the same transfer)."""
+    try:
+        audio.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
+
+
 class StreamingRenderer:
     """Segment-streamed render of one compiled song.
 
@@ -354,14 +364,24 @@ class StreamingRenderer:
 
     # ---- traced step -------------------------------------------------------
 
-    def _step_for(self, seg_len: int):
-        fn = self._steps.get(seg_len)
+    def _step_for(self, seg_len: int, quantize: bool = False):
+        key = (seg_len, quantize)
+        fn = self._steps.get(key)
         if fn is None:
-            fn = jax.jit(
-                lambda state, xs, inputs, n=seg_len:
-                self._step_impl(state, xs, inputs, n)
-            )
-            self._steps[seg_len] = fn
+            if quantize:
+                from groove_tpu.io.wav import quantize_16bit_device
+
+                def fn(state, xs, inputs, n=seg_len):
+                    st, audio = self._step_impl(state, xs, inputs, n)
+                    return st, quantize_16bit_device(audio)
+
+                fn = jax.jit(fn)
+            else:
+                fn = jax.jit(
+                    lambda state, xs, inputs, n=seg_len:
+                    self._step_impl(state, xs, inputs, n)
+                )
+            self._steps[key] = fn
         return fn
 
     def _param_seg(self, inputs, dev, name, default, t0, n, override=None):
@@ -744,7 +764,7 @@ class StreamingRenderer:
     # ---- drivers -----------------------------------------------------------
 
     def stream(self, prefetch_segments: int = 4,
-               batch_segments: int = 1):
+               batch_segments: int = 1, quantize: bool = False):
         """Python-loop driver: yields host [seg, 2] arrays covering exactly
         n_frames. Device memory is bounded by one segment + carried state
         regardless of song length.
@@ -766,7 +786,8 @@ class StreamingRenderer:
         batched streams agree to float tolerance."""
         if batch_segments > 1:
             yield from self._stream_batched(batch_segments,
-                                            max(1, prefetch_segments))
+                                            max(1, prefetch_segments),
+                                            quantize)
             return
         from collections import deque
 
@@ -783,35 +804,50 @@ class StreamingRenderer:
         for k in range(self.n_segs):
             t0 = k * self.S
             xs = jax.device_put(self._seg_xs(t0, self.S))
-            state, audio = self._step_for(self.S)(state, xs, self.inputs)
+            state, audio = self._step_for(self.S, quantize)(
+                state, xs, self.inputs)
+            _copy_to_host_async(audio)
             pending.append(audio)
             if len(pending) > prefetch_segments:
                 yield fetch(pending.popleft())
         while pending:
             yield fetch(pending.popleft())
 
-    def _scan_for(self, seg_len: int, k: int):
-        """Jitted program rendering k consecutive segments via lax.scan."""
-        key = (seg_len, k)
+    def _scan_for(self, seg_len: int, k: int, quantize: bool = False):
+        """Jitted program rendering k consecutive segments via lax.scan.
+        quantize=True additionally converts the audio to int16 INSIDE the
+        program (io.wav.quantize_16bit_device — bitwise the host WAV
+        spec), halving the bytes fetched over the tunnel."""
+        key = (seg_len, k, quantize)
         fn = getattr(self, "_scans", None)
         if fn is None:
             self._scans = {}
         fn = self._scans.get(key)
         if fn is None:
+            if quantize:
+                from groove_tpu.io.wav import quantize_16bit_device
             def run(st, xs_, inputs):
                 def body(state, xrow):
                     return self._step_impl(state, xrow, inputs, seg_len)
-                return jax.lax.scan(body, st, xs_)
+                st, audio = jax.lax.scan(body, st, xs_)
+                if quantize:
+                    audio = quantize_16bit_device(audio)
+                return st, audio
 
             fn = jax.jit(run)
             self._scans[key] = fn
         return fn
 
-    def _stream_batched(self, k: int, prefetch_batches: int):
+    def _stream_batched(self, k: int, prefetch_batches: int,
+                        quantize: bool = False):
         """Batched driver: one dispatch + one readback per k segments.
         The final partial batch is PADDED to k with past-the-end segments
         (their audio is discarded) so only ONE scan program ever compiles
-        — a fresh XLA compile costs ~2 min over this machine's tunnel."""
+        — a fresh XLA compile costs ~2 min over this machine's tunnel.
+        Fetches are started ASYNCHRONOUSLY right after dispatch
+        (copy_to_host_async) so tunnel transfer of batch b overlaps the
+        compute of b+1..b+prefetch: on this machine the ~30 MB/s fetch,
+        not the compute, bounds streamed throughput."""
         from collections import deque
 
         state = self._state0
@@ -830,8 +866,9 @@ class StreamingRenderer:
             rows = [self._seg_xs((b * k + j) * self.S, self.S)
                     for j in range(k)]
             xs = {key: np.stack([r[key] for r in rows]) for key in rows[0]}
-            state, audio = self._scan_for(self.S, k)(
+            state, audio = self._scan_for(self.S, k, quantize)(
                 state, jax.device_put(xs), self.inputs)
+            _copy_to_host_async(audio)
             pending.append(audio)
             if len(pending) > prefetch_batches:
                 yield fetch(pending.popleft())
@@ -840,12 +877,15 @@ class StreamingRenderer:
             if chunk.shape[0]:
                 yield chunk
 
-    def render(self, batch_segments: int = 1) -> np.ndarray:
+    def render(self, batch_segments: int = 1,
+               quantize: bool = False) -> np.ndarray:
         """Streamed render concatenated on the host."""
         if self.c.n_frames == 0:
-            return np.zeros((0, 2), np.float32)
+            dt = np.int16 if quantize else np.float32
+            return np.zeros((0, 2), dt)
         return np.concatenate(
-            list(self.stream(batch_segments=batch_segments)), axis=0)
+            list(self.stream(batch_segments=batch_segments,
+                             quantize=quantize)), axis=0)
 
     def render_scan(self) -> np.ndarray:
         """One-shot driver: the SAME step function under lax.scan, entire

@@ -45,7 +45,15 @@ def write_wav_16bit_stereo_stream(path, chunks, sample_rate: int) -> int:
         w.setsampwidth(2)
         w.setframerate(int(sample_rate))
         for chunk in chunks:
-            c = np.asarray(chunk, np.float64)
+            c = np.asarray(chunk)
+            if c.dtype == np.int16:
+                # already quantized on-device (quantize_16bit_device,
+                # bitwise this writer's own spec)
+                scaled = c.astype("<i2", copy=False)
+                w.writeframes(scaled.tobytes())
+                total += len(c)
+                continue
+            c = c.astype(np.float64)
             if c.ndim == 1:
                 c = np.stack([c, c], axis=-1)
             scaled = np.clip(np.trunc(c * 32767.0),
@@ -53,6 +61,49 @@ def write_wav_16bit_stereo_stream(path, chunks, sample_rate: int) -> int:
             w.writeframes(scaled.tobytes())
             total += len(c)
     return total
+
+
+def quantize_16bit_device(x):
+    """Device-side (jax) 16-bit quantization, BITWISE the host writers'
+    spec trunc(float64(x) * 32767) + saturate — halves the bytes crossing
+    the host<->device tunnel on streamed renders (the fetch, not the
+    compute, bounds streamed throughput on this machine's ~30 MB/s link).
+
+    The host path is exact: an f32 sample widened to f64 and multiplied
+    by 32767.0 has a 24x15-bit product < 53 bits. A plain f32 multiply
+    may round across an integer boundary, so compute the exact product as
+    a double-f32 pair via the power-of-two split (all steps exact by
+    Sterbenz):
+
+        hi = x * 32768          (exact: power-of-two scale)
+        s  = hi - x             (rounded product x*32767)
+        e  = (hi - s) - x       (EXACT rounding error: v = s + e)
+
+    trunc(v) from q = trunc(s): the boundary tests compare (f ± 1) + e
+    with f = s - q exact, so each decision reduces to the sign of an
+    exactly-representable quantity (rounding near zero preserves sign).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, jnp.float32)
+    hi = x * jnp.float32(32768.0)
+    s = hi - x
+    e = (hi - s) - x
+    q = jnp.trunc(s)
+    f = s - q
+    pos = s >= 0
+    one = jnp.float32(1.0)
+    up_pos = ((f - one) + e) >= 0    # v >= q + 1
+    dn_pos = (f + e) < 0             # v < q
+    dn_neg = ((f + one) + e) <= 0    # v <= q - 1
+    up_neg = (f + e) > 0             # v > q
+    adj = jnp.where(
+        pos,
+        up_pos.astype(jnp.float32) - dn_pos.astype(jnp.float32),
+        up_neg.astype(jnp.float32) - dn_neg.astype(jnp.float32),
+    )
+    q = jnp.clip(q + adj, -32768.0, 32767.0)
+    return q.astype(jnp.int16)
 
 
 def read_wav(path) -> tuple[np.ndarray, int]:

@@ -444,9 +444,35 @@ def render_notes_slice(
     note hasn't started; past span while it has died — both masked to
     exact zeros). fstate: per-ROW state (already gathered to the batch),
     see slice_state_init. fidelity: None | 'serial' | 'refine' (the host
-    routing from filter_fidelity_mode)."""
-    from groove_tpu.ops import stream as sops
+    routing from filter_fidelity_mode).
 
+    Composition of the three stages the engine can also drive separately
+    to MERGE cascades across devices/buckets (engine/stream merged sliced
+    path: every slice shares the length S, so rows concatenate into ONE
+    kernel launch per fidelity group per segment)."""
+    y, secs_b, ctx = render_notes_slice_pre(
+        params, keys, vels, gate_frames, age0, S, sample_rate,
+        t_full, tb_full, noise_seed=noise_seed, note_ids=note_ids)
+    y, new_state = cascade_slices(y, secs_b, fstate, fidelity)
+    return finish_slice(params, y, ctx), new_state
+
+
+def render_notes_slice_pre(
+    params: WelshVoiceParams,
+    keys,
+    vels,
+    gate_frames,
+    age0,
+    S: int,
+    sample_rate: float,
+    t_full,
+    tb_full,
+    noise_seed: int = 0,
+    note_ids=None,
+):
+    """Everything before the cascade: osc mix + noise + window mask +
+    filter-envelope sections + input gain. Returns (y [n, S] gained
+    cascade input, secs_b block-rate sections, ctx for finish_slice)."""
     keys = jnp.asarray(keys, jnp.float32)
     n = keys.shape[0]
     if note_ids is None:
@@ -573,6 +599,18 @@ def render_notes_slice(
         jnp.broadcast_to(cutoff_hz, (n, nb_seg)), q_b, sample_rate)
     y = osc_out * iir_ops.upsample_hold(
         jnp.broadcast_to(gain_b, (n, nb_seg)), S, cblock)
+    return y, secs_b, (t, gate_s, vels, lfo_val, valid, routing)
+
+
+def cascade_slices(y, secs_b, fstate: dict, fidelity, cblock: int = 64):
+    """The sliced cascade stage over any row batch [n, S] (rows may span
+    several devices/buckets — the merged engine path concatenates them).
+    State layout per slice_state_init; dispatch keys off the state's key
+    set. Returns (y, new_state)."""
+    from groove_tpu.ops import stream as sops
+
+    n, S = y.shape
+    nb_seg = S // cblock
     new_state = dict(fstate)
     if "p4" in fstate or "p20" in fstate:
         # TPU: fused stream kernels (state layout from slice_state_init).
@@ -596,8 +634,7 @@ def render_notes_slice(
             y, st2 = pallas_iir.lp24_blockrate_stream_pallas(
                 y, secs_full, fstate["p4"], cblock, interpret=interp)
             new_state["p4"] = st2
-        return _slice_finish(params, y, t, gate_s, vels, lfo_val, valid,
-                             routing), new_state
+        return y, new_state
     for i, sec in enumerate(secs_b):
         sec_ps = tuple(
             iir_ops.upsample_hold(
@@ -620,9 +657,15 @@ def render_notes_slice(
             )
             new_state[f"s{i}/1"] = s1_
             new_state[f"s{i}/2"] = s2_
+    return y, new_state
 
+
+def finish_slice(params: WelshVoiceParams, y, ctx):
+    """Post-cascade stage: amp envelope/velocity/LFO/window mask (ctx
+    from render_notes_slice_pre)."""
+    t, gate_s, vels, lfo_val, valid, routing = ctx
     return _slice_finish(params, y, t, gate_s, vels, lfo_val, valid,
-                         routing), new_state
+                         routing)
 
 
 def _slice_finish(params, y, t, gate_s, vels, lfo_val, valid, routing):

@@ -109,6 +109,49 @@ def test_prefetch_stream_is_bitwise_identical():
     assert np.array_equal(a, b)
 
 
+def test_device_quantizer_matches_host_spec():
+    """io.wav.quantize_16bit_device must be BITWISE the host writers'
+    trunc(float64(x)*32767)+saturate over adversarial families: random,
+    exact-boundary k/32767 products and their f32 neighbors, half-steps,
+    signed zeros, subnormals, saturation range."""
+    from groove_tpu.io.wav import quantize_16bit_device
+
+    rng = np.random.default_rng(0)
+    k = np.arange(-40000, 40000)
+    base = (k[::7] / 32767.0).astype(np.float32)
+    x = np.concatenate([
+        rng.uniform(-1.3, 1.3, 100000).astype(np.float32),
+        (k / 32767.0).astype(np.float32),
+        ((k + 0.5) / 32767.0).astype(np.float32),
+        ((k + 0.5) / 32768.0).astype(np.float32),
+        np.array([0.0, -0.0, 1.0, -1.0, 1e-41, -1e-41,
+                  np.nextafter(np.float32(1.0), np.float32(0))],
+                 np.float32),
+        np.nextafter(base, np.float32(2.0)),
+        np.nextafter(base, np.float32(-2.0)),
+    ])
+    host = np.clip(np.trunc(x.astype(np.float64) * 32767.0),
+                   -32768, 32767).astype(np.int16)
+    dev = np.asarray(quantize_16bit_device(x))
+    assert dev.dtype == np.int16
+    assert np.array_equal(host, dev)
+
+
+def test_stream_quantized_equals_host_quantized_floats():
+    """stream(quantize=True) (device-side int16, the halved-tunnel-fetch
+    path the CLI uses) must equal quantizing the float stream on the
+    host, for both the loop and batched drivers."""
+    c = _compiled("projects/demos/effects/drums-reverb.json")
+    r = StreamingRenderer(c, segment_frames=8192)
+    for kw in ({}, {"batch_segments": 4}):
+        f = r.render(**kw)
+        q = r.render(quantize=True, **kw)
+        assert q.dtype == np.int16 and q.shape == f.shape
+        host = np.clip(np.trunc(f.astype(np.float64) * 32767.0),
+                       -32768, 32767).astype(np.int16)
+        assert np.array_equal(host, q)
+
+
 def test_stream_bounded_memory_path_yields_segments():
     c = _compiled("projects/demos/effects/drums-reverb.json")
     r = StreamingRenderer(c, segment_frames=16384)

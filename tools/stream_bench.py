@@ -1,0 +1,68 @@
+"""Steady-state streamed-throughput measurement on the attached device.
+
+For each requested mode, builds a StreamingRenderer over the given
+project/SMF, runs one full warm pass (compiles the segment program), then
+times a second full pass — the steady-state figure PARITY.md quotes.
+
+Usage: python tools/stream_bench.py [path] [--seg N] [--batch K]
+       [--modes unsliced,sliced]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", nargs="?",
+                    default="/root/reference/test-data/midi/jingle_bells.mid")
+    ap.add_argument("--seg", type=int, default=262144)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--modes", default="unsliced,unsliced-i16",
+                    help="comma list: unsliced | sliced, with optional "
+                         "-i16 suffix for device-side quantization")
+    args = ap.parse_args()
+
+    from groove_tpu.compiler.song import compile_midi_file, compile_song
+    from groove_tpu.engine.stream import StreamingRenderer
+    from groove_tpu.project.schema import SongSettings
+
+    p = pathlib.Path(args.path)
+    if p.suffix.lower() in (".mid", ".midi"):
+        c = compile_midi_file(p)
+    else:
+        c = compile_song(SongSettings.from_project_file(p))
+    audio_s = c.n_frames / c.sample_rate
+    print(f"{p.name}: {c.n_frames} frames = {audio_s:.1f}s audio, "
+          f"seg={args.seg} batch={args.batch}", flush=True)
+
+    for mode in args.modes.split(","):
+        sliced = mode.startswith("sliced")
+        quant = mode.endswith("-i16")
+        cls = type("R", (StreamingRenderer,), {"WELSH_SLICED": sliced})
+        t0 = time.perf_counter()
+        r = cls(c, segment_frames=args.seg)
+        t1 = time.perf_counter()
+        out = r.render(batch_segments=args.batch, quantize=quant)
+        t2 = time.perf_counter()
+        out = r.render(batch_segments=args.batch, quantize=quant)
+        t3 = time.perf_counter()
+        peak = float(abs(out).max()) / (32767.0 if quant else 1.0)
+        print(f"  {mode}: init {t1 - t0:.1f}s, first pass {t2 - t1:.1f}s, "
+              f"steady {t3 - t2:.2f}s = {audio_s / (t3 - t2):.1f}x realtime "
+              f"(peak {peak:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
