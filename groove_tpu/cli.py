@@ -182,12 +182,18 @@ def _process_file(input_filename: str, paths: Paths, args) -> None:
             print(f"  {name}: {seconds * 1000:.2f} ms")
     if not args.quiet:
         print(f"Performing to queue ({compiled.n_frames} frames) ", end="")
+    # --wav renders fetch device-quantized int16 (bitwise the host WAV
+    # spec; halves the tunnel fetch). --play needs the float samples.
+    render_fn = renderer.render
+    if args.wav and not args.play \
+            and hasattr(renderer, "render_quantized"):
+        render_fn = renderer.render_quantized
     t1 = time.perf_counter()
-    samples = renderer.render()  # includes compile on first call
+    samples = render_fn()  # includes compile on first call
     compile_and_render = time.perf_counter() - t1
     # steady-state render (program cached) for the honest perf number
     t2 = time.perf_counter()
-    samples = renderer.render()
+    samples = render_fn()
     render_s = time.perf_counter() - t2
     if not args.quiet:
         print(".")

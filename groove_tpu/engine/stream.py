@@ -71,6 +71,22 @@ def _copy_to_host_async(audio) -> None:
         pass
 
 
+_QUANTIZE_JIT = None
+
+
+def _quantize_device(audio):
+    """Device-side int16 WAV quantization as a SEPARATE program on the
+    step/scan output (fusing it into the render program lets XLA re-fuse
+    the tail and shift knife-edge samples by 1 ulp — the float path and
+    the quantized path must agree bitwise)."""
+    global _QUANTIZE_JIT
+    if _QUANTIZE_JIT is None:
+        from groove_tpu.io.wav import quantize_16bit_device
+
+        _QUANTIZE_JIT = jax.jit(quantize_16bit_device)
+    return _QUANTIZE_JIT(audio)
+
+
 class StreamingRenderer:
     """Segment-streamed render of one compiled song.
 
@@ -364,24 +380,14 @@ class StreamingRenderer:
 
     # ---- traced step -------------------------------------------------------
 
-    def _step_for(self, seg_len: int, quantize: bool = False):
-        key = (seg_len, quantize)
-        fn = self._steps.get(key)
+    def _step_for(self, seg_len: int):
+        fn = self._steps.get(seg_len)
         if fn is None:
-            if quantize:
-                from groove_tpu.io.wav import quantize_16bit_device
-
-                def fn(state, xs, inputs, n=seg_len):
-                    st, audio = self._step_impl(state, xs, inputs, n)
-                    return st, quantize_16bit_device(audio)
-
-                fn = jax.jit(fn)
-            else:
-                fn = jax.jit(
-                    lambda state, xs, inputs, n=seg_len:
-                    self._step_impl(state, xs, inputs, n)
-                )
-            self._steps[key] = fn
+            fn = jax.jit(
+                lambda state, xs, inputs, n=seg_len:
+                self._step_impl(state, xs, inputs, n)
+            )
+            self._steps[seg_len] = fn
         return fn
 
     def _param_seg(self, inputs, dev, name, default, t0, n, override=None):
@@ -804,8 +810,9 @@ class StreamingRenderer:
         for k in range(self.n_segs):
             t0 = k * self.S
             xs = jax.device_put(self._seg_xs(t0, self.S))
-            state, audio = self._step_for(self.S, quantize)(
-                state, xs, self.inputs)
+            state, audio = self._step_for(self.S)(state, xs, self.inputs)
+            if quantize:
+                audio = _quantize_device(audio)
             _copy_to_host_async(audio)
             pending.append(audio)
             if len(pending) > prefetch_segments:
@@ -813,26 +820,18 @@ class StreamingRenderer:
         while pending:
             yield fetch(pending.popleft())
 
-    def _scan_for(self, seg_len: int, k: int, quantize: bool = False):
-        """Jitted program rendering k consecutive segments via lax.scan.
-        quantize=True additionally converts the audio to int16 INSIDE the
-        program (io.wav.quantize_16bit_device — bitwise the host WAV
-        spec), halving the bytes fetched over the tunnel."""
-        key = (seg_len, k, quantize)
+    def _scan_for(self, seg_len: int, k: int):
+        """Jitted program rendering k consecutive segments via lax.scan."""
+        key = (seg_len, k)
         fn = getattr(self, "_scans", None)
         if fn is None:
             self._scans = {}
         fn = self._scans.get(key)
         if fn is None:
-            if quantize:
-                from groove_tpu.io.wav import quantize_16bit_device
             def run(st, xs_, inputs):
                 def body(state, xrow):
                     return self._step_impl(state, xrow, inputs, seg_len)
-                st, audio = jax.lax.scan(body, st, xs_)
-                if quantize:
-                    audio = quantize_16bit_device(audio)
-                return st, audio
+                return jax.lax.scan(body, st, xs_)
 
             fn = jax.jit(run)
             self._scans[key] = fn
@@ -866,8 +865,10 @@ class StreamingRenderer:
             rows = [self._seg_xs((b * k + j) * self.S, self.S)
                     for j in range(k)]
             xs = {key: np.stack([r[key] for r in rows]) for key in rows[0]}
-            state, audio = self._scan_for(self.S, k, quantize)(
+            state, audio = self._scan_for(self.S, k)(
                 state, jax.device_put(xs), self.inputs)
+            if quantize:
+                audio = _quantize_device(audio)
             _copy_to_host_async(audio)
             pending.append(audio)
             if len(pending) > prefetch_batches:

@@ -20,8 +20,21 @@ import numpy as np
 
 def write_wav_16bit_stereo(path, samples: np.ndarray, sample_rate: int) -> None:
     """samples: [n, 2] float; scaled by 32767, truncated toward zero,
-    saturated (Rust `as i16` semantics)."""
-    samples = np.asarray(samples, np.float64)
+    saturated (Rust `as i16` semantics). int16 input is written as-is
+    (already quantized on-device — quantize_16bit_device is bitwise this
+    spec)."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        scaled = samples.astype("<i2", copy=False)
+        if scaled.ndim == 1:
+            scaled = np.stack([scaled, scaled], axis=-1)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(int(sample_rate))
+            w.writeframes(scaled.tobytes())
+        return
+    samples = samples.astype(np.float64)
     if samples.ndim == 1:
         samples = np.stack([samples, samples], axis=-1)
     scaled = np.trunc(samples * 32767.0)

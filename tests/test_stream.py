@@ -152,6 +152,19 @@ def test_stream_quantized_equals_host_quantized_floats():
         assert np.array_equal(host, q)
 
 
+def test_oneshot_render_quantized_matches_host():
+    """Renderer.render_quantized (the CLI --wav fetch path) must equal
+    host quantization of the float render."""
+    c = _compiled("projects/demos/effects/delay.json")
+    r = Renderer(c)
+    f = r.render()
+    q = r.render_quantized()
+    host = np.clip(np.trunc(f.astype(np.float64) * 32767.0),
+                   -32768, 32767).astype(np.int16)
+    assert q.dtype == np.int16
+    assert np.array_equal(host, q)
+
+
 def test_stream_bounded_memory_path_yields_segments():
     c = _compiled("projects/demos/effects/drums-reverb.json")
     r = StreamingRenderer(c, segment_frames=16384)
