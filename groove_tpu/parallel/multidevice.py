@@ -125,3 +125,19 @@ class MultiDeviceRenderer:
         for p in partials:
             mix = mix + jax.device_put(p, d0)
         return np.asarray(mix)
+
+    def render_quantized(self) -> np.ndarray:
+        """int16 fetch of the mixed render (device-side quantization as a
+        separate program — see Renderer.render_quantized; bitwise the
+        host WAV spec). The CLI --wav --multidevice path uses it."""
+        if self.c.n_frames == 0:
+            return np.zeros((0, 2), np.int16)
+        partials = [r._fn(r.inputs) for _, _, r in self.assignments]
+        d0 = self.devices[0]
+        mix = jax.device_put(jnp.zeros((self.c.n_frames, 2), jnp.float32),
+                             d0)
+        for p in partials:
+            mix = mix + jax.device_put(p, d0)
+        from groove_tpu.io.wav import quantize_16bit_device
+
+        return np.asarray(jax.jit(quantize_16bit_device)(mix))

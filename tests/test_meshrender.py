@@ -41,6 +41,19 @@ def test_mesh_render_matches_single_device(rel):
     assert err < 2e-4 * peak, f"mesh render diverges: {err} vs peak {peak}"
 
 
+def test_mesh_render_quantized_matches_host():
+    """render_quantized (the CLI --wav fetch path) must equal host
+    quantization of the float mesh render."""
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/effects/delay.json"))
+    r = MeshRenderer(c)
+    f = r.render()
+    q = r.render_quantized()
+    host = np.clip(np.trunc(f.astype(np.float64) * 32767.0),
+                   -32768, 32767).astype(np.int16)
+    assert q.dtype == np.int16 and np.array_equal(host, q)
+
+
 def test_auto_iterations_converged():
     """The auto round count (from effect_memory_seconds) must already be
     converged: two extra rounds change nothing beyond float noise."""

@@ -125,6 +125,21 @@ def test_multidevice_render_matches_single(rel):
     assert float(np.abs(single - multi).max()) <= 1e-6 * peak
 
 
+def test_multidevice_render_quantized_matches_host():
+    """render_quantized (the CLI --wav fetch path) must equal host
+    quantization of the float multi-device render."""
+    from groove_tpu.parallel.multidevice import MultiDeviceRenderer
+
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/controllers/sidechain.json"))
+    r = MultiDeviceRenderer(c)
+    f = r.render()
+    q = r.render_quantized()
+    host = np.clip(np.trunc(f.astype(np.float64) * 32767.0),
+                   -32768, 32767).astype(np.int16)
+    assert q.dtype == np.int16 and np.array_equal(host, q)
+
+
 def test_cli_multidevice_render(tmp_path):
     """--multidevice renders through the component partitioner and writes
     the same WAV (1 LSB) as the single-device path."""
