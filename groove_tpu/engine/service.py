@@ -132,6 +132,17 @@ class EngineService:
         derive exposes the same names; compiler/params.py registry)."""
         self._q.put(Command("device-param", (uvid, name, value)))
 
+    def set_automation(self, uvid: str, name: str, values,
+                       note_value: str = "sixteenth"):
+        """Replace the (device, param) automation with a drawn curve:
+        N values become a ControlPath of N-1 slope steps on a
+        `note_value` grid plus a ControlTrip targeting the param (the
+        reference's trips, settings/src/controllers.rs + songs.rs:
+        251-306). Empty values clears the automation."""
+        self._q.put(Command("device-automation",
+                            (str(uvid), str(name),
+                             [float(v) for v in values], str(note_value))))
+
     def set_pattern_step(self, pattern_id: str, row: int, notes):
         """Replace one step row of a pattern's note grid
         (PatternSettings.notes: Vec<Vec<u8>>, settings/src/lib.rs:48-78).
@@ -334,6 +345,40 @@ class EngineService:
                     kind in ("signal-passthrough-controller", "calculator"):
                 song.patch_cables.append([uvid, "main-mixer"])
             self.on_event("device-added", uvid)
+        elif cmd.kind == "device-automation":
+            from groove_tpu.core.time import BeatValue
+            from groove_tpu.project.schema import (
+                ControlPathSettings,
+                ControlStepSettings,
+                ControlTargetSettings,
+                ControlTripSettings,
+            )
+            uvid, name, values, nv = cmd.arg
+            pid = f"auto-{uvid}-{name}"
+            tid = f"trip-{uvid}-{name}"
+            # REPLACE any trip on this target (editor semantics), then
+            # drop only the paths those trips orphaned
+            removed = [t for t in song.trips
+                       if t.id == tid or (t.target.id == uvid
+                                          and t.target.param == name)]
+            song.trips = [t for t in song.trips if t not in removed]
+            dead = {p for t in removed for p in t.path_ids}
+            live = {p for t in song.trips for p in t.path_ids}
+            song.paths = [p for p in song.paths
+                          if p.id != pid
+                          and (p.id not in dead or p.id in live)]
+            if values:
+                if len(values) == 1:
+                    steps = [ControlStepSettings("flat", values[0],
+                                                 values[0])]
+                else:
+                    steps = [ControlStepSettings("slope", a, b)
+                             for a, b in zip(values, values[1:])]
+                song.paths.append(ControlPathSettings(
+                    pid, BeatValue.from_name(nv), steps))
+                song.trips.append(ControlTripSettings(
+                    tid, ControlTargetSettings(uvid, name), [pid]))
+            self.on_event("automation-set", (uvid, name, len(values)))
         elif cmd.kind == "device-param":
             uvid, name, value = cmd.arg
             dev = next((d for d in song.devices if d.uvid == uvid), None)

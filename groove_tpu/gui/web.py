@@ -69,7 +69,8 @@ class WebGui:
                     except Exception:
                         cv = None
                 params.append({"uvid": uvid, "kind": kind, "name": p.name,
-                               "value": value, "cv": cv})
+                               "value": value, "cv": cv,
+                               "curve": self._curve_cv(uvid, p)})
             pat = m._sel_pattern()
             return {
                 "title": song.title if song else None,
@@ -90,6 +91,34 @@ class WebGui:
                 "events": [[k, str(d) if d is not None else ""]
                            for k, d in m.events[-10:]],
             }
+
+    def _curve_cv(self, uvid: str, p) -> list | None:
+        """ControlValue (0..1) samples of any trip targeting
+        (uvid, p.name) — the drawable automation lane's current shape.
+        Trip step values already ARE ControlValues (the compiler maps
+        them through to_domain), so no conversion here."""
+        song = self.model.song
+        if song is None:
+            return None
+        trip = next((t for t in song.trips
+                     if t.target.id == uvid and t.target.param == p.name),
+                    None)
+        if trip is None:
+            return None
+        paths = {pa.id: pa for pa in song.paths}
+        vals: list[float] = []
+        last = None
+        for pid in trip.path_ids:
+            pa = paths.get(pid)
+            if pa is None:
+                continue
+            for st in pa.steps:
+                vals.append(st.start)
+            last = pa
+        if vals and last is not None and last.steps \
+                and last.steps[-1].kind != "flat":
+            vals.append(last.steps[-1].end)
+        return [max(0.0, min(1.0, float(v))) for v in vals] or None
 
     def waveform(self, bins: int = 600) -> dict:
         """Per-bin |peak| of the rendered master (renders if needed)."""
@@ -160,6 +189,20 @@ class WebGui:
                 svc.set_device_param(
                     a["uvid"], a["name"],
                     p.to_domain(min(1.0, max(0.0, float(a["cv"])))))
+                svc.sync()
+            elif cmd == "set_automation":
+                # trip step values ARE ControlValues 0..1 (the compiler
+                # applies the registry's to_domain when it evaluates the
+                # curve, compiler/song.py) — pass the canvas samples
+                # through unconverted
+                p = next((p for p in param_mod.REGISTRY.get(a["kind"], [])
+                          if p.name == a["name"]), None)
+                if p is None:
+                    return {"ok": False, "error": "unknown param"}
+                vals = [min(1.0, max(0.0, float(v)))
+                        for v in a.get("cvs", [])]
+                svc.set_automation(a["uvid"], a["name"], vals,
+                                   a.get("note_value", "sixteenth"))
                 svc.sync()
             elif cmd == "pattern_step":
                 svc.set_pattern_step(a["id"], int(a["row"]),
@@ -341,6 +384,7 @@ function stepClick(ev,row){
  else notes=keys.length?[]:[60];
  cmd('pattern_step',{id:S.pattern.id,row:row,notes:notes});
 }
+let autoKey=null, autoVals=[];
 function renderParams(){
  $('params').innerHTML=S.params.map((p,i)=>
   `<div class="prow"><span class="nm">${p.uvid}.${p.name}</span>`+
@@ -350,8 +394,54 @@ function renderParams(){
   `cv:this.value})">`+
   `<span class="vv">${p.value==null?'(default)':
    (typeof p.value=='number'?p.value.toPrecision(4):p.value)}</span>`+
-  `</div>`).join('');
+  `<button class="${p.curve?'on':''}" title="automation" `+
+  `onclick="autoToggle(${i})">A</button></div>`+
+  (autoKey===i?autoLane():'')).join('');
+ if(autoKey!==null)bindLane();
 }
+function autoLane(){
+ return `<div><canvas id="acv" width="512" height="64" `+
+  `style="background:#14161a;border-radius:4px;cursor:crosshair">`+
+  `</canvas><div><button onclick="autoApply()">apply</button> `+
+  `<button onclick="autoClear()">clear</button>`+
+  `<span style="color:var(--dim)"> drag to draw — 32 sixteenth-note `+
+  `steps, bottom=min top=max</span></div></div>`;
+}
+function resampleCv(v,n){const out=[];for(let k=0;k<n;k++){
+ const x=v.length==1?0:(k*(v.length-1)/(n-1));const a=Math.floor(x);
+ const f=x-a;
+ out.push(v[a]*(1-f)+v[Math.min(a+1,v.length-1)]*f);}return out;}
+function autoToggle(i){
+ if(autoKey===i){autoKey=null;}
+ else{autoKey=i;const p=S.params[i];
+  autoVals=resampleCv(p.curve&&p.curve.length?p.curve:
+   [p.cv==null?0.5:p.cv],32);}
+ renderParams();
+}
+function drawLane(c){const g=c.getContext('2d');
+ g.fillStyle='#14161a';g.fillRect(0,0,c.width,c.height);
+ g.fillStyle='#e0a050';const bw=c.width/autoVals.length;
+ autoVals.forEach((v,k)=>{const h=v*(c.height-4)+2;
+  g.fillRect(k*bw+1,c.height-h,bw-2,h);});}
+function bindLane(){
+ const c=$('acv');if(!c)return;drawLane(c);
+ let down=false;
+ const paint=e=>{const r=c.getBoundingClientRect();
+  const n=autoVals.length;
+  const k=Math.max(0,Math.min(n-1,
+   Math.floor((e.clientX-r.left)/r.width*n)));
+  autoVals[k]=Math.max(0,Math.min(1,1-(e.clientY-r.top)/r.height));
+  drawLane(c);};
+ c.onmousedown=e=>{down=true;paint(e);};
+ c.onmousemove=e=>{if(down)paint(e);};
+ window.addEventListener('mouseup',()=>{down=false;});
+}
+async function autoApply(){const p=S.params[autoKey];
+ await cmd('set_automation',{uvid:p.uvid,kind:p.kind,name:p.name,
+  cvs:autoVals});}
+async function autoClear(){const p=S.params[autoKey];
+ await cmd('set_automation',{uvid:p.uvid,kind:p.kind,name:p.name,
+  cvs:[]});}
 async function drawWave(){
  const w=await (await fetch('/api/waveform')).json();
  const c=$('wave');c.width=c.clientWidth;c.height=c.clientHeight;

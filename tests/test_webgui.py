@@ -100,6 +100,48 @@ def test_track_and_device_crud(server):
     assert len(_get(base, "/api/state")["tracks"]) == 1
 
 
+def test_automation_curve_draw_apply_clear(server, tmp_path):
+    """The drag-to-draw automation lane: set_automation with ControlValue
+    samples creates a slope-step ControlTrip targeting the param (state
+    exposes the curve back), the automated render differs from the
+    static one, the curve survives save/reload, and clearing removes
+    the trip."""
+    base, gui = server
+    proj = str(REF / "projects/demos/effects/drums-filtered-24db.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    s = _get(base, "/api/state")
+    # the filter's cutoff param (registry-generated row)
+    p = next(q for q in s["params"] if q["name"] == "cutoff")
+    w0 = _get(base, "/api/waveform")["peaks"]
+    cvs = [0.1, 0.9, 0.1, 0.9, 0.1, 0.9, 0.1, 0.9]
+    assert _cmd(base, "set_automation", uvid=p["uvid"], kind=p["kind"],
+                name=p["name"], cvs=cvs)["ok"]
+    s2 = _get(base, "/api/state")
+    p2 = next(q for q in s2["params"]
+              if q["uvid"] == p["uvid"] and q["name"] == p["name"])
+    assert p2["curve"] is not None and len(p2["curve"]) == len(cvs)
+    assert p2["curve"][0] == pytest.approx(0.1, abs=0.02)
+    assert p2["curve"][1] == pytest.approx(0.9, abs=0.02)
+    w1 = _get(base, "/api/waveform")["peaks"]
+    assert w0 != w1, "drawn automation must change the audio"
+    # round-trips through save (project/save.py serializes paths+trips)
+    out = tmp_path / "autod.json"
+    assert _cmd(base, "save", path=str(out))["ok"]
+    gui.model.svc.sync()
+    assert _cmd(base, "open", path=str(out))["ok"]
+    s3 = _get(base, "/api/state")
+    p3 = next(q for q in s3["params"]
+              if q["uvid"] == p["uvid"] and q["name"] == p["name"])
+    assert p3["curve"] is not None and len(p3["curve"]) == len(cvs)
+    # clear removes the trip
+    assert _cmd(base, "set_automation", uvid=p["uvid"], kind=p["kind"],
+                name=p["name"], cvs=[])["ok"]
+    s4 = _get(base, "/api/state")
+    p4 = next(q for q in s4["params"]
+              if q["uvid"] == p["uvid"] and q["name"] == p["name"])
+    assert p4["curve"] is None
+
+
 def test_waveform_endpoint_renders_master(server):
     base, _ = server
     proj = str(REF / "projects/demos/effects/drums-filtered-24db.json")
