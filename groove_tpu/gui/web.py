@@ -120,21 +120,72 @@ class WebGui:
             vals.append(last.steps[-1].end)
         return [max(0.0, min(1.0, float(v))) for v in vals] or None
 
-    def waveform(self, bins: int = 600) -> dict:
-        """Per-bin |peak| of the rendered master (renders if needed)."""
+    def _audio(self, device: str | None):
+        """[n(, 2)] float audio of the master, or one instrument isolated
+        (the spectrum tool's --device path, utils/spectrum.py)."""
+        import numpy as np
+        svc = self.model.svc
+        svc.sync()
+        samples = svc._ensure_rendered()
+        if samples is None or not len(samples):
+            return None
+        if device is None:
+            return np.asarray(samples)
+        compiled = svc.compiled
+        dev = compiled.devices.get(device) if compiled else None
+        if dev is None or dev.role != "instrument":
+            raise ValueError(f"{device!r} is not an instrument")
+        r = svc.renderer
+        audio = r._render_instrument(r.inputs, dev, compiled.n_frames)
+        return np.asarray(audio).T  # [n, 2]
+
+    def waveform(self, bins: int = 600, device: str | None = None) -> dict:
+        """Per-bin |peak| of the rendered master — or of one instrument's
+        isolated output (the per-track waveform lane)."""
         import numpy as np
         with self.lock:
             svc = self.model.svc
-            svc.sync()
-            samples = svc._ensure_rendered()
-            if samples is None or not len(samples):
+            audio = self._audio(device)
+            if audio is None:
                 return {"peaks": [], "frames": 0, "rate": svc.sample_rate}
-            mono = np.abs(np.asarray(samples)).max(axis=1)
+            mono = np.abs(audio).max(axis=1)
             n = len(mono)
             edge = np.linspace(0, n, bins + 1).astype(int)
             peaks = [float(mono[a:b].max()) if b > a else 0.0
                      for a, b in zip(edge[:-1], edge[1:])]
             return {"peaks": peaks, "frames": n, "rate": svc.sample_rate}
+
+    def spectrum(self, cols: int = 240, device: str | None = None) -> dict:
+        """Log-frequency spectrum columns (max dBFS per log-spaced span,
+        like utils/spectrum.Spectrum.ascii — the browser draws the bars).
+        The reference carries a spectrum-analyzer dependency + plotters
+        `visualization` feature (Cargo.toml:38,42)."""
+        import math
+
+        import numpy as np
+
+        from groove_tpu.utils.spectrum import Spectrum, analyze
+        with self.lock:
+            svc = self.model.svc
+            audio = self._audio(device)
+            if audio is None:
+                return {"db": [], "f_lo": 20.0, "f_hi": 20000.0,
+                        "floor": Spectrum.FLOOR}
+            sp = analyze(audio.T, svc.sample_rate)
+            f_hi = svc.sample_rate / 2.0
+            f_lo = max(20.0, float(sp.freqs[1]))
+            edges = np.exp(np.linspace(math.log(f_lo), math.log(f_hi),
+                                       cols + 1))
+            out = np.full(cols, Spectrum.FLOOR)
+            for c in range(cols):
+                m = (sp.freqs >= edges[c]) & (sp.freqs < edges[c + 1])
+                if m.any():
+                    out[c] = np.max(sp.db[m])
+            for c in range(1, cols):
+                if out[c] == Spectrum.FLOOR:
+                    out[c] = out[c - 1]
+            return {"db": [float(v) for v in out], "f_lo": f_lo,
+                    "f_hi": f_hi, "floor": Spectrum.FLOOR}
 
     # -- commands -------------------------------------------------------
 
@@ -228,12 +279,19 @@ def make_server(gui: WebGui, port: int = 0) -> ThreadingHTTPServer:
 
         def do_GET(self):
             try:
-                if self.path in ("/", "/index.html"):
+                from urllib.parse import parse_qs, urlparse
+
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                device = (q.get("device") or [None])[0]
+                if u.path in ("/", "/index.html"):
                     self._send(200, PAGE, "text/html; charset=utf-8")
-                elif self.path == "/api/state":
+                elif u.path == "/api/state":
                     self._send(200, json.dumps(gui.state()))
-                elif self.path.startswith("/api/waveform"):
-                    self._send(200, json.dumps(gui.waveform()))
+                elif u.path == "/api/waveform":
+                    self._send(200, json.dumps(gui.waveform(device=device)))
+                elif u.path == "/api/spectrum":
+                    self._send(200, json.dumps(gui.spectrum(device=device)))
                 else:
                     self._send(404, '{"error": "not found"}')
             except Exception as e:
@@ -285,6 +343,8 @@ input[type=number]{width:72px;background:#14161a;color:var(--fg);
 border:1px solid var(--edge);border-radius:4px;padding:3px 6px}
 input[type=range]{width:160px;accent-color:var(--acc)}
 #wave{width:100%;height:64px;background:#14161a;border-radius:4px}
+#spec{width:100%;height:80px;background:#14161a;border-radius:4px;
+margin-top:4px}
 table{border-collapse:collapse}
 td.cell{width:26px;height:20px;border:1px solid var(--edge);
 text-align:center;font-size:11px;cursor:pointer;user-select:none}
@@ -314,7 +374,10 @@ white-space:nowrap;text-overflow:ellipsis}
  <h3 style="margin-top:10px">tracks</h3>
  <button id="ntrk" style="width:100%">+ track</button></div>
 <div id="mid">
- <div class="panel"><h3>master</h3><canvas id="wave"></canvas></div>
+ <div class="panel"><h3 style="cursor:pointer"
+  onclick="focusDev=null;drawWave()">master / focus
+  <span id="focus" style="color:var(--warm)"></span></h3>
+  <canvas id="wave"></canvas><canvas id="spec"></canvas></div>
  <div class="panel"><h3>tracks</h3><div id="tracks"></div>
   <div id="effects" class="dev"></div></div>
  <div class="panel"><h3>pattern</h3><div id="pattern"></div></div>
@@ -354,7 +417,10 @@ async function refresh(){
   `<button onclick="event.stopPropagation();`+
   `cmd('remove_track',{id:'${t.id}'})">del</button>`+
   t.devices.map(d=>{const u=d.split(' ')[0];
-   return `<div class="dev">${d} <span style="cursor:pointer;`+
+   return `<div class="dev">${d} <span title="waveform+spectrum" `+
+    `style="cursor:pointer;color:var(--acc)" `+
+    `onclick="event.stopPropagation();focusDev='${u}';drawWave()">`+
+    `~</span> <span style="cursor:pointer;`+
     `color:var(--warm)" onclick="event.stopPropagation();`+
     `cmd('remove_device',{uvid:'${u}'})">✕</span></div>`;}).join('')+
   `</div>`).join('');
@@ -442,17 +508,39 @@ async function autoApply(){const p=S.params[autoKey];
 async function autoClear(){const p=S.params[autoKey];
  await cmd('set_automation',{uvid:p.uvid,kind:p.kind,name:p.name,
   cvs:[]});}
+let focusDev=null;
 async function drawWave(){
- const w=await (await fetch('/api/waveform')).json();
+ const q=focusDev?('?device='+encodeURIComponent(focusDev)):'';
+ $('focus').textContent=focusDev?('— '+focusDev):'';
+ const w=await (await fetch('/api/waveform'+q)).json();
  const c=$('wave');c.width=c.clientWidth;c.height=c.clientHeight;
  const g=c.getContext('2d');g.fillStyle='#14161a';
  g.fillRect(0,0,c.width,c.height);
  g.fillStyle='#6aa1ff';
- const n=w.peaks.length;if(!n)return;
- const bw=c.width/n, mid=c.height/2;
- const mx=Math.max(1,...w.peaks);
- w.peaks.forEach((p,i)=>{const h=Math.max(1,(p/mx)*mid);
-  g.fillRect(i*bw,mid-h,Math.max(1,bw-0.5),2*h);});
+ const n=w.peaks.length;
+ if(n){
+  const bw=c.width/n, mid=c.height/2;
+  const mx=Math.max(1,...w.peaks);
+  w.peaks.forEach((p,i)=>{const h=Math.max(1,(p/mx)*mid);
+   g.fillRect(i*bw,mid-h,Math.max(1,bw-0.5),2*h);});
+ }
+ const s=await (await fetch('/api/spectrum'+q)).json();
+ drawSpec(s);
+}
+function drawSpec(s){
+ const c=$('spec');c.width=c.clientWidth;c.height=c.clientHeight;
+ const g=c.getContext('2d');g.fillStyle='#14161a';
+ g.fillRect(0,0,c.width,c.height);
+ const n=s.db.length;if(!n)return;
+ const bw=c.width/n, lo=-96, hi=6;
+ g.fillStyle='#7fc66a';
+ s.db.forEach((v,i)=>{const h=Math.max(0,(v-lo)/(hi-lo))*c.height;
+  g.fillRect(i*bw,c.height-h,Math.max(1,bw-0.4),h);});
+ g.fillStyle='#8a8f98';g.font='10px monospace';
+ [100,1000,10000].forEach(t=>{if(t>s.f_lo&&t<s.f_hi){
+  const x=(Math.log(t)-Math.log(s.f_lo))/
+   (Math.log(s.f_hi)-Math.log(s.f_lo))*c.width;
+  g.fillText(t>=1000?(t/1000+'k'):''+t,x,10);}});
 }
 $('play').onclick=()=>cmd('play');
 $('stop').onclick=()=>cmd('stop');

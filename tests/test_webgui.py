@@ -149,3 +149,29 @@ def test_waveform_endpoint_renders_master(server):
     w = _get(base, "/api/waveform")
     assert w["frames"] > 0 and len(w["peaks"]) > 0
     assert max(w["peaks"]) > 0.01, "master waveform should not be silent"
+
+
+def test_per_device_waveform_and_spectrum(server):
+    """The focus lane: ?device=UVID isolates one instrument's waveform
+    (utils/spectrum's --device path) and /api/spectrum returns log-
+    frequency dBFS columns for the canvas analyzer."""
+    base, gui = server
+    proj = str(REF / "projects/demos/effects/drums-filtered-24db.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    s = _get(base, "/api/spectrum")  # forces compile+render
+    compiled = gui.model.svc.compiled
+    uvid = next(u for u, d in compiled.devices.items()
+                if d.role == "instrument")
+    w = _get(base, f"/api/waveform?device={uvid}")
+    assert w["frames"] > 0 and max(w["peaks"]) > 0.01
+    assert len(s["db"]) > 0 and max(s["db"]) > -40.0
+    assert s["f_lo"] < 100 < 10000 < s["f_hi"] + 1
+    sd = _get(base, f"/api/spectrum?device={uvid}")
+    assert len(sd["db"]) > 0 and max(sd["db"]) > -40.0
+    # unknown device -> 500 with an error body (the toast path)
+    import urllib.error
+    try:
+        _get(base, "/api/spectrum?device=nope")
+        assert False, "expected HTTP 500"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
