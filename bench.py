@@ -104,8 +104,8 @@ def main():
         for i in range(5)
     )
     times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    for _ in range(6):  # tunnel throughput drifts minute-to-minute ~2x;
+        t0 = time.perf_counter()  # min-of-6 rides out the troughs
         float(many_fn(r.inputs))
         times.append(time.perf_counter() - t0)
     per_render = max(min(times) - rtt, 1e-9) / reps
