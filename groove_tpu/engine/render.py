@@ -800,10 +800,9 @@ class Renderer:
         delay demo)."""
         if self.c.n_frames == 0:
             return np.zeros((0, 2), np.int16)
-        from groove_tpu.io.wav import quantize_16bit_device
+        from groove_tpu.io.wav import quantize_16bit_jit
 
-        return np.asarray(
-            jax.jit(quantize_16bit_device)(self._fn(self.inputs)))
+        return np.asarray(quantize_16bit_jit(self._fn(self.inputs)))
 
     def render_device(self) -> jnp.ndarray:
         """Device-resident render (no host copy), for benchmarking."""

@@ -71,20 +71,13 @@ def _copy_to_host_async(audio) -> None:
         pass
 
 
-_QUANTIZE_JIT = None
-
-
 def _quantize_device(audio):
-    """Device-side int16 WAV quantization as a SEPARATE program on the
-    step/scan output (fusing it into the render program lets XLA re-fuse
-    the tail and shift knife-edge samples by 1 ulp — the float path and
-    the quantized path must agree bitwise)."""
-    global _QUANTIZE_JIT
-    if _QUANTIZE_JIT is None:
-        from groove_tpu.io.wav import quantize_16bit_device
+    """Device-side int16 WAV quantization as a separate program on the
+    step/scan output (io.wav.quantize_16bit_jit — see its docstring for
+    why it must NOT fuse into the render program)."""
+    from groove_tpu.io.wav import quantize_16bit_jit
 
-        _QUANTIZE_JIT = jax.jit(quantize_16bit_device)
-    return _QUANTIZE_JIT(audio)
+    return quantize_16bit_jit(audio)
 
 
 class StreamingRenderer:

@@ -156,14 +156,10 @@ class WebGui:
             return {"peaks": peaks, "frames": n, "rate": svc.sample_rate}
 
     def spectrum(self, cols: int = 240, device: str | None = None) -> dict:
-        """Log-frequency spectrum columns (max dBFS per log-spaced span,
-        like utils/spectrum.Spectrum.ascii — the browser draws the bars).
+        """Log-frequency spectrum columns (Spectrum.columns — the same
+        binning the terminal plot uses; the browser draws the bars).
         The reference carries a spectrum-analyzer dependency + plotters
         `visualization` feature (Cargo.toml:38,42)."""
-        import math
-
-        import numpy as np
-
         from groove_tpu.utils.spectrum import Spectrum, analyze
         with self.lock:
             svc = self.model.svc
@@ -172,18 +168,7 @@ class WebGui:
                 return {"db": [], "f_lo": 20.0, "f_hi": 20000.0,
                         "floor": Spectrum.FLOOR}
             sp = analyze(audio.T, svc.sample_rate)
-            f_hi = svc.sample_rate / 2.0
-            f_lo = max(20.0, float(sp.freqs[1]))
-            edges = np.exp(np.linspace(math.log(f_lo), math.log(f_hi),
-                                       cols + 1))
-            out = np.full(cols, Spectrum.FLOOR)
-            for c in range(cols):
-                m = (sp.freqs >= edges[c]) & (sp.freqs < edges[c + 1])
-                if m.any():
-                    out[c] = np.max(sp.db[m])
-            for c in range(1, cols):
-                if out[c] == Spectrum.FLOOR:
-                    out[c] = out[c - 1]
+            out, f_lo, f_hi = sp.columns(cols)
             return {"db": [float(v) for v in out], "f_lo": f_lo,
                     "f_hi": f_hi, "floor": Spectrum.FLOOR}
 
@@ -450,9 +435,14 @@ function stepClick(ev,row){
  else notes=keys.length?[]:[60];
  cmd('pattern_step',{id:S.pattern.id,row:row,notes:notes});
 }
-let autoKey=null, autoVals=[];
+let autoKey=null, autoVals=[], laneDown=false;
+window.addEventListener('mouseup',()=>{laneDown=false;});
+function pkey(p){return p.uvid+'|'+p.name;}
 function renderParams(){
- $('params').innerHTML=S.params.map((p,i)=>
+ // an open lane is an edit session: don't destroy its canvas (and the
+ // in-progress drag) on the periodic state refresh
+ if(autoKey!==null&&$('acv'))return;
+ $('params').innerHTML=S.params.map(p=>
   `<div class="prow"><span class="nm">${p.uvid}.${p.name}</span>`+
   `<input type="range" min="0" max="1" step="0.01" `+
   `value="${p.cv==null?0.5:p.cv}" onchange="cmd('set_param',`+
@@ -461,8 +451,8 @@ function renderParams(){
   `<span class="vv">${p.value==null?'(default)':
    (typeof p.value=='number'?p.value.toPrecision(4):p.value)}</span>`+
   `<button class="${p.curve?'on':''}" title="automation" `+
-  `onclick="autoToggle(${i})">A</button></div>`+
-  (autoKey===i?autoLane():'')).join('');
+  `onclick="autoToggle('${pkey(p)}')">A</button></div>`+
+  (autoKey===pkey(p)?autoLane():'')).join('');
  if(autoKey!==null)bindLane();
 }
 function autoLane(){
@@ -477,9 +467,10 @@ function resampleCv(v,n){const out=[];for(let k=0;k<n;k++){
  const x=v.length==1?0:(k*(v.length-1)/(n-1));const a=Math.floor(x);
  const f=x-a;
  out.push(v[a]*(1-f)+v[Math.min(a+1,v.length-1)]*f);}return out;}
-function autoToggle(i){
- if(autoKey===i){autoKey=null;}
- else{autoKey=i;const p=S.params[i];
+function autoParam(){return S.params.find(p=>pkey(p)===autoKey);}
+function autoToggle(k){
+ if(autoKey===k){autoKey=null;}
+ else{autoKey=k;const p=S.params.find(q=>pkey(q)===k);
   autoVals=resampleCv(p.curve&&p.curve.length?p.curve:
    [p.cv==null?0.5:p.cv],32);}
  renderParams();
@@ -491,21 +482,21 @@ function drawLane(c){const g=c.getContext('2d');
   g.fillRect(k*bw+1,c.height-h,bw-2,h);});}
 function bindLane(){
  const c=$('acv');if(!c)return;drawLane(c);
- let down=false;
  const paint=e=>{const r=c.getBoundingClientRect();
   const n=autoVals.length;
   const k=Math.max(0,Math.min(n-1,
    Math.floor((e.clientX-r.left)/r.width*n)));
   autoVals[k]=Math.max(0,Math.min(1,1-(e.clientY-r.top)/r.height));
   drawLane(c);};
- c.onmousedown=e=>{down=true;paint(e);};
- c.onmousemove=e=>{if(down)paint(e);};
- window.addEventListener('mouseup',()=>{down=false;});
+ c.onmousedown=e=>{laneDown=true;paint(e);};
+ c.onmousemove=e=>{if(laneDown)paint(e);};
 }
-async function autoApply(){const p=S.params[autoKey];
+async function autoApply(){const p=autoParam();if(!p)return;
+ autoKey=null;
  await cmd('set_automation',{uvid:p.uvid,kind:p.kind,name:p.name,
   cvs:autoVals});}
-async function autoClear(){const p=S.params[autoKey];
+async function autoClear(){const p=autoParam();if(!p)return;
+ autoKey=null;
  await cmd('set_automation',{uvid:p.uvid,kind:p.kind,name:p.name,
   cvs:[]});}
 let focusDev=null;

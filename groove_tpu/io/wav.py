@@ -62,8 +62,9 @@ def write_wav_16bit_stereo_stream(path, chunks, sample_rate: int) -> int:
             if c.dtype == np.int16:
                 # already quantized on-device (quantize_16bit_device,
                 # bitwise this writer's own spec)
-                scaled = c.astype("<i2", copy=False)
-                w.writeframes(scaled.tobytes())
+                if c.ndim == 1:
+                    c = np.stack([c, c], axis=-1)
+                w.writeframes(c.astype("<i2", copy=False).tobytes())
                 total += len(c)
                 continue
             c = c.astype(np.float64)
@@ -74,6 +75,23 @@ def write_wav_16bit_stereo_stream(path, chunks, sample_rate: int) -> int:
             w.writeframes(scaled.tobytes())
             total += len(c)
     return total
+
+
+_QUANTIZE_JIT = None
+
+
+def quantize_16bit_jit(audio):
+    """quantize_16bit_device as a cached SEPARATE jitted program applied
+    to a device array. The program boundary matters: fusing the quantizer
+    into a render program lets XLA re-fuse the render's tail and shift
+    knife-edge samples by 1 ulp (measured 12/496k) — the quantized fetch
+    must be bitwise the float path's."""
+    global _QUANTIZE_JIT
+    if _QUANTIZE_JIT is None:
+        import jax
+
+        _QUANTIZE_JIT = jax.jit(quantize_16bit_device)
+    return _QUANTIZE_JIT(audio)
 
 
 def quantize_16bit_device(x):

@@ -446,10 +446,14 @@ def render_notes_slice(
     see slice_state_init. fidelity: None | 'serial' | 'refine' (the host
     routing from filter_fidelity_mode).
 
-    Composition of the three stages the engine can also drive separately
-    to MERGE cascades across devices/buckets (engine/stream merged sliced
-    path: every slice shares the length S, so rows concatenate into ONE
-    kernel launch per fidelity group per segment)."""
+    Composition of three stages (pre / cascade_slices / finish_slice).
+    The split would let an engine merge same-length slices across
+    devices into one cascade launch per segment — evaluated and NOT
+    wired up: on-chip measurement showed sliced streaming loses to the
+    whole-window path at the default segment sizes regardless of launch
+    count (slice length >> note span renders mostly-masked rows; see
+    DECISIONS.md 'Sliced welsh on TPU'), so no engine caller needs the
+    stages separately today."""
     y, secs_b, ctx = render_notes_slice_pre(
         params, keys, vels, gate_frames, age0, S, sample_rate,
         t_full, tb_full, noise_seed=noise_seed, note_ids=note_ids)

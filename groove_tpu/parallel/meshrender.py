@@ -144,13 +144,12 @@ class MeshRenderer:
 
     def render_quantized(self) -> np.ndarray:
         """int16 fetch (device-side quantization as a separate program —
-        see Renderer.render_quantized; bitwise the host WAV spec)."""
+        see io.wav.quantize_16bit_jit; bitwise the host WAV spec)."""
         if self.c.n_frames == 0:
             return np.zeros((0, 2), np.int16)
         if self._fn is None:
             self._build()
         out = self._fn(self._xs, self._state_z, self.stream.inputs)
-        from groove_tpu.io.wav import quantize_16bit_device
+        from groove_tpu.io.wav import quantize_16bit_jit
 
-        return np.asarray(
-            jax.jit(quantize_16bit_device)(out))[: self.c.n_frames]
+        return np.asarray(quantize_16bit_jit(out))[: self.c.n_frames]

@@ -114,30 +114,28 @@ class MultiDeviceRenderer:
             r.inputs = jax.device_put(r.inputs, dev)
             self.assignments.append((comp, dev, r))
 
+    def _mix_device(self):
+        """Async dispatch on every device, then one gather-and-sum to a
+        device-0-resident [n, 2] mix."""
+        partials = [r._fn(r.inputs) for _, _, r in self.assignments]
+        d0 = self.devices[0]
+        mix = jax.device_put(jnp.zeros((self.c.n_frames, 2), jnp.float32),
+                             d0)
+        for p in partials:
+            mix = mix + jax.device_put(p, d0)
+        return mix
+
     def render(self) -> np.ndarray:
         if self.c.n_frames == 0:
             return np.zeros((0, 2), np.float32)
-        # async dispatch on every device, then one gather-and-sum
-        partials = [r._fn(r.inputs) for _, _, r in self.assignments]
-        d0 = self.devices[0]
-        mix = jax.device_put(jnp.zeros((self.c.n_frames, 2), jnp.float32),
-                             d0)
-        for p in partials:
-            mix = mix + jax.device_put(p, d0)
-        return np.asarray(mix)
+        return np.asarray(self._mix_device())
 
     def render_quantized(self) -> np.ndarray:
         """int16 fetch of the mixed render (device-side quantization as a
-        separate program — see Renderer.render_quantized; bitwise the
+        separate program — see io.wav.quantize_16bit_jit; bitwise the
         host WAV spec). The CLI --wav --multidevice path uses it."""
         if self.c.n_frames == 0:
             return np.zeros((0, 2), np.int16)
-        partials = [r._fn(r.inputs) for _, _, r in self.assignments]
-        d0 = self.devices[0]
-        mix = jax.device_put(jnp.zeros((self.c.n_frames, 2), jnp.float32),
-                             d0)
-        for p in partials:
-            mix = mix + jax.device_put(p, d0)
-        from groove_tpu.io.wav import quantize_16bit_device
+        from groove_tpu.io.wav import quantize_16bit_jit
 
-        return np.asarray(jax.jit(quantize_16bit_device)(mix))
+        return np.asarray(quantize_16bit_jit(self._mix_device()))

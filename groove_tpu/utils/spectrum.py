@@ -88,11 +88,12 @@ class Spectrum:
         p = np.sum(10.0 ** (self.db[m] / 10.0)) / 1.5
         return float(10.0 * np.log10(max(p, 1e-30)))
 
-    def ascii(self, width: int = 72, height: int = 16,
-              f_lo: float = 20.0, f_hi: float | None = None,
-              db_lo: float = -96.0, db_hi: float = 6.0) -> str:
-        """Log-frequency bar chart in terminal characters (the plotters
-        analog). Each column is the max of its log-spaced frequency span."""
+    def columns(self, width: int, f_lo: float = 20.0,
+                f_hi: float | None = None):
+        """Max dBFS per log-spaced frequency span — the shared binning
+        for the terminal plot (ascii) and the web GUI's canvas analyzer
+        (gui/web.spectrum). Empty columns carry the previous value
+        (narrow low-freq spans). Returns (cols [width], f_lo, f_hi)."""
         f_hi = f_hi or self.sample_rate / 2.0
         f_lo = max(f_lo, float(self.freqs[1]))
         edges = np.exp(np.linspace(math.log(f_lo), math.log(f_hi), width + 1))
@@ -101,10 +102,17 @@ class Spectrum:
             m = (self.freqs >= edges[c]) & (self.freqs < edges[c + 1])
             if m.any():
                 cols[c] = np.max(self.db[m])
-        # carry empty columns from the previous one (narrow low-freq spans)
         for c in range(1, width):
             if cols[c] == self.FLOOR:
                 cols[c] = cols[c - 1]
+        return cols, f_lo, f_hi
+
+    def ascii(self, width: int = 72, height: int = 16,
+              f_lo: float = 20.0, f_hi: float | None = None,
+              db_lo: float = -96.0, db_hi: float = 6.0) -> str:
+        """Log-frequency bar chart in terminal characters (the plotters
+        analog). Each column is the max of its log-spaced frequency span."""
+        cols, f_lo, f_hi = self.columns(width, f_lo, f_hi)
         rows = []
         span = db_hi - db_lo
         for r in range(height):

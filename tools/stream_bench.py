@@ -58,7 +58,8 @@ def main() -> None:
         t2 = time.perf_counter()
         out = r.render(batch_segments=args.batch, quantize=quant)
         t3 = time.perf_counter()
-        peak = float(abs(out).max()) / (32767.0 if quant else 1.0)
+        wide = out.astype("int32") if quant else out  # |int16 -32768| wraps
+        peak = float(abs(wide).max()) / (32767.0 if quant else 1.0)
         print(f"  {mode}: init {t1 - t0:.1f}s, first pass {t2 - t1:.1f}s, "
               f"steady {t3 - t2:.2f}s = {audio_s / (t3 - t2):.1f}x realtime "
               f"(peak {peak:.3f})", flush=True)
