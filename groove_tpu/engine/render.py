@@ -35,17 +35,18 @@ from groove_tpu.project.schema import warn
 BLOCK = SAMPLE_BUFFER_SIZE
 
 # Params the registry lists as controllable (compiler/params.py) but whose
-# render reading is static — changing them per-sample would change the
-# program's structure (comb feedback networks, voice counts). None are
-# automated anywhere in the reference corpus; a trip targeting one warns
-# instead of silently pinning the static value. (Delay time and the FM
-# ratio/depth/beta ARE automatable since round 3: per-block gather taps /
-# per-block FM coefficients with an integrated modulator phase.)
+# render reading is static — changing them would change the PROGRAM
+# STRUCTURE: chorus `voices` is the tap count (a Python loop bound), and
+# the toy effect's `my-value` has no DSP role at reference HEAD (the toy
+# is the negator test entity, util.rs:52-78). Neither is automated
+# anywhere in the corpus; a trip targeting one warns instead of silently
+# pinning the static value. Everything else IS automatable since round 3:
+# delay time / chorus delay-seconds (per-block gather taps), reverb
+# seconds (per-block comb feedback gains), FM ratio/depth/beta (per-block
+# coefficients, integrated modulator phase), oscillator frequency
+# (host-constant integrated phase).
 STATIC_ONLY_PARAMS = {
-    ("reverb", "seconds"),
     ("chorus", "voices"),
-    ("chorus", "delay-seconds"),
-    ("oscillator", "frequency"),
     ("toy", "my-value"),
 }
 
@@ -503,6 +504,17 @@ class Renderer:
             if isinstance(wf, dict):
                 pw = float(wf.get("pulse-width", 0.5))
                 wf = "pulse-width"
+            from groove_tpu.ops import oscillator as osc_ops
+            if "frequency" in dev.automation and str(wf) != "noise":
+                # automated frequency: host-constant integrated phase
+                phase = simple_model.oscillator_phase_automated(
+                    dev.automation["frequency"], n, sr
+                )
+                if wf == "pulse-width":
+                    mono = osc_ops.pulse_width(phase, pw)
+                else:
+                    mono = osc_ops.evaluate(str(wf), phase)
+                return jnp.stack([mono, mono])
             mono = simple_model.oscillator_instrument(
                 str(wf), float(dev.params.get("frequency", 440.0)), n, sr
             )
@@ -511,7 +523,6 @@ class Renderer:
                 # welsh.render_notes)
                 t = jnp.asarray(np.arange(n, dtype=np.float32)
                                 / np.float32(sr))
-                from groove_tpu.ops import oscillator as osc_ops
                 mono = osc_ops.pulse_width(
                     float(dev.params.get("frequency", 440.0)) * t, pw
                 )
@@ -667,15 +678,27 @@ class Renderer:
                 return delayfx.delay_automated(x, inputs[key], sr)
             return delayfx.delay(x, float(dev.params.get("delay", 0.0)), sr)
         if k == "chorus":
+            key = f"{dev.uvid}/auto/delay-seconds"
+            if key in inputs:
+                # automated total delay: per-block gather taps
+                return delayfx.chorus_automated(
+                    x, int(dev.params.get("voices", 1)), inputs[key], sr,
+                    wet_dry_mix=P("wet-dry-mix", 1.0),
+                )
             return delayfx.chorus(
                 x, int(dev.params.get("voices", 1)),
                 float(dev.params.get("delay-seconds", 0.0)), sr,
                 wet_dry_mix=P("wet-dry-mix", 1.0),
             )
         if k == "reverb":
-            # attenuation is a plain output gain: automated trips apply
-            # per-sample; `seconds` shapes the comb feedback and stays
-            # static (warned at compile, STATIC_ONLY_PARAMS)
+            # attenuation is a plain output gain (per-sample); `seconds`
+            # drives the comb feedback gains at block cadence when
+            # automated (delayfx.reverb_automated)
+            key = f"{dev.uvid}/auto/seconds"
+            if key in inputs:
+                return delayfx.reverb_automated(
+                    x, P("attenuation", 1.0), inputs[key], sr,
+                )
             return delayfx.reverb(
                 x, P("attenuation", 1.0),
                 float(dev.params.get("seconds", 0.0)), sr,

@@ -186,8 +186,19 @@ class StreamingRenderer:
                     pw = float(wf.get("pulse-width", 0.5))
                     wf = "pulse-width"
                 freq = float(dev.params.get("frequency", 440.0))
-                if wf == "pulse-width":
-                    from groove_tpu.ops import oscillator as osc_ops
+                from groove_tpu.ops import oscillator as osc_ops
+                if "frequency" in dev.automation and str(wf) != "noise":
+                    # automated frequency: the SAME host-constant phase
+                    # the whole-timeline path integrates, so slices are
+                    # bitwise equal to the one-shot render
+                    phase = simple_model.oscillator_phase_automated(
+                        dev.automation["frequency"], self.plan_frames,
+                        float(c.sample_rate))
+                    if wf == "pulse-width":
+                        mono = osc_ops.pulse_width(phase, pw)
+                    else:
+                        mono = osc_ops.evaluate(str(wf), phase)
+                elif wf == "pulse-width":
                     t = jnp.arange(self.plan_frames, dtype=jnp.float32)
                     mono = osc_ops.pulse_width(freq * t / c.sample_rate, pw)
                 else:
@@ -332,8 +343,14 @@ class StreamingRenderer:
                 if d > 0:
                     st[f"{u}/dl"] = z(2, d)
             elif k == "chorus":
-                d = int(round(
-                    float(dev.params.get("delay-seconds", 0.0)) * sr))
+                if "delay-seconds" in dev.automation:
+                    # automated delay: the carried tail covers the
+                    # curve's MAXIMUM length (host data)
+                    d = int(round(float(
+                        np.max(dev.automation["delay-seconds"])) * sr))
+                else:
+                    d = int(round(
+                        float(dev.params.get("delay-seconds", 0.0)) * sr))
                 if d > 0:
                     st[f"{u}/ch"] = z(2, d)
             elif k == "reverb":
@@ -584,17 +601,34 @@ class StreamingRenderer:
             if f"{u}/ch" not in state:
                 return x
             total_d = state[f"{u}/ch"].shape[-1]
-            y, h = sops.chorus_stream(
-                x, state[f"{u}/ch"], int(dev.params.get("voices", 1)),
-                total_d, P("wet-dry-mix", 1.0),
-            )
+            key = f"{u}/auto/delay-seconds"
+            if key in inputs:
+                d_b = jax.lax.dynamic_slice(
+                    inputs[key], (t0 // BLOCK,), (n // BLOCK,))
+                y, h = sops.chorus_stream_automated(
+                    x, state[f"{u}/ch"], int(dev.params.get("voices", 1)),
+                    d_b, sr, P("wet-dry-mix", 1.0),
+                )
+            else:
+                y, h = sops.chorus_stream(
+                    x, state[f"{u}/ch"], int(dev.params.get("voices", 1)),
+                    total_d, P("wet-dry-mix", 1.0),
+                )
             new_state[f"{u}/ch"] = h
             return y
         if k == "reverb":
-            y, new = sops.reverb_stream(
-                x, state, P("attenuation", 1.0),
-                float(dev.params.get("seconds", 0.0)), sr, u,
-            )
+            key = f"{u}/auto/seconds"
+            if key in inputs:
+                sec_b = jax.lax.dynamic_slice(
+                    inputs[key], (t0 // BLOCK,), (n // BLOCK,))
+                y, new = sops.reverb_stream_automated(
+                    x, state, P("attenuation", 1.0), sec_b, sr, u,
+                )
+            else:
+                y, new = sops.reverb_stream(
+                    x, state, P("attenuation", 1.0),
+                    float(dev.params.get("seconds", 0.0)), sr, u,
+                )
             new_state.update(new)
             return y
         if k == "toy":

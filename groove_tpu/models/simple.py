@@ -42,6 +42,30 @@ def oscillator_instrument(kind: str, frequency: float, n_frames: int,
     return osc_ops.evaluate(kind, phase)
 
 
+def oscillator_phase_automated(freq_b, n_frames: int, sample_rate: float,
+                               cblock: int = 64) -> jnp.ndarray:
+    """HOST-constant integrated phase for an automated-frequency demo
+    oscillator (formerly STATIC_ONLY): phase[j] = Σ_{i<j} f(i)/sr with f
+    held per 64-sample control block. Serial numpy f32 cumsum — a host
+    constant like oscillator_instrument's time base, so phases are
+    identical under jit and eager AND between the whole-timeline and
+    streamed engines (the stream slices this same array).
+    freq_b: block-rate Hz curve (host data, dev.automation)."""
+    f = np.asarray(freq_b, np.float32)
+    nb = -(-int(n_frames) // cblock)
+    if f.shape[0] < nb:
+        pad = np.full(nb - f.shape[0], f[-1] if f.size else 0.0,
+                      np.float32)
+        f = np.concatenate([f, pad])
+    f_up = np.repeat(f[:nb], cblock)[:n_frames]
+    step = (f_up / np.float32(sample_rate)).astype(np.float32)
+    ph = np.concatenate([
+        np.zeros(1, np.float32),
+        np.cumsum(step, dtype=np.float32)[:-1],
+    ])
+    return jnp.asarray(ph)
+
+
 def envelope_instrument(adsr_seconds, keys, vels, gate_frames, span: int,
                         sample_rate: float) -> jnp.ndarray:
     """Sine at note pitch shaped by the configured ADSR -> [n_notes, span]."""

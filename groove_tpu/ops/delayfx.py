@@ -27,8 +27,9 @@ All delay lengths are static per song, so shapes stay static under jit.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-from groove_tpu.ops.iir import one_pole
+from groove_tpu.ops.iir import one_pole, upsample_hold
 
 COMB_DELAYS_S = (0.0297, 0.0371, 0.0411, 0.0437)
 ALLPASS_DELAYS_S = (0.005, 0.0017)
@@ -100,6 +101,36 @@ def delay_automated(x, delay_seconds_b, sample_rate: float,
     return jnp.take(x, idx, axis=-1) * valid
 
 
+def comb_feedback_automated(x, delay_samples: int, g):
+    """y[n] = x[n-D] + g[n]*y[n-D] with a PER-SAMPLE feedback coefficient
+    (automated reverb RT60). Same block-space recurrence as comb_feedback —
+    the D lanes stay independent; each lane is a first-order time-varying
+    recurrence over blocks, so `one_pole`'s associative scan applies with
+    a[b, lane] = g at that absolute sample."""
+    d = delay_samples
+    g = jnp.broadcast_to(jnp.asarray(g, x.dtype), x.shape)
+    xb, n = _block_view(x, d)
+    gb, _ = _block_view(g, d)
+    x_shift = jnp.concatenate(
+        [jnp.zeros_like(xb[..., :1, :]), xb[..., :-1, :]], axis=-2
+    )
+    # move the block axis last so one_pole's per-element `a` lines up
+    yb = one_pole(jnp.moveaxis(x_shift, -2, -1), jnp.moveaxis(gb, -2, -1),
+                  1.0)
+    yb = jnp.moveaxis(yb, -1, -2)
+    return yb.reshape(x.shape[:-1] + (-1,))[..., :n]
+
+
+def reverb_comb_g(seconds, d: int, sample_rate: float):
+    """Comb feedback gain for RT60 `seconds` (scalar or array): −60 dB
+    after `seconds`, i.e. 0.001^(D/(RT60·sr)); exactly 0 where
+    seconds <= 0 (the static reverb's branch)."""
+    sec = jnp.asarray(seconds, jnp.float32)
+    g = jnp.exp(jnp.float32(np.log(0.001))
+                * (jnp.float32(d) / (sec * jnp.float32(sample_rate))))
+    return jnp.where(sec > 0.0, g, 0.0)
+
+
 def chorus(x, voices: int, delay_seconds: float, sample_rate: float,
            wet_dry_mix=1.0):
     """Multi-tap chorus. `wet-dry-mix` is a controllable param in the
@@ -112,6 +143,48 @@ def chorus(x, voices: int, delay_seconds: float, sample_rate: float,
         wet = wet + delay_signal(x, v * total_d // voices)
     wet = wet / voices
     return x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
+
+
+def chorus_automated(x, voices: int, delay_seconds_b, sample_rate: float,
+                     wet_dry_mix=1.0, cblock: int = 64):
+    """Automated chorus DELAY (`delay-seconds` trip): the total delay is a
+    block-rate curve held for 64 samples (cf. delay_automated) and each
+    tap is a gather y_v[n] = x[n - v*D(block(n))//voices]; out-of-range
+    taps read exact zeros, matching chorus's zero-pad history."""
+    voices = max(1, int(voices))
+    n = x.shape[-1]
+    d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
+                    * sample_rate).astype(jnp.int32)
+    d_up = upsample_hold(d_b, n, cblock)
+    base = jnp.arange(n, dtype=jnp.int32)
+    wet = jnp.zeros_like(x)
+    for v in range(voices):
+        idx = base - (v * d_up) // voices
+        valid = (idx >= 0).astype(x.dtype)
+        wet = wet + jnp.take(x, jnp.clip(idx, 0, n - 1), axis=-1) * valid
+    wet = wet / voices
+    return x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
+
+
+def reverb_automated(x, attenuation, seconds_b, sample_rate: float,
+                     cblock: int = 64):
+    """Automated reverb RT60 (`seconds` trip, formerly STATIC_ONLY): the
+    comb feedback gains follow the curve at the 64-sample control cadence
+    (the reference recomputes params per buffer, orchestrator.rs:631-708)
+    — y[n] = x[n-D] + g(n)·y[n-D] per comb, the same one multiply-add per
+    sample as the static topology, so the streamed variant
+    (ops/stream.reverb_stream_automated) stays segmentation-invariant."""
+    n = x.shape[-1]
+    sec_s = upsample_hold(jnp.asarray(seconds_b, jnp.float32), n, cblock)
+    combs = jnp.zeros_like(x)
+    for d_s in COMB_DELAYS_S:
+        d = max(1, int(round(d_s * sample_rate)))
+        g = reverb_comb_g(sec_s, d, sample_rate)
+        combs = combs + comb_feedback_automated(x, d, g)
+    y = combs
+    for d_s in ALLPASS_DELAYS_S:
+        y = allpass(y, max(1, int(round(d_s * sample_rate))))
+    return attenuation * y
 
 
 def reverb(x, attenuation: float, seconds: float, sample_rate: float):

@@ -195,6 +195,31 @@ def chorus_stream(x, hist, voices: int, total_delay: int, wet_dry_mix):
     return y, (z[..., -d:] if d else hist)
 
 
+def chorus_stream_automated(x, hist, voices: int, delay_seconds_b,
+                            sample_rate: float, wet_dry_mix,
+                            cblock: int = STREAM_BLOCK):
+    """chorus_stream with an automated total delay (cf.
+    delayfx.chorus_automated): hist covers the curve's MAXIMUM length and
+    every tap is a gather of concat(hist, x) — no arithmetic on carried
+    values, so segmentation is bit-invisible.
+    delay_seconds_b: this segment's block-rate curve [S/64]."""
+    voices = max(1, int(voices))
+    d = hist.shape[-1]
+    n = x.shape[-1]
+    z = jnp.concatenate([hist, x], axis=-1)
+    d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
+                    * sample_rate).astype(jnp.int32)
+    d_up = iir.upsample_hold(d_b, n, cblock)
+    base = jnp.arange(n, dtype=jnp.int32) + d
+    wet = jnp.zeros_like(x)
+    for v in range(voices):
+        dv = jnp.minimum((v * d_up) // voices, d)
+        wet = wet + jnp.take(z, base - dv, axis=-1)
+    wet = wet / voices
+    y = x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
+    return y, (z[..., -d:] if d else hist)
+
+
 # --------------------------------------------------------------------------
 # feedback comb / all-pass with carried delay-line tails
 #
@@ -242,6 +267,33 @@ def comb_feedback_stream(x, hist_x, hist_y, g):
     return y, _tail(hist_x, x), _tail(hist_y, y)
 
 
+def comb_feedback_stream_automated(x, hist_x, hist_y, g):
+    """comb_feedback_stream with a PER-SAMPLE feedback coefficient g
+    [..., n] (automated reverb RT60). Still one multiply-add per sample —
+    y[n] = x[n-D] + g[n]·y[n-D] — and g comes from the absolute-position
+    automation curve, so segmentation stays bit-invisible."""
+    d = hist_x.shape[-1]
+    g = jnp.broadcast_to(jnp.asarray(g, x.dtype), x.shape)
+    xc, n = _chunked(x, d)
+    gc, _ = _chunked(g, d)
+    nc = xc.shape[-2]
+    x_prev = jnp.concatenate(
+        [hist_x[..., None, :], xc[..., :-1, :]], axis=-2
+    )
+    x_prev = jnp.moveaxis(x_prev, -2, 0)  # [nc, ..., d]
+    gcs = jnp.moveaxis(gc, -2, 0)
+
+    def step(y_prev, inp):
+        xp, gch = inp
+        y = xp + gch * y_prev
+        return y, y
+
+    _, yc = jax.lax.scan(step, hist_y, (x_prev, gcs))
+    y = jnp.moveaxis(yc, 0, -2).reshape(
+        x.shape[:-1] + (nc * d,))[..., :n]
+    return y, _tail(hist_x, x), _tail(hist_y, y)
+
+
 def allpass_stream(x, hist_w, g: float):
     """Schroeder all-pass, one-multiply form (cf. delayfx.allpass):
     w[n] = x[n] + g*w[n-D]; y[n] = -g*x[n] + (1-g^2)*w[n-D].
@@ -277,6 +329,39 @@ def reverb_stream(x, state: dict, attenuation, seconds: float,
         hx = state[f"{prefix}/comb{i}/x"]
         hy = state[f"{prefix}/comb{i}/y"]
         y, hx2, hy2 = comb_feedback_stream(x, hx, hy, g)
+        new[f"{prefix}/comb{i}/x"] = hx2
+        new[f"{prefix}/comb{i}/y"] = hy2
+        combs = combs + y
+    y = combs
+    for i, d_s in enumerate(ALLPASS_DELAYS_S):
+        hw = state[f"{prefix}/ap{i}/w"]
+        y, hw2 = allpass_stream(y, hw, ALLPASS_G)
+        new[f"{prefix}/ap{i}/w"] = hw2
+    return attenuation * y, new
+
+
+def reverb_stream_automated(x, state: dict, attenuation, seconds_b,
+                            sample_rate: float, prefix: str,
+                            cblock: int = STREAM_BLOCK):
+    """reverb_stream with an automated `seconds` curve (cf.
+    delayfx.reverb_automated): comb gains follow the block-rate curve at
+    the 64-sample control cadence; the all-pass diffusers keep their
+    static g. seconds_b: this segment's block-rate curve [S/64]."""
+    from groove_tpu.ops.delayfx import (
+        ALLPASS_DELAYS_S, ALLPASS_G, COMB_DELAYS_S, reverb_comb_g,
+    )
+
+    n = x.shape[-1]
+    sec_s = iir.upsample_hold(
+        jnp.asarray(seconds_b, jnp.float32), n, cblock)
+    new = {}
+    combs = jnp.zeros_like(x)
+    for i, d_s in enumerate(COMB_DELAYS_S):
+        d = max(1, int(round(d_s * sample_rate)))
+        g = reverb_comb_g(sec_s, d, sample_rate)
+        hx = state[f"{prefix}/comb{i}/x"]
+        hy = state[f"{prefix}/comb{i}/y"]
+        y, hx2, hy2 = comb_feedback_stream_automated(x, hx, hy, g)
         new[f"{prefix}/comb{i}/x"] = hx2
         new[f"{prefix}/comb{i}/y"] = hy2
         combs = combs + y

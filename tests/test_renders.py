@@ -331,8 +331,10 @@ def test_reverb_attenuation_automation_applies():
 
 
 def test_static_only_automation_warns(capsys):
-    """A trip targeting a structurally-static param (reverb `seconds`)
-    warns instead of silently pinning the static value."""
+    """A trip targeting a structurally-static param (chorus `voices`, the
+    tap COUNT — a Python loop bound) warns instead of silently pinning the
+    static value. reverb `seconds` / chorus `delay-seconds` / oscillator
+    `frequency` are automatable since round 3 (test_param_automation)."""
     import json
 
     song = SongSettings.from_json5_str(json.dumps({
@@ -340,17 +342,17 @@ def test_static_only_automation_warns(capsys):
         "devices": [
             {"instrument": ["i1", {"oscillator": {"waveform": "sine",
                                                   "frequency": 220.0}}]},
-            {"effect": ["rv", {"reverb": {"attenuation": 1.0,
-                                          "seconds": 0.5}}]},
+            {"effect": ["ch", {"chorus": {"voices": 3,
+                                          "delay-seconds": 0.01}}]},
         ],
-        "patch-cables": [["i1", "rv", "main-mixer"]],
+        "patch-cables": [["i1", "ch", "main-mixer"]],
         "patterns": [{"id": "p", "notes": [[60]]}],
         "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
         "paths": [{"id": "up", "note-value": "whole",
                    "steps": [{"slope": {"start": 0.1, "end": 1.0}}]}],
-        "trips": [{"id": "tr", "target": {"id": "rv", "param": "seconds"},
+        "trips": [{"id": "tr", "target": {"id": "ch", "param": "voices"},
                    "paths": ["up"]}],
     }))
     Renderer(compile_song(song))
     err = capsys.readouterr().err + capsys.readouterr().out
-    assert "reverb.seconds" in err
+    assert "chorus.voices" in err
