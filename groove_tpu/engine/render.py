@@ -35,18 +35,17 @@ from groove_tpu.project.schema import warn
 BLOCK = SAMPLE_BUFFER_SIZE
 
 # Params the registry lists as controllable (compiler/params.py) but whose
-# render reading is static — changing them would change the PROGRAM
-# STRUCTURE: chorus `voices` is the tap count (a Python loop bound), and
-# the toy effect's `my-value` has no DSP role at reference HEAD (the toy
-# is the negator test entity, util.rs:52-78). Neither is automated
-# anywhere in the corpus; a trip targeting one warns instead of silently
-# pinning the static value. Everything else IS automatable since round 3:
-# delay time / chorus delay-seconds (per-block gather taps), reverb
-# seconds (per-block comb feedback gains), FM ratio/depth/beta (per-block
-# coefficients, integrated modulator phase), oscillator frequency
-# (host-constant integrated phase).
+# render reading is static. After round 3 only ONE remains: the toy
+# effect's `my-value` has no DSP role at reference HEAD (the toy is the
+# negator test entity, util.rs:52-78), so there is nothing for a curve to
+# drive; a trip targeting it warns instead of silently pinning the static
+# value. Everything else IS automatable: delay time / chorus
+# delay-seconds (per-block gather taps), chorus voices (tap loop bound =
+# the curve's host maximum, per-block masking), reverb seconds (per-block
+# comb feedback gains), FM ratio/depth/beta (per-block coefficients,
+# integrated modulator phase), oscillator frequency (host-constant
+# integrated phase).
 STATIC_ONLY_PARAMS = {
-    ("chorus", "voices"),
     ("toy", "my-value"),
 }
 
@@ -678,12 +677,21 @@ class Renderer:
                 return delayfx.delay_automated(x, inputs[key], sr)
             return delayfx.delay(x, float(dev.params.get("delay", 0.0)), sr)
         if k == "chorus":
-            key = f"{dev.uvid}/auto/delay-seconds"
-            if key in inputs:
-                # automated total delay: per-block gather taps
+            dkey = f"{dev.uvid}/auto/delay-seconds"
+            vkey = f"{dev.uvid}/auto/voices"
+            if dkey in inputs or vkey in inputs:
+                # automated total delay and/or tap count: per-block
+                # gather taps; the tap loop bound is the voices curve's
+                # HOST maximum (delayfx.chorus_automated)
+                maxv = (int(max(1, round(float(
+                    np.max(dev.automation["voices"])))))
+                    if vkey in inputs else None)
                 return delayfx.chorus_automated(
-                    x, int(dev.params.get("voices", 1)), inputs[key], sr,
-                    wet_dry_mix=P("wet-dry-mix", 1.0),
+                    x, int(dev.params.get("voices", 1)),
+                    inputs[dkey] if dkey in inputs
+                    else float(dev.params.get("delay-seconds", 0.0)),
+                    sr, wet_dry_mix=P("wet-dry-mix", 1.0),
+                    voices_b=inputs.get(vkey), max_voices=maxv,
                 )
             return delayfx.chorus(
                 x, int(dev.params.get("voices", 1)),

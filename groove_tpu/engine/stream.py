@@ -601,13 +601,21 @@ class StreamingRenderer:
             if f"{u}/ch" not in state:
                 return x
             total_d = state[f"{u}/ch"].shape[-1]
-            key = f"{u}/auto/delay-seconds"
-            if key in inputs:
-                d_b = jax.lax.dynamic_slice(
+            dkey = f"{u}/auto/delay-seconds"
+            vkey = f"{u}/auto/voices"
+            if dkey in inputs or vkey in inputs:
+                seg = lambda key: jax.lax.dynamic_slice(  # noqa: E731
                     inputs[key], (t0 // BLOCK,), (n // BLOCK,))
+                maxv = (int(max(1, round(float(
+                    np.max(dev.automation["voices"])))))
+                    if vkey in inputs else None)
                 y, h = sops.chorus_stream_automated(
                     x, state[f"{u}/ch"], int(dev.params.get("voices", 1)),
-                    d_b, sr, P("wet-dry-mix", 1.0),
+                    seg(dkey) if dkey in inputs
+                    else float(dev.params.get("delay-seconds", 0.0)),
+                    sr, P("wet-dry-mix", 1.0),
+                    voices_b=seg(vkey) if vkey in inputs else None,
+                    max_voices=maxv,
                 )
             else:
                 y, h = sops.chorus_stream(

@@ -145,24 +145,49 @@ def chorus(x, voices: int, delay_seconds: float, sample_rate: float,
     return x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
 
 
-def chorus_automated(x, voices: int, delay_seconds_b, sample_rate: float,
-                     wet_dry_mix=1.0, cblock: int = 64):
-    """Automated chorus DELAY (`delay-seconds` trip): the total delay is a
-    block-rate curve held for 64 samples (cf. delay_automated) and each
-    tap is a gather y_v[n] = x[n - v*D(block(n))//voices]; out-of-range
-    taps read exact zeros, matching chorus's zero-pad history."""
-    voices = max(1, int(voices))
+def chorus_voice_counts(voices_b, max_voices: int):
+    """Block-rate `voices` curve -> clamped int tap counts [..., nb].
+    max_voices is the HOST-side curve maximum (automation curves are
+    compile-time data), which bounds the tap loop."""
+    return jnp.clip(
+        jnp.round(jnp.asarray(voices_b, jnp.float32)).astype(jnp.int32),
+        1, max_voices,
+    )
+
+
+def chorus_automated(x, voices, delay_seconds_b, sample_rate: float,
+                     wet_dry_mix=1.0, cblock: int = 64,
+                     voices_b=None, max_voices: int | None = None):
+    """Automated chorus (`delay-seconds` and/or `voices` trips): the
+    total delay D and the tap count V are block-rate curves held for 64
+    samples (cf. delay_automated) and each tap is a gather
+    y_v[n] = x[n - v*D(block(n))//V(block(n))] masked by v < V; the sum
+    scales by 1/V(n). `voices` may be automated even though it is a
+    Python loop bound: the loop runs to the CURVE MAXIMUM (host data)
+    and inactive taps mask to zero. Out-of-range taps read exact zeros,
+    matching chorus's zero-pad history.
+    delay_seconds_b may be a scalar (static delay, automated voices)."""
     n = x.shape[-1]
     d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
                     * sample_rate).astype(jnp.int32)
-    d_up = upsample_hold(d_b, n, cblock)
+    if jnp.ndim(d_b) == 0:
+        d_up = jnp.full((n,), d_b, jnp.int32)
+    else:
+        d_up = upsample_hold(d_b, n, cblock)
+    if voices_b is not None:
+        v_up = upsample_hold(
+            chorus_voice_counts(voices_b, int(max_voices)), n, cblock)
+        n_taps = int(max_voices)
+    else:
+        v_up = jnp.full((n,), max(1, int(voices)), jnp.int32)
+        n_taps = max(1, int(voices))
     base = jnp.arange(n, dtype=jnp.int32)
     wet = jnp.zeros_like(x)
-    for v in range(voices):
-        idx = base - (v * d_up) // voices
-        valid = (idx >= 0).astype(x.dtype)
+    for v in range(n_taps):
+        idx = base - (v * d_up) // v_up
+        valid = ((idx >= 0) & (v < v_up)).astype(x.dtype)
         wet = wet + jnp.take(x, jnp.clip(idx, 0, n - 1), axis=-1) * valid
-    wet = wet / voices
+    wet = wet / v_up.astype(x.dtype)
     return x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
 
 

@@ -195,27 +195,42 @@ def chorus_stream(x, hist, voices: int, total_delay: int, wet_dry_mix):
     return y, (z[..., -d:] if d else hist)
 
 
-def chorus_stream_automated(x, hist, voices: int, delay_seconds_b,
+def chorus_stream_automated(x, hist, voices, delay_seconds_b,
                             sample_rate: float, wet_dry_mix,
-                            cblock: int = STREAM_BLOCK):
-    """chorus_stream with an automated total delay (cf.
-    delayfx.chorus_automated): hist covers the curve's MAXIMUM length and
-    every tap is a gather of concat(hist, x) — no arithmetic on carried
-    values, so segmentation is bit-invisible.
-    delay_seconds_b: this segment's block-rate curve [S/64]."""
-    voices = max(1, int(voices))
+                            cblock: int = STREAM_BLOCK,
+                            voices_b=None, max_voices=None):
+    """chorus_stream with an automated total delay and/or tap count (cf.
+    delayfx.chorus_automated): hist covers the delay curve's MAXIMUM
+    length and every tap is a gather of concat(hist, x) masked by
+    v < V(n) — no arithmetic on carried values, so segmentation is
+    bit-invisible. delay_seconds_b / voices_b: this segment's block-rate
+    curves [S/64] (delay_seconds_b may be a scalar when only `voices`
+    is automated)."""
+    from groove_tpu.ops.delayfx import chorus_voice_counts
+
     d = hist.shape[-1]
     n = x.shape[-1]
     z = jnp.concatenate([hist, x], axis=-1)
     d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
                     * sample_rate).astype(jnp.int32)
-    d_up = iir.upsample_hold(d_b, n, cblock)
+    if jnp.ndim(d_b) == 0:
+        d_up = jnp.full((n,), d_b, jnp.int32)
+    else:
+        d_up = iir.upsample_hold(d_b, n, cblock)
+    if voices_b is not None:
+        v_up = iir.upsample_hold(
+            chorus_voice_counts(voices_b, int(max_voices)), n, cblock)
+        n_taps = int(max_voices)
+    else:
+        v_up = jnp.full((n,), max(1, int(voices)), jnp.int32)
+        n_taps = max(1, int(voices))
     base = jnp.arange(n, dtype=jnp.int32) + d
     wet = jnp.zeros_like(x)
-    for v in range(voices):
-        dv = jnp.minimum((v * d_up) // voices, d)
-        wet = wet + jnp.take(z, base - dv, axis=-1)
-    wet = wet / voices
+    for v in range(n_taps):
+        dv = jnp.minimum((v * d_up) // v_up, d)
+        active = (v < v_up).astype(x.dtype)
+        wet = wet + jnp.take(z, base - dv, axis=-1) * active
+    wet = wet / v_up.astype(x.dtype)
     y = x * (1.0 - wet_dry_mix) + wet * wet_dry_mix
     return y, (z[..., -d:] if d else hist)
 

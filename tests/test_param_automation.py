@@ -5,9 +5,10 @@ reverb `seconds` (per-block comb feedback gains), chorus `delay-seconds`
 whole-timeline Renderer (a constant trip matches the static param; a
 moving trip changes the render the way the physics says) and a streamed
 segmentation-invariance test (one segment == many segments BITWISE, the
-ops/stream contract). Only ("chorus","voices") and ("toy","my-value")
-remain static-only — both structural, documented at
-engine/render.STATIC_ONLY_PARAMS."""
+ops/stream contract). Chorus `voices` automates too (the tap loop bound
+is the curve's host maximum with per-block masking); only
+("toy","my-value") remains static-only — the toy is the negator test
+double with no DSP use of the value (engine/render.STATIC_ONLY_PARAMS)."""
 
 import json
 
@@ -134,6 +135,40 @@ def test_chorus_delay_automation_streams_bitwise():
     assert float(np.abs(whole - streamed).max()) < 1e-5 * peak
 
 
+def test_chorus_voices_constant_trip_matches_static():
+    """`voices` is a Python loop bound, but the curve is HOST data: the
+    loop runs to the curve max with per-block masking, so a constant
+    trip at 3 equals static voices=3 exactly."""
+    static = _song("chorus", {"voices": 3, "delay-seconds": 0.02})
+    auto = _song("chorus", {"voices": 1, "delay-seconds": 0.02},
+                 **_trip("voices", 3.0, 3.0))
+    a, b = _render(static), _render(auto)
+    assert float(np.abs(a).max()) > 0.05
+    # same gathered taps; the 1/voices scale is a scalar reciprocal
+    # multiply in the static path vs an array divide here (1 ulp)
+    assert float(np.abs(a - b).max()) < 1e-6 + 1e-6 * float(np.abs(a).max())
+
+
+def test_chorus_voices_ramp_changes_render():
+    static = _song("chorus", {"voices": 1, "delay-seconds": 0.02})
+    auto = _song("chorus", {"voices": 1, "delay-seconds": 0.02},
+                 **_trip("voices", 1.0, 4.0))
+    a, b = _render(static), _render(auto)
+    n = a.shape[0]
+    # the trip starts at 1 voice: early samples identical (tap 0 = dry)
+    assert np.array_equal(a[: n // 16], b[: n // 16])
+    assert not np.allclose(a, b, atol=1e-4)
+
+
+def test_chorus_voices_automation_streams_bitwise():
+    c = _song("chorus", {"voices": 1, "delay-seconds": 0.02},
+              **_trip("voices", 1.0, 4.0))
+    streamed = _stream_bitwise(c)
+    whole = _render(c)
+    peak = max(1.0, float(np.abs(whole).max()))
+    assert float(np.abs(whole - streamed).max()) < 1e-5 * peak
+
+
 # ---- oscillator frequency --------------------------------------------------
 
 
@@ -177,5 +212,4 @@ def test_oscillator_frequency_automation_streams_bitwise():
 
 
 def test_static_only_set_is_exactly_the_structural_params():
-    assert STATIC_ONLY_PARAMS == {("chorus", "voices"),
-                                  ("toy", "my-value")}
+    assert STATIC_ONLY_PARAMS == {("toy", "my-value")}

@@ -331,10 +331,10 @@ def test_reverb_attenuation_automation_applies():
 
 
 def test_static_only_automation_warns(capsys):
-    """A trip targeting a structurally-static param (chorus `voices`, the
-    tap COUNT — a Python loop bound) warns instead of silently pinning the
-    static value. reverb `seconds` / chorus `delay-seconds` / oscillator
-    `frequency` are automatable since round 3 (test_param_automation)."""
+    """A trip targeting the one remaining static-only param (the toy test
+    double's `my-value`, which has no DSP role at reference HEAD) warns
+    instead of silently pinning the static value. Every real param is
+    automatable since round 3 (test_param_automation)."""
     import json
 
     song = SongSettings.from_json5_str(json.dumps({
@@ -342,17 +342,16 @@ def test_static_only_automation_warns(capsys):
         "devices": [
             {"instrument": ["i1", {"oscillator": {"waveform": "sine",
                                                   "frequency": 220.0}}]},
-            {"effect": ["ch", {"chorus": {"voices": 3,
-                                          "delay-seconds": 0.01}}]},
+            {"effect": ["fx", {"toy": {"my-value": 0.5}}]},
         ],
-        "patch-cables": [["i1", "ch", "main-mixer"]],
+        "patch-cables": [["i1", "fx", "main-mixer"]],
         "patterns": [{"id": "p", "notes": [[60]]}],
         "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
         "paths": [{"id": "up", "note-value": "whole",
                    "steps": [{"slope": {"start": 0.1, "end": 1.0}}]}],
-        "trips": [{"id": "tr", "target": {"id": "ch", "param": "voices"},
+        "trips": [{"id": "tr", "target": {"id": "fx", "param": "my-value"},
                    "paths": ["up"]}],
     }))
     Renderer(compile_song(song))
     err = capsys.readouterr().err + capsys.readouterr().out
-    assert "chorus.voices" in err
+    assert "toy.my-value" in err
