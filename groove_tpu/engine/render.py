@@ -49,12 +49,24 @@ STATIC_ONLY_PARAMS = {
     ("toy", "my-value"),
 }
 
+# A sidechain (signal-passthrough) value is a raw ControlValue — the
+# source's block-boundary amplitude — with NO compile-time maximum, so
+# delay-type seconds it drives clamp to this bound; the streamed engine
+# sizes its carried input tails for it host-side. Trip curves are host
+# data and keep their exact maxima.
+SIDECHAIN_SECONDS_MAX = 1.0
+
 
 def warn_static_only(dev) -> None:
     for pname in dev.automation:
         if (dev.kind, pname) in STATIC_ONLY_PARAMS:
             warn(f"automation of {dev.kind}.{pname} ({dev.uvid}) is not "
                  f"supported; the static value applies")
+    if dev.kind == "oscillator" and "frequency" in dev.automation:
+        wf = dev.params.get("waveform", "sine")
+        if str(wf) == "noise":
+            warn(f"automation of oscillator.frequency ({dev.uvid}) has no "
+                 f"effect on the noise waveform; the trip is ignored")
 
 
 def _upsample_block(curve, n: int):
@@ -193,6 +205,11 @@ class Renderer:
                     self._collect_instrument(dev)
             warn_static_only(dev)
             for pname, curve in dev.automation.items():
+                if dev.kind == "oscillator" and pname == "frequency":
+                    # consumed host-side (the integrated-phase constant
+                    # in _render_instrument; a no-op for noise) — never
+                    # read by the traced program, so don't ship it
+                    continue
                 self.inputs[f"{dev.uvid}/auto/{pname}"] = curve
         self._collect_welsh_merged(welsh_devs)
 
@@ -670,6 +687,14 @@ class Renderer:
                 return dynamics.compressor(x, thr, ratio)
             return dynamics.compressor_smoothed(x, thr, ratio, att, rel, sr)
         if k == "delay":
+            # a sidechain override is a 64-sample hold, so [::BLOCK]
+            # recovers its block-rate curve (cf. the filter PB below);
+            # it wins over a trip curve like every other param
+            ov = overrides.get((dev.uvid, "delay"))
+            if ov is not None:
+                return delayfx.delay_automated(
+                    x, jnp.clip(ov[::BLOCK], 0.0, SIDECHAIN_SECONDS_MAX),
+                    sr)
             key = f"{dev.uvid}/auto/delay"
             if key in inputs:
                 # automated delay TIME: per-block gather taps
@@ -679,19 +704,34 @@ class Renderer:
         if k == "chorus":
             dkey = f"{dev.uvid}/auto/delay-seconds"
             vkey = f"{dev.uvid}/auto/voices"
-            if dkey in inputs or vkey in inputs:
+            ov_d = overrides.get((dev.uvid, "delay-seconds"))
+            ov_v = overrides.get((dev.uvid, "voices"))
+            if ov_d is not None or ov_v is not None \
+                    or dkey in inputs or vkey in inputs:
                 # automated total delay and/or tap count: per-block
                 # gather taps; the tap loop bound is the voices curve's
-                # HOST maximum (delayfx.chorus_automated)
-                maxv = (int(max(1, round(float(
-                    np.max(dev.automation["voices"])))))
-                    if vkey in inputs else None)
+                # HOST maximum for a trip, the configured static count
+                # for a sidechain (its value has no host maximum)
+                if ov_v is not None:
+                    voices_b = ov_v[::BLOCK]
+                    maxv = max(1, int(dev.params.get("voices", 1)))
+                elif vkey in inputs:
+                    voices_b = inputs[vkey]
+                    maxv = delayfx.chorus_curve_max_voices(
+                        dev.automation["voices"])
+                else:
+                    voices_b, maxv = None, None
+                if ov_d is not None:
+                    delay_b = jnp.clip(
+                        ov_d[::BLOCK], 0.0, SIDECHAIN_SECONDS_MAX)
+                elif dkey in inputs:
+                    delay_b = inputs[dkey]
+                else:
+                    delay_b = float(dev.params.get("delay-seconds", 0.0))
                 return delayfx.chorus_automated(
-                    x, int(dev.params.get("voices", 1)),
-                    inputs[dkey] if dkey in inputs
-                    else float(dev.params.get("delay-seconds", 0.0)),
+                    x, int(dev.params.get("voices", 1)), delay_b,
                     sr, wet_dry_mix=P("wet-dry-mix", 1.0),
-                    voices_b=inputs.get(vkey), max_voices=maxv,
+                    voices_b=voices_b, max_voices=maxv,
                 )
             return delayfx.chorus(
                 x, int(dev.params.get("voices", 1)),
@@ -701,7 +741,12 @@ class Renderer:
         if k == "reverb":
             # attenuation is a plain output gain (per-sample); `seconds`
             # drives the comb feedback gains at block cadence when
-            # automated (delayfx.reverb_automated)
+            # automated (delayfx.reverb_automated) or sidechain-driven
+            ov = overrides.get((dev.uvid, "seconds"))
+            if ov is not None:
+                return delayfx.reverb_automated(
+                    x, P("attenuation", 1.0), ov[::BLOCK], sr,
+                )
             key = f"{dev.uvid}/auto/seconds"
             if key in inputs:
                 return delayfx.reverb_automated(

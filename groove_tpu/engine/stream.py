@@ -171,6 +171,11 @@ class StreamingRenderer:
             u = dev.uvid
             warn_static_only(dev)
             for pname, curve in dev.automation.items():
+                if dev.kind == "oscillator" and pname == "frequency":
+                    # folded into the host-precomputed {u}/osc track
+                    # below (a no-op for noise) — never read by the
+                    # traced step, so don't ship it over the tunnel
+                    continue
                 cv = np.asarray(curve, np.float32)
                 if cv.shape[0] < nb_plan:  # hold the final value
                     pad = np.full(nb_plan - cv.shape[0],
@@ -318,9 +323,12 @@ class StreamingRenderer:
                    for _, tgt, p in self.c.sidechain)
 
     def _init_state(self) -> dict:
+        from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
+
         c = self.c
         sr = float(c.sample_rate)
         st: dict[str, jnp.ndarray] = {}
+        sc_targets = {(t, p) for _, t, p in c.sidechain}
 
         def z(*shape):
             return jnp.zeros(shape, jnp.float32)
@@ -340,6 +348,10 @@ class StreamingRenderer:
                                   * sr))
                 else:
                     d = int(round(float(dev.params.get("delay", 0.0)) * sr))
+                if (u, "delay") in sc_targets:
+                    # a sidechain value has no host maximum; the tail
+                    # covers the engine-wide clamp bound
+                    d = max(d, int(round(SIDECHAIN_SECONDS_MAX * sr)))
                 if d > 0:
                     st[f"{u}/dl"] = z(2, d)
             elif k == "chorus":
@@ -351,6 +363,8 @@ class StreamingRenderer:
                 else:
                     d = int(round(
                         float(dev.params.get("delay-seconds", 0.0)) * sr))
+                if (u, "delay-seconds") in sc_targets:
+                    d = max(d, int(round(SIDECHAIN_SECONDS_MAX * sr)))
                 if d > 0:
                     st[f"{u}/ch"] = z(2, d)
             elif k == "reverb":
@@ -587,8 +601,16 @@ class StreamingRenderer:
         if k == "delay":
             if f"{u}/dl" not in state:
                 return x
+            ov = overrides.get((u, "delay"))
             key = f"{u}/auto/delay"
-            if key in inputs:
+            if ov is not None:
+                # sidechain-driven delay TIME: the override is this
+                # segment's 64-sample hold; clamp like the whole path
+                from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
+                d_b = jnp.clip(ov[::BLOCK], 0.0, SIDECHAIN_SECONDS_MAX)
+                y, h = sops.delay_stream_automated(
+                    x, state[f"{u}/dl"], d_b, sr)
+            elif key in inputs:
                 d_b = jax.lax.dynamic_slice(
                     inputs[key], (t0 // BLOCK,), (n // BLOCK,))
                 y, h = sops.delay_stream_automated(
@@ -603,19 +625,33 @@ class StreamingRenderer:
             total_d = state[f"{u}/ch"].shape[-1]
             dkey = f"{u}/auto/delay-seconds"
             vkey = f"{u}/auto/voices"
-            if dkey in inputs or vkey in inputs:
+            ov_d = overrides.get((u, "delay-seconds"))
+            ov_v = overrides.get((u, "voices"))
+            if ov_d is not None or ov_v is not None \
+                    or dkey in inputs or vkey in inputs:
+                from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
                 seg = lambda key: jax.lax.dynamic_slice(  # noqa: E731
                     inputs[key], (t0 // BLOCK,), (n // BLOCK,))
-                maxv = (int(max(1, round(float(
-                    np.max(dev.automation["voices"])))))
-                    if vkey in inputs else None)
+                if ov_v is not None:
+                    voices_b = ov_v[::BLOCK]
+                    maxv = max(1, int(dev.params.get("voices", 1)))
+                elif vkey in inputs:
+                    voices_b = seg(vkey)
+                    maxv = delayfx.chorus_curve_max_voices(
+                        dev.automation["voices"])
+                else:
+                    voices_b, maxv = None, None
+                if ov_d is not None:
+                    delay_b = jnp.clip(
+                        ov_d[::BLOCK], 0.0, SIDECHAIN_SECONDS_MAX)
+                elif dkey in inputs:
+                    delay_b = seg(dkey)
+                else:
+                    delay_b = float(dev.params.get("delay-seconds", 0.0))
                 y, h = sops.chorus_stream_automated(
                     x, state[f"{u}/ch"], int(dev.params.get("voices", 1)),
-                    seg(dkey) if dkey in inputs
-                    else float(dev.params.get("delay-seconds", 0.0)),
-                    sr, P("wet-dry-mix", 1.0),
-                    voices_b=seg(vkey) if vkey in inputs else None,
-                    max_voices=maxv,
+                    delay_b, sr, P("wet-dry-mix", 1.0),
+                    voices_b=voices_b, max_voices=maxv,
                 )
             else:
                 y, h = sops.chorus_stream(
@@ -625,8 +661,13 @@ class StreamingRenderer:
             new_state[f"{u}/ch"] = h
             return y
         if k == "reverb":
+            ov = overrides.get((u, "seconds"))
             key = f"{u}/auto/seconds"
-            if key in inputs:
+            if ov is not None:
+                y, new = sops.reverb_stream_automated(
+                    x, state, P("attenuation", 1.0), ov[::BLOCK], sr, u,
+                )
+            elif key in inputs:
                 sec_b = jax.lax.dynamic_slice(
                     inputs[key], (t0 // BLOCK,), (n // BLOCK,))
                 y, new = sops.reverb_stream_automated(

@@ -46,10 +46,15 @@ def oscillator_phase_automated(freq_b, n_frames: int, sample_rate: float,
                                cblock: int = 64) -> jnp.ndarray:
     """HOST-constant integrated phase for an automated-frequency demo
     oscillator (formerly STATIC_ONLY): phase[j] = Σ_{i<j} f(i)/sr with f
-    held per 64-sample control block. Serial numpy f32 cumsum — a host
-    constant like oscillator_instrument's time base, so phases are
-    identical under jit and eager AND between the whole-timeline and
-    streamed engines (the stream slices this same array).
+    held per 64-sample control block. Serial numpy cumsum in FLOAT64,
+    cast to f32 — a host constant like oscillator_instrument's time
+    base, so phases are identical under jit and eager AND between the
+    whole-timeline and streamed engines (the stream slices this same
+    array). The f64 accumulation matters: an f32 cumsum drifts ~0.3
+    cycles over 2 s at 141 Hz (systematic rounding against the growing
+    sum), fully decorrelating a constant trip from the static f*t
+    phase; in f64 the residual is one f32 ulp of the total phase
+    (pinned by test_param_automation's constant-trip parity test).
     freq_b: block-rate Hz curve (host data, dev.automation)."""
     f = np.asarray(freq_b, np.float32)
     nb = -(-int(n_frames) // cblock)
@@ -58,11 +63,11 @@ def oscillator_phase_automated(freq_b, n_frames: int, sample_rate: float,
                       np.float32)
         f = np.concatenate([f, pad])
     f_up = np.repeat(f[:nb], cblock)[:n_frames]
-    step = (f_up / np.float32(sample_rate)).astype(np.float32)
+    step = f_up.astype(np.float64) / np.float64(sample_rate)
     ph = np.concatenate([
-        np.zeros(1, np.float32),
-        np.cumsum(step, dtype=np.float32)[:-1],
-    ])
+        np.zeros(1, np.float64),
+        np.cumsum(step, dtype=np.float64)[:-1],
+    ]).astype(np.float32)
     return jnp.asarray(ph)
 
 

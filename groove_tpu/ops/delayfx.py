@@ -155,19 +155,22 @@ def chorus_voice_counts(voices_b, max_voices: int):
     )
 
 
-def chorus_automated(x, voices, delay_seconds_b, sample_rate: float,
-                     wet_dry_mix=1.0, cblock: int = 64,
-                     voices_b=None, max_voices: int | None = None):
-    """Automated chorus (`delay-seconds` and/or `voices` trips): the
-    total delay D and the tap count V are block-rate curves held for 64
-    samples (cf. delay_automated) and each tap is a gather
-    y_v[n] = x[n - v*D(block(n))//V(block(n))] masked by v < V; the sum
-    scales by 1/V(n). `voices` may be automated even though it is a
-    Python loop bound: the loop runs to the CURVE MAXIMUM (host data)
-    and inactive taps mask to zero. Out-of-range taps read exact zeros,
-    matching chorus's zero-pad history.
-    delay_seconds_b may be a scalar (static delay, automated voices)."""
-    n = x.shape[-1]
+def chorus_curve_max_voices(curve) -> int:
+    """HOST-side tap-loop bound for an automated `voices` curve (the curve
+    is compile-time data). Shared by both engines so the bound can never
+    diverge between the whole-timeline and streamed renders."""
+    return int(max(1, round(float(np.max(np.asarray(curve))))))
+
+
+def chorus_tap_curves(delay_seconds_b, voices, voices_b, max_voices,
+                      n: int, sample_rate: float, cblock: int = 64):
+    """Shared per-sample tap curves for the automated chorus: returns
+    (d_up [n] int32 total-delay samples, v_up [n] int32 tap counts,
+    n_taps static loop bound). delay_seconds_b may be a scalar (static
+    delay, automated voices). Single source of truth for both
+    delayfx.chorus_automated and ops/stream.chorus_stream_automated —
+    any change to voice-count rounding or delay quantization must land
+    in exactly one place or the two engines' pinned agreement breaks."""
     d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
                     * sample_rate).astype(jnp.int32)
     if jnp.ndim(d_b) == 0:
@@ -181,6 +184,25 @@ def chorus_automated(x, voices, delay_seconds_b, sample_rate: float,
     else:
         v_up = jnp.full((n,), max(1, int(voices)), jnp.int32)
         n_taps = max(1, int(voices))
+    return d_up, v_up, n_taps
+
+
+def chorus_automated(x, voices, delay_seconds_b, sample_rate: float,
+                     wet_dry_mix=1.0, cblock: int = 64,
+                     voices_b=None, max_voices: int | None = None):
+    """Automated chorus (`delay-seconds` and/or `voices` trips): the
+    total delay D and the tap count V are block-rate curves held for 64
+    samples (cf. delay_automated) and each tap is a gather
+    y_v[n] = x[n - v*D(block(n))//V(block(n))] masked by v < V; the sum
+    scales by 1/V(n). `voices` may be automated even though it is a
+    Python loop bound: the loop runs to the CURVE MAXIMUM (host data)
+    and inactive taps mask to zero. Out-of-range taps read exact zeros,
+    matching chorus's zero-pad history.
+    delay_seconds_b may be a scalar (static delay, automated voices)."""
+    n = x.shape[-1]
+    d_up, v_up, n_taps = chorus_tap_curves(
+        delay_seconds_b, voices, voices_b, max_voices, n, sample_rate,
+        cblock)
     base = jnp.arange(n, dtype=jnp.int32)
     wet = jnp.zeros_like(x)
     for v in range(n_taps):

@@ -206,24 +206,14 @@ def chorus_stream_automated(x, hist, voices, delay_seconds_b,
     bit-invisible. delay_seconds_b / voices_b: this segment's block-rate
     curves [S/64] (delay_seconds_b may be a scalar when only `voices`
     is automated)."""
-    from groove_tpu.ops.delayfx import chorus_voice_counts
+    from groove_tpu.ops.delayfx import chorus_tap_curves
 
     d = hist.shape[-1]
     n = x.shape[-1]
     z = jnp.concatenate([hist, x], axis=-1)
-    d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
-                    * sample_rate).astype(jnp.int32)
-    if jnp.ndim(d_b) == 0:
-        d_up = jnp.full((n,), d_b, jnp.int32)
-    else:
-        d_up = iir.upsample_hold(d_b, n, cblock)
-    if voices_b is not None:
-        v_up = iir.upsample_hold(
-            chorus_voice_counts(voices_b, int(max_voices)), n, cblock)
-        n_taps = int(max_voices)
-    else:
-        v_up = jnp.full((n,), max(1, int(voices)), jnp.int32)
-        n_taps = max(1, int(voices))
+    d_up, v_up, n_taps = chorus_tap_curves(
+        delay_seconds_b, voices, voices_b, max_voices, n, sample_rate,
+        cblock)
     base = jnp.arange(n, dtype=jnp.int32) + d
     wet = jnp.zeros_like(x)
     for v in range(n_taps):

@@ -208,6 +208,133 @@ def test_oscillator_frequency_automation_streams_bitwise():
     assert float(np.abs(whole - streamed).max()) < 1e-5 * peak
 
 
+def test_oscillator_frequency_constant_trip_matches_static():
+    """A constant trip must sound the static pitch: the automated path
+    integrates a serial f32 cumsum phase instead of the static f*t
+    product, so equality is cycle-count-exact and amplitude-tolerant
+    (cumsum rounding drifts the phase by ulps over the song)."""
+    f = percent_to_frequency(0.5)  # the trip's to_domain image, exactly
+    static = _song(osc={"waveform": "sine", "frequency": f})
+    auto = _song(osc={"waveform": "sine", "frequency": 440.0},
+                 **_trip("frequency", 0.5, 0.5, target="i1"))
+    a, b = _render(static)[:, 0], _render(auto)[:, 0]
+    assert float(np.abs(a).max()) > 0.5
+    assert abs(_zero_crossings(a) - _zero_crossings(b)) <= 2
+    assert float(np.abs(a - b).max()) < 0.02  # phase-drift bound
+
+
+def test_noise_oscillator_frequency_trip_warns(capsys):
+    """`frequency` has no effect on the noise waveform; the trip must
+    WARN (warn-and-skip policy), not silently no-op."""
+    c = _song(osc={"waveform": "noise", "frequency": 220.0},
+              **_trip("frequency", 0.3, 0.7, target="i1"))
+    _render(c)
+    err = capsys.readouterr().err
+    assert "noise" in err and "frequency" in err
+
+
+# ---- sidechain (signal-passthrough) overrides ------------------------------
+
+
+def _sc_song(effect_kind, effect_params, params):
+    """i1 (220 Hz sine) -> fx -> mixer; i2 (3 Hz sine) -> passthrough ->
+    mixer, with the passthrough's block-boundary |amplitude| driving the
+    listed fx params (a controls link per param)."""
+    d = {
+        "clock": {"bpm": 120},
+        "devices": [
+            {"instrument": ["i1", {"oscillator": {
+                "waveform": "sine", "frequency": 220.0}}]},
+            {"instrument": ["i2", {"oscillator": {
+                "waveform": "sine", "frequency": 3.0}}]},
+            {"effect": ["fx", {effect_kind: effect_params}]},
+            {"controller": ["sc", {"signal-passthrough-controller": [{}]}]},
+        ],
+        "patch-cables": [["i1", "fx", "main-mixer"],
+                         ["i2", "sc", "main-mixer"]],
+        "patterns": [{"id": "p", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+        "controls": [
+            {"id": f"c-{p}", "source": "sc", "target": {"id": "fx", "param": p}}
+            for p in params
+        ],
+    }
+    return compile_song(SongSettings.from_json5_str(json.dumps(d)))
+
+
+def _assert_sidechain_acts_and_streams(kind, params, targets, tol):
+    """The override must change the render vs the no-link song, and the
+    streamed engine must agree (same one-block-delayed |mean| semantics,
+    same clamp) within tol·peak on top of bitwise segmentation."""
+    linked = _sc_song(kind, params, targets)
+    unlinked = _sc_song(kind, params, [])
+    a, b = _render(linked), _render(unlinked)
+    assert not np.allclose(a, b, atol=1e-5), \
+        f"sidechain onto {kind}.{targets} had no effect"
+    streamed = _stream_bitwise(linked)
+    peak = max(1.0, float(np.abs(a).max()))
+    assert float(np.abs(a - streamed).max()) < tol * peak
+
+
+def test_sidechain_drives_reverb_seconds():
+    _assert_sidechain_acts_and_streams(
+        "reverb", {"attenuation": 1.0, "seconds": 0.0}, ["seconds"], 1e-4)
+
+
+def test_sidechain_drives_delay_time():
+    _assert_sidechain_acts_and_streams(
+        "delay", {"delay": 0.0}, ["delay"], 1e-5)
+
+
+def test_sidechain_drives_chorus_delay():
+    _assert_sidechain_acts_and_streams(
+        "chorus", {"voices": 3, "delay-seconds": 0.01},
+        ["delay-seconds"], 1e-5)
+
+
+def test_sidechain_drives_chorus_voices():
+    """The tap loop bound for a sidechain-driven `voices` is the
+    CONFIGURED static count (the override has no host maximum): with
+    voices=4 configured and a 3 Hz source, the count breathes 1..1-ish
+    (|amplitude| rounds low) — the render must differ from the static
+    4-voice chorus."""
+    _assert_sidechain_acts_and_streams(
+        "chorus", {"voices": 4, "delay-seconds": 0.02}, ["voices"], 1e-5)
+
+
+def test_sidechain_delay_clamps_to_engine_bound():
+    """Amplitudes above SIDECHAIN_SECONDS_MAX seconds clamp (the streamed
+    engine sizes its carried tail for the bound host-side); a gain-boosted
+    source must still render identically in both engines."""
+    from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
+
+    assert SIDECHAIN_SECONDS_MAX == 1.0
+    d = {
+        "clock": {"bpm": 120},
+        "devices": [
+            {"instrument": ["i1", {"oscillator": {
+                "waveform": "sine", "frequency": 220.0}}]},
+            {"instrument": ["i2", {"oscillator": {
+                "waveform": "sine", "frequency": 3.0}}]},
+            # boost the source past the clamp: |mean| peaks near 2.5 s
+            {"effect": ["g2", {"gain": {"ceiling": 2.5}}]},
+            {"effect": ["fx", {"delay": {"delay": 0.0}}]},
+            {"controller": ["sc", {"signal-passthrough-controller": [{}]}]},
+        ],
+        "patch-cables": [["i1", "fx", "main-mixer"],
+                         ["i2", "g2", "sc", "main-mixer"]],
+        "patterns": [{"id": "p", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+        "controls": [{"id": "c", "source": "sc",
+                      "target": {"id": "fx", "param": "delay"}}],
+    }
+    linked = compile_song(SongSettings.from_json5_str(json.dumps(d)))
+    a = _render(linked)
+    streamed = _stream_bitwise(linked)
+    peak = max(1.0, float(np.abs(a).max()))
+    assert float(np.abs(a - streamed).max()) < 1e-5 * peak
+
+
 # ---- what stays static -----------------------------------------------------
 
 
