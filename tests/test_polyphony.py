@@ -38,6 +38,38 @@ def test_mono_patch_gets_policy_applied():
     )
 
 
+def test_stolen_voice_rings_through_release():
+    """A voice gated off by the mono/steal policy must NOT hard-cut: its
+    amplitude envelope enters RELEASE at the steal point and rings out
+    into the next note (note windows span gate + release tail, so the
+    truncated gate still plays its release). Isolate the stolen note by
+    linearity: render [60, 62] minus [rest, 62] is note 60's contribution
+    alone — nonzero right after the steal, exactly zero past the tail."""
+    def mk(notes_row):
+        return compile_song(SongSettings.from_json5_str(json.dumps({
+            "clock": {"bpm": 120},
+            "devices": [{"instrument": ["i1", {"welsh": [
+                {"midi-in": 0}, {"name": "growling-bass"}]}]}],
+            "patch-cables": [["i1", "main-mixer"]],
+            "patterns": [{"id": "p", "note-value": "eighth",
+                          "notes": [notes_row]}],
+            "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+        })))
+
+    from groove_tpu.engine.render import Renderer
+
+    c = mk([60, 62])
+    both = np.asarray(Renderer(c).render())
+    other = np.asarray(Renderer(mk([0, 62])).render())  # key 0 = rest
+    stolen = both - other
+    off0 = int(c.devices["i1"].notes.off_frames[0])  # the steal frame
+    w = 2000
+    post = float(np.sqrt((stolen[off0:off0 + w] ** 2).mean()))
+    far = float(np.abs(stolen[off0 + 20000:off0 + 22000]).max())
+    assert post > 1e-3, "stolen voice was hard-cut (no release ring-out)"
+    assert far == 0.0, "release tail failed to decay to exact zero"
+
+
 def test_bucket_notes_exact_spans_cover_needs():
     """Every note's need <= its bucket span; spans are 128-aligned EXACT
     needs (not pow2-rounded), and the <=3-bucket partition is the
