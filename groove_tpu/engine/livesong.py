@@ -58,6 +58,11 @@ from groove_tpu.project.schema import warn
 
 BLOCK = SAMPLE_BUFFER_SIZE
 FAR = np.int32(2**30)  # "held" / "unused" sentinel frame
+# Long-session guards: rebase the live frame counter before it collides
+# with FAR / overflows int32 (~6.8 h at 44.1 kHz); keep a window of
+# recent history so every sounding voice's age (t - on) stays exact.
+REBASE_AT = 1 << 28     # ~1.7 h at 44.1 kHz
+REBASE_KEEP = 1 << 22   # ~95 s of history kept across a rebase
 
 # instrument kinds that respond to live MIDI (always-on kinds — oscillator,
 # toy-instrument — keep their offline behavior; metronome is out of scope)
@@ -76,13 +81,25 @@ class LiveSongRenderer(StreamingRenderer):
                  play_song: bool = False, device=None):
         self.n_voices = int(n_voices)
         self.play_song = play_song
+        # live-only mode never reads the sequenced-note machinery; skip
+        # its startup cost (bucket uploads, caps, whole-plan osc tracks)
+        self._seq_notes = bool(play_song)
         self._pools: dict[str, dict] = {}
         self._rr: dict[str, dict] = {}   # drum round-robin counters
         self._lock = threading.RLock()
-        self.frame = 0                    # next block start (absolute)
+        self.frame = 0                    # next block start (rebases, see
+        #                                   render_block; ages stay exact)
+        self._abs_frame = 0               # absolute frames, never rebased
         self._device = device or _live_device()
         with jax.default_device(self._device):
             super().__init__(compiled, segment_frames=BLOCK)
+        # free-running always-on oscillators (live-only mode): block phase
+        # origins are computed HOST-side in f64 (see _seg_xs)
+        self._free_osc = [
+            (dev.uvid, float(dev.params.get("frequency", 440.0)))
+            for dev in compiled.devices.values()
+            if dev.kind == "oscillator"
+        ]
         # COMMIT inputs and state to the live device: an uncommitted
         # placement would let jit follow the default backend — on this
         # machine the tunnel-attached axon TPU, turning every 64-frame
@@ -131,6 +148,14 @@ class LiveSongRenderer(StreamingRenderer):
     def _seg_xs(self, t0: int, seg_len: int) -> dict:
         xs = super()._seg_xs(t0, seg_len) if self.play_song \
             else {"t0": np.int32(t0)}
+        if not self.play_song:
+            # free-run oscillator phase origins, host-side in f64 mod 1:
+            # an in-graph f32 absolute-frame phase loses the fractional
+            # cycle within minutes and collapses past 2^24 frames
+            sr = float(self.c.sample_rate)
+            for u, freq in self._free_osc:
+                xs[f"{u}/ph0"] = np.float32(
+                    (freq * self._abs_frame / sr) % 1.0)
         # two packed arrays per pool (not six) — device_put/arg-flatten
         # overhead is per-leaf and the live step runs every 1.45 ms
         for u, pool in self._pools.items():
@@ -151,22 +176,30 @@ class LiveSongRenderer(StreamingRenderer):
             base = jnp.zeros((2, n), jnp.float32)
         if u not in self._pools:
             if not self.play_song and dev.kind == "oscillator":
-                # always-on instrument free-runs in live mode (closed form
-                # at absolute time; the parent's precomputed track is only
-                # plan_frames long)
-                wf = dev.params.get("waveform", "sine")
-                pw = 0.5
-                if isinstance(wf, dict):
-                    pw = float(wf.get("pulse-width", 0.5))
-                    wf = "pulse-width"
-                freq = float(dev.params.get("frequency", 440.0))
-                tj = (jnp.asarray(t0, jnp.int32)
-                      + jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
-                phase = freq * tj / sr
+                # always-on instrument free-runs in live mode: the block's
+                # phase ORIGIN comes from the host in f64 mod 1 (_seg_xs)
+                # — computing phase from the f32 absolute frame count
+                # audibly degrades within minutes and collapses past 2^24
+                # frames (~6.3 min); only the tiny in-block ramp is f32
                 from groove_tpu.ops import oscillator as osc_ops
-                mono = (osc_ops.pulse_width(phase, pw) if wf == "pulse-width"
-                        else osc_ops.evaluate(str(wf), phase))
+                wf, pw = osc_ops.parse_waveform(dev.params)
+                if wf == "noise":
+                    mono = osc_ops.noise(
+                        jax.random.fold_in(jax.random.PRNGKey(0),
+                                           xs["t0"]), (n,))
+                else:
+                    freq = float(dev.params.get("frequency", 440.0))
+                    ramp = jnp.arange(n, dtype=jnp.float32) / sr
+                    phase = xs[f"{u}/ph0"] + freq * ramp
+                    mono = (osc_ops.pulse_width(phase, pw)
+                            if wf == "pulse-width"
+                            else osc_ops.evaluate(wf, phase))
                 return base + jnp.stack([mono, mono])
+            if not self.play_song and dev.kind == "toy-instrument":
+                # same constant output as offline (the parent's branch
+                # reads no sequenced inputs)
+                return base + super()._render_instrument_seg(
+                    inputs, dev, xs, t0, n)
             return base
         li = xs[f"{u}/li"]
         lf = xs[f"{u}/lf"]
@@ -267,6 +300,11 @@ class LiveSongRenderer(StreamingRenderer):
                 dev = self.c.devices[u]
                 if dev.midi_in != channel:
                     continue
+                if dev.kind in ("drumkit", "calculator"):
+                    # one-shots: the offline engine ignores note-off for
+                    # these kinds (stream.py gate_eff = span) — a drum
+                    # pad's 20 ms gate must not cut the sample dead
+                    continue
                 held = np.nonzero((pool["keys"] == key)
                                   & (pool["off"] >= FAR)
                                   & (pool["on"] < FAR))[0]
@@ -286,10 +324,30 @@ class LiveSongRenderer(StreamingRenderer):
         xs goes to the jit call as raw numpy (the call's own arg transfer
         is cheaper than a per-leaf device_put at this cadence)."""
         with self._lock:
+            if self.play_song and self.frame >= self.plan_frames:
+                # the song sequence has finished: switch to the live-only
+                # graph (one re-jit). Without this the parent's
+                # dynamic_slice clamps past the plan and every sequenced
+                # track — e.g. an oscillator — repeats its final 64
+                # samples forever.
+                self.play_song = False
+                self._steps.clear()
             xs = self._seg_xs(self.frame, BLOCK)
             self._st, audio = self._step_for(BLOCK)(
                 self._st, xs, self.inputs)
             self.frame += BLOCK
+            self._abs_frame += BLOCK
+            if not self.play_song and self.frame >= REBASE_AT:
+                # shift the rebasable clock back, preserving every
+                # voice's age exactly (t and on/off shift together);
+                # FAR sentinels stay FAR. _abs_frame (free-run oscillator
+                # phase) is a Python int and never rebases.
+                shift = (self.frame - REBASE_KEEP) // BLOCK * BLOCK
+                self.frame -= shift
+                for pool in self._pools.values():
+                    for k in ("on", "off"):
+                        a = pool[k]
+                        a[a < FAR] -= shift
         return np.asarray(audio)
 
 
@@ -327,8 +385,13 @@ class LiveSongService:
             if native.available():
                 self._audio = native.AudioService(
                     sample_rate=renderer.c.sample_rate, buffer_frames=BLOCK)
-            self._thread = threading.Thread(target=self._loop, daemon=True)
-            self._thread.start()
+                self._thread = threading.Thread(
+                    target=self._loop, daemon=True)
+                self._thread.start()
+            else:
+                warn("live: no sink given and the native audio service is "
+                     "unavailable — no audio will be produced (pass a "
+                     "sink, or build native/ with sh native/build.sh)")
 
     def pump(self, n_blocks: int = 1) -> None:
         """Render n blocks into the sink (test/file-sink pacing)."""
@@ -339,15 +402,13 @@ class LiveSongService:
                 self._sink(blk)
 
     def _loop(self):
+        # only started when the native audio service is present
         while not self._stop.is_set():
-            if self._audio is not None:
-                if self._audio.needs_frames() >= BLOCK:
-                    self._audio.write(self.renderer.render_block())
-                    self.blocks_rendered += 1
-                else:
-                    time.sleep(0.0005)
+            if self._audio.needs_frames() >= BLOCK:
+                self._audio.write(self.renderer.render_block())
+                self.blocks_rendered += 1
             else:
-                time.sleep(0.01)
+                time.sleep(0.0005)
 
     def stop(self):
         self._stop.set()

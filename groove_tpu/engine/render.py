@@ -515,13 +515,9 @@ class Renderer:
         u = dev.uvid
         sr = float(self.c.sample_rate)
         if dev.kind == "oscillator":
-            wf = dev.params.get("waveform", "sine")
-            pw = 0.5
-            if isinstance(wf, dict):
-                pw = float(wf.get("pulse-width", 0.5))
-                wf = "pulse-width"
             from groove_tpu.ops import oscillator as osc_ops
-            if "frequency" in dev.automation and str(wf) != "noise":
+            wf, pw = osc_ops.parse_waveform(dev.params)
+            if "frequency" in dev.automation and wf != "noise":
                 # automated frequency: host-constant integrated phase
                 phase = simple_model.oscillator_phase_automated(
                     dev.automation["frequency"], n, sr
@@ -680,8 +676,15 @@ class Renderer:
             # attack/release may be automated (registry lists them as
             # controllable); an automated trip yields a per-sample array
             # and drives the time-varying follower in compressor_smoothed.
-            att = P("attack", 0.0)
-            rel = P("release", 0.0)
+            # Sidechain-driven SECONDS clamp to the engine bound like the
+            # delay-type params (the follower's memory must be boundable
+            # host-side for the mesh renderer's relaxation count).
+            att = overrides.get((dev.uvid, "attack"))
+            att = (jnp.clip(att, 0.0, SIDECHAIN_SECONDS_MAX)
+                   if att is not None else P("attack", 0.0))
+            rel = overrides.get((dev.uvid, "release"))
+            rel = (jnp.clip(rel, 0.0, SIDECHAIN_SECONDS_MAX)
+                   if rel is not None else P("release", 0.0))
             if isinstance(att, float) and isinstance(rel, float) \
                     and att <= 0.0 and rel <= 0.0:
                 return dynamics.compressor(x, thr, ratio)

@@ -100,6 +100,10 @@ class StreamingRenderer:
     def __init__(self, compiled: CompiledSong, segment_frames: int = 65536):
         assert segment_frames % BLOCK == 0 and segment_frames >= BLOCK
         self.c = compiled
+        # live-only subclass (engine/livesong with play_song=False) sets
+        # this False BEFORE super().__init__: the sequenced-note machinery
+        # (buckets, caps, oscillator tracks) is never read there
+        self._seq_notes = getattr(self, "_seq_notes", True)
         self.S = int(segment_frames)
         self.n_segs = max(1, -(-compiled.n_frames // self.S))
         self.plan_frames = self.n_segs * self.S
@@ -182,17 +186,18 @@ class StreamingRenderer:
                                   cv[-1] if cv.size else 0.0, np.float32)
                     cv = np.concatenate([cv, pad])
                 self.inputs[f"{u}/auto/{pname}"] = cv
+            if not self._seq_notes:
+                # live-only: sequenced buckets, caps and oscillator
+                # tracks are never read (the live subclass renders from
+                # voice pools and free-runs always-on kinds)
+                continue
             if dev.kind == "oscillator":
                 # closed-form/noise track precomputed over the whole plan:
                 # exact equality with the one-shot path, sliced per segment
-                wf = dev.params.get("waveform", "sine")
-                pw = 0.5
-                if isinstance(wf, dict):
-                    pw = float(wf.get("pulse-width", 0.5))
-                    wf = "pulse-width"
-                freq = float(dev.params.get("frequency", 440.0))
                 from groove_tpu.ops import oscillator as osc_ops
-                if "frequency" in dev.automation and str(wf) != "noise":
+                wf, pw = osc_ops.parse_waveform(dev.params)
+                freq = float(dev.params.get("frequency", 440.0))
+                if "frequency" in dev.automation and wf != "noise":
                     # automated frequency: the SAME host-constant phase
                     # the whole-timeline path integrates, so slices are
                     # bitwise equal to the one-shot render
@@ -278,11 +283,22 @@ class StreamingRenderer:
                 if fixed:
                     self._caps[(u, j)] = max(1, len(ons[j]))
                     continue
-                cap = 1
-                for k in range(self.n_segs):
-                    cap = max(cap, int(self._overlap(
-                        u, j, k * self.S, self.S).size))
-                self._caps[(u, j)] = cap
+                # max notes overlapping any linear segment, by interval
+                # sweep over segment indices: note i is active in segment
+                # k iff on < (k+1)S and on+span > kS, i.e. k in
+                # [on//S, (on+span-1)//S]. Identical caps to the old
+                # per-segment _overlap loop, but O(m + n_segs) — the loop
+                # was n_segs numpy calls per bucket, minutes of startup
+                # at segment=64 on long songs (the live engine's cadence)
+                on = ons[j]
+                span = self._spans[u][j]
+                k_min = np.clip(on // self.S, 0, self.n_segs - 1)
+                k_max = np.clip((on + span - 1) // self.S, 0,
+                                self.n_segs - 1)
+                diff = np.zeros(self.n_segs + 1, np.int64)
+                np.add.at(diff, k_min, 1)
+                np.add.at(diff, k_max + 1, -1)
+                self._caps[(u, j)] = max(1, int(np.cumsum(diff).max()))
 
     def _overlap(self, u: str, j: int, t0: int, seg_len: int) -> np.ndarray:
         on = self._bucket_on[u][j]
@@ -589,8 +605,15 @@ class StreamingRenderer:
             ratio = P("ratio", 1.0)
             if not self._smoothed_compressor(dev):
                 return dynamics.compressor(x, thr, ratio)
-            att = P("attack", 0.0)
-            rel = P("release", 0.0)
+            # sidechain-driven SECONDS clamp to the engine bound (cf.
+            # render.py — keeps the follower memory boundable host-side)
+            from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
+            att = overrides.get((u, "attack"))
+            att = (jnp.clip(att, 0.0, SIDECHAIN_SECONDS_MAX)
+                   if att is not None else P("attack", 0.0))
+            rel = overrides.get((u, "release"))
+            rel = (jnp.clip(rel, 0.0, SIDECHAIN_SECONDS_MAX)
+                   if rel is not None else P("release", 0.0))
             y, sa, sr_ = sops.compressor_smoothed_stream(
                 x, thr, ratio, att, rel, sr,
                 state[f"{u}/catt"], state[f"{u}/crel"],

@@ -115,6 +115,10 @@ def song_midi_events(compiled) -> list[tuple[int, int, str, tuple]]:
     note an instrument receives (sequencer patterns, arpeggiator output
     on its midi-out channel, SMF imports) in frame order, note-offs
     before note-ons at the same frame (so retriggers parse correctly).
+    Exception: a ZERO-LENGTH note (on == off — buffer quantization and
+    the mono steal policy both produce them) emits its own off AFTER its
+    on; the frame-sorted off-before-on rule would otherwise send the off
+    first and leave the receiver with a hung note.
     """
     events: list[tuple[int, int, int, str, tuple]] = []
     seen_channels: set[int] = set()
@@ -128,9 +132,11 @@ def song_midi_events(compiled) -> list[tuple[int, int, str, tuple]]:
         for i in range(notes.count):
             key = int(notes.keys[i])
             vel = int(notes.vels[i])
-            events.append((int(notes.on_frames[i]), 1, dev.midi_in,
-                           "note-on", (key, vel)))
-            events.append((int(notes.off_frames[i]), 0, dev.midi_in,
+            on_f = int(notes.on_frames[i])
+            off_f = int(notes.off_frames[i])
+            events.append((on_f, 1, dev.midi_in, "note-on", (key, vel)))
+            off_rank = 2 if off_f <= on_f else 0
+            events.append((max(off_f, on_f), off_rank, dev.midi_in,
                            "note-on", (key, 0)))
     events.sort(key=lambda e: (e[0], e[1]))
     return [(f, ch, kind, data) for f, _, ch, kind, data in events]

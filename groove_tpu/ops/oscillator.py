@@ -85,6 +85,21 @@ _TABLE = {
 }
 
 
+def parse_waveform(params: dict) -> tuple[str, float]:
+    """Decode a device's `waveform` param -> (kind, pulse_width).
+
+    The schema allows either a plain kind string or the dict form
+    {"pulse-width": w} (projects/demos/instruments/oscillator-*.json).
+    Single source of truth for the three engines (whole-timeline,
+    streamed, live) — they previously each carried a copy."""
+    wf = params.get("waveform", "sine")
+    pw = 0.5
+    if isinstance(wf, dict):
+        pw = float(wf.get("pulse-width", 0.5))
+        wf = "pulse-width"
+    return str(wf), pw
+
+
 def evaluate(kind: str, phase, width=0.5, noise_key=None):
     """Evaluate a waveform by (static) kind name.
 

@@ -50,19 +50,40 @@ def effect_memory_seconds(compiled: CompiledSong) -> float:
     5/3·RT60 reaches −100 dB); a smoothed follower forgets e^(−t/release)
     (11.5·release for 1e−5); biquad poles — 1.9 s generously covers the
     deepest reachable corpus pole (25 Hz q 5.33: |p| ≈ 1−3.3e−4,
-    ln(1e−5)/ln|p| ≈ 0.79 s)."""
+    ln(1e−5)/ln|p| ≈ 0.79 s).
+
+    A time-driven param is bounded by its MAXIMUM over every source the
+    engines honor, mirroring StreamingRenderer._init_state's tail sizing:
+    the static value, a trip/LFO automation curve's host maximum, and —
+    for signal-passthrough (sidechain) links, whose runtime value has no
+    compile-time maximum — the engine-wide SIDECHAIN_SECONDS_MAX clamp
+    the dispatch sites apply."""
+    from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
+
+    sc_targets = {(t, p) for _, t, p in compiled.sidechain}
+
+    def pmax(dev, name) -> float:
+        v = float(dev.params.get(name, 0.0))
+        if name in dev.automation:
+            curve = np.asarray(dev.automation[name])
+            if curve.size:
+                v = max(v, float(np.max(curve)))
+        if (dev.uvid, name) in sc_targets:
+            v = max(v, SIDECHAIN_SECONDS_MAX)
+        return v
+
     mem = 0.0
     for dev in compiled.devices.values():
         k = dev.kind
         if k == "delay":
-            mem = max(mem, float(dev.params.get("delay", 0.0)))
+            mem = max(mem, pmax(dev, "delay"))
         elif k == "chorus":
-            mem = max(mem, float(dev.params.get("delay-seconds", 0.0)))
+            mem = max(mem, pmax(dev, "delay-seconds"))
         elif k == "reverb":
-            mem = max(mem,
-                      5.0 / 3.0 * float(dev.params.get("seconds", 0.0)) + 0.05)
+            mem = max(mem, 5.0 / 3.0 * pmax(dev, "seconds") + 0.05)
         elif k == "compressor":
-            mem = max(mem, 11.5 * float(dev.params.get("release", 0.0)))
+            mem = max(mem, 11.5 * max(pmax(dev, "release"),
+                                      pmax(dev, "attack")))
         elif k.startswith("filter-"):
             mem = max(mem, 1.9)
     return mem

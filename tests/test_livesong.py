@@ -169,6 +169,117 @@ def test_file_source_transport_full_graph():
         svc.stop()
 
 
+def test_free_run_oscillator_deep_session_phase():
+    """Live-only always-on oscillator: the block phase origin is computed
+    HOST-side in f64 (mod 1), so the waveform stays exact arbitrarily
+    deep into a session. At t0 = 2^25 frames (~12.7 min) an f32
+    absolute-frame phase has ~0 fractional-cycle bits left — this pins
+    the f64 path against the ideal f64 sine."""
+    c = _song(
+        [{"instrument": ["o", {"oscillator": {
+            "waveform": "sine", "frequency": 440.0}}]}],
+        [["o", "main-mixer"]],
+    )
+    r = LiveSongRenderer(c)
+    t_deep = 1 << 25
+    r.frame = r._abs_frame = t_deep
+    audio = np.concatenate([r.render_block()[:, 0] for _ in range(2)])
+    j = np.arange(2 * BLOCK, dtype=np.float64)
+    ideal = np.sin(2 * np.pi * ((440.0 * (t_deep + j) / 44100.0) % 1.0))
+    assert float(np.abs(audio - ideal).max()) < 5e-3, \
+        "free-run oscillator phase degraded deep into the session"
+
+
+def test_play_along_past_song_end_switches_to_free_run():
+    """play_song=True past the end of the plan must NOT loop the last 64
+    samples of the sequenced oscillator track (the parent dynamic_slice
+    clamps); the renderer switches to the live-only free-run graph."""
+    c = compile_song(SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 960},
+        "devices": [{"instrument": ["o", {"oscillator": {
+            "waveform": "sine", "frequency": 440.0}}]}],
+        "patch-cables": [["o", "main-mixer"]],
+        "patterns": [{"id": "p", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    })))
+    r = LiveSongRenderer(c, play_song=True)
+    while r.frame < r.plan_frames:
+        r.render_block()
+    a = r.render_block()[:, 0]
+    b = r.render_block()[:, 0]
+    assert not r.play_song, "did not switch off play-along at song end"
+    assert float(np.abs(a).max()) > 0.5, "oscillator stopped at song end"
+    assert not np.array_equal(a, b), \
+        "past the plan the oscillator repeats its final 64-sample block"
+    # continuity across the post-end block boundary (free-run phase)
+    seam = abs(float(b[0]) - float(a[-1]))
+    step = float(np.abs(np.diff(a)).max())
+    assert seam < 4 * step + 1e-6
+
+
+def test_live_drum_note_off_does_not_cut_sample():
+    """Drum hits are one-shots: the offline engine ignores note-off for
+    drumkit/calculator (stream.py gate_eff = span), so a live pad's
+    short gate must not cut the sample dead either."""
+    c = _song(
+        [{"instrument": ["k", {"drumkit": [{"midi-in": 9},
+                                           {"name": "707"}]}]}],
+        [["k", "main-mixer"]],
+    )
+    outs = []
+    for send_off in (False, True):
+        r = LiveSongRenderer(c)
+        r.note_on(9, 38, 127)  # snare: rings well past one block
+        first = r.render_block()
+        if send_off:
+            r.note_off(9, 38)
+        rest = [r.render_block() for _ in range(6)]
+        outs.append(np.concatenate([first, *rest], axis=0))
+    cut, uncut = outs[1], outs[0]
+    assert np.max(np.abs(uncut[BLOCK:])) > 1e-4, "snare died in a block"
+    assert np.array_equal(cut, uncut), \
+        "note-off truncated a one-shot drum sample"
+
+
+def test_rebase_preserves_sounding_voices():
+    """The long-session rebase (frame counter vs the FAR sentinel) must
+    keep every sounding voice's age exact: audio across the rebase
+    boundary equals the same performance played at small frame counts."""
+    from groove_tpu.engine.livesong import REBASE_AT, REBASE_KEEP
+
+    c = _fm_song(1.0)
+
+    def play(start):
+        r = LiveSongRenderer(c)
+        r.frame = r._abs_frame = start
+        r.note_on(2, 69, 127)
+        out = np.concatenate([r.render_block() for _ in range(4)], axis=0)
+        return r, out
+
+    r_deep, deep = play(REBASE_AT - BLOCK)   # rebase fires after block 1
+    _, ref = play(0)
+    assert r_deep.frame < REBASE_AT, "rebase did not fire"
+    pool = r_deep._pools["f"]
+    assert pool["on"][0] < FAR and pool["off"][0] >= FAR, \
+        "rebase corrupted the sounding voice's on/off"
+    assert np.max(np.abs(deep)) > 1e-3
+    assert np.allclose(deep, ref, atol=1e-6), \
+        "voice age drifted across the rebase"
+    assert REBASE_KEEP % BLOCK == 0 and REBASE_AT % BLOCK == 0
+
+
+def test_live_toy_instrument_keeps_offline_output():
+    """Always-on toy-instrument must output its constant fake-value in
+    live-only mode exactly as offline (it was silent before)."""
+    c = _song(
+        [{"instrument": ["t", {"toy-instrument": {"fake-value": 0.25}}]}],
+        [["t", "main-mixer"]],
+    )
+    r = LiveSongRenderer(c)
+    blk = r.render_block()
+    assert float(np.abs(blk).max()) > 1e-6, "toy-instrument silent live"
+
+
 def test_delay_effect_state_carries_after_note_off():
     """The song's delay line must ring the live note back after release —
     carried effect state across live blocks."""

@@ -75,3 +75,48 @@ def test_mesh_scale_c4_welsh_notes_cross_shards():
     mesh = MeshRenderer(c).render()
     peak = max(1.0, float(np.abs(single).max()))
     assert float(np.abs(mesh - single).max()) < 2e-4 * peak
+
+
+def test_effect_memory_counts_automation_and_sidechain():
+    """The relaxation-iteration bound must see a delay whose TIME comes
+    from an automation trip (static param absent -> 0.0) or a sidechain
+    link (no host maximum -> the engine clamp), mirroring the streamed
+    engine's tail sizing — otherwise a mesh render silently drops echo
+    contributions at shard seams."""
+    import json
+
+    from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
+    from groove_tpu.parallel.meshrender import effect_memory_seconds
+
+    def song(extra_controls=(), trips=False):
+        d = {
+            "clock": {"bpm": 120},
+            "devices": [
+                {"instrument": ["i1", {"oscillator": {
+                    "waveform": "sine", "frequency": 220.0}}]},
+                {"effect": ["fx", {"delay": {"delay": 0.0}}]},
+                {"controller": ["sc",
+                                {"signal-passthrough-controller": [{}]}]},
+            ],
+            "patch-cables": [["i1", "fx", "main-mixer"],
+                             ["i1", "sc", "main-mixer"]],
+            "patterns": [{"id": "p", "notes": [[60]]}],
+            "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+        }
+        if trips:
+            d["paths"] = [{"id": "pa", "note-value": "whole",
+                           "steps": [{"slope": {"start": 0.6,
+                                                "end": 0.6}}]}]
+            d["trips"] = [{"id": "tr",
+                           "target": {"id": "fx", "param": "delay"},
+                           "paths": ["pa"]}]
+        d["controls"] = list(extra_controls)
+        return compile_song(SongSettings.from_json5_str(json.dumps(d)))
+
+    assert effect_memory_seconds(song()) == 0.0
+    # a 0.6 s delay trip with static delay 0.0 must register
+    assert effect_memory_seconds(song(trips=True)) >= 0.6
+    # a sidechain link onto the delay time registers the engine clamp
+    sc = [{"id": "c", "source": "sc",
+           "target": {"id": "fx", "param": "delay"}}]
+    assert effect_memory_seconds(song(sc)) >= SIDECHAIN_SECONDS_MAX

@@ -5,6 +5,8 @@ live loop echoes input to the out port."""
 
 import io
 import json
+
+import numpy as np
 from pathlib import Path
 
 from groove_tpu.compiler.song import compile_song
@@ -96,3 +98,35 @@ def test_live_loop_echoes_midi_to_out_port():
     svc.stop()
     got = _parse_all(out.getvalue())
     assert got == [(0, "note-on", (72, 101)), (0, "note-off", (72, 0))]
+
+
+def test_zero_length_note_emits_on_before_off():
+    """Buffer quantization (compiler/events.py off=max(off,on)) and the
+    mono steal policy both produce on == off notes; the emitted stream
+    must still be on-then-off (the plain frame sort put the vel-0 off
+    FIRST, leaving the receiver with a hung note)."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 4000},
+        "devices": [{"instrument": ["s", {"welsh": [
+            {"midi-in": 0}, {"name": "piano"}]}]}],
+        "patch-cables": [["s", "main-mixer"]],
+        # sixty-fourth notes at bpm 4000 (41 frames) land inside one
+        # 64-frame buffer, so on == off after buffer quantization
+        "patterns": [{"id": "p", "note-value": "sixty-fourth",
+                      "notes": [[60, 62]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    c = compile_song(song)
+    notes = c.devices["s"].notes
+    events = song_midi_events(c)
+    held: set[int] = set()
+    for _, _, kind, (key, vel) in events:
+        if kind == "note-on" and vel > 0:
+            held.add(key)
+        else:
+            assert key in held, f"off for key {key} before its on"
+            held.discard(key)
+    assert not held, f"hung notes at end of stream: {held}"
+    if int(np.min(notes.off_frames - notes.on_frames)) > 0:
+        import pytest
+        pytest.skip("fixture no longer produces a zero-length note")
