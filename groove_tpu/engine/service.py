@@ -143,6 +143,20 @@ class EngineService:
                             (str(uvid), str(name),
                              [float(v) for v in values], str(note_value))))
 
+    def add_control_link(self, source: str, target: str, param: str):
+        """GrooveInput::AddControlLink (messages.rs:13-38): connect a
+        control source (LFO controller / signal-passthrough) to a
+        target device's param by registry name. The link lands in the
+        song's `controls` section exactly as a project file would write
+        it, so save round-trips it."""
+        self._q.put(Command("control-link-add",
+                            (str(source), str(target), str(param))))
+
+    def remove_control_link(self, source: str, target: str, param: str):
+        """GrooveInput::RemoveControlLink: drop the matching link(s)."""
+        self._q.put(Command("control-link-remove",
+                            (str(source), str(target), str(param))))
+
     def set_pattern_step(self, pattern_id: str, row: int, notes):
         """Replace one step row of a pattern's note grid
         (PatternSettings.notes: Vec<Vec<u8>>, settings/src/lib.rs:48-78).
@@ -209,7 +223,8 @@ class EngineService:
                         self.song.clock.bpm = cmd.arg
                         self._dirty = True
                         self.on_event("tempo", cmd.arg)
-                elif cmd.kind.startswith(("track-", "device-", "pattern-")):
+                elif cmd.kind.startswith(("track-", "device-", "pattern-",
+                                          "control-link-")):
                     if self.song is not None:
                         self._edit(cmd)
                         self._dirty = True
@@ -398,6 +413,45 @@ class EngineService:
                 pat.notes.append([])
             pat.notes[row] = [int(n) for n in notes]
             self.on_event("pattern-step", (pattern_id, row, notes))
+        elif cmd.kind == "control-link-add":
+            from groove_tpu.compiler.params import resolve
+            from groove_tpu.project.schema import (
+                ControlSettings,
+                ControlTargetSettings,
+            )
+            source, target, param = cmd.arg
+            uvids = {d.uvid for d in song.devices}
+            if source not in uvids or target not in uvids:
+                self.on_event("error",
+                              f"control link {source}->{target}: "
+                              f"unknown device")
+                return
+            tgt = next(d for d in song.devices if d.uvid == target)
+            kind = (tgt.instrument or tgt.controller or tgt.effect).kind
+            if resolve(kind, param) is None:
+                self.on_event("error",
+                              f"{kind} has no controllable param "
+                              f"{param!r}")
+                return
+            ids = {c.id for c in song.controls}
+            lid = f"link-{source}-{target}-{param}"
+            k = 2
+            while lid in ids:
+                lid = f"link-{source}-{target}-{param}-{k}"
+                k += 1
+            song.controls.append(ControlSettings(
+                lid, source, ControlTargetSettings(target, param)))
+            self.on_event("control-link-added", (source, target, param))
+        elif cmd.kind == "control-link-remove":
+            source, target, param = cmd.arg
+            before = len(song.controls)
+            song.controls = [
+                c for c in song.controls
+                if not (c.source == source and c.target.id == target
+                        and c.target.param == param)
+            ]
+            self.on_event("control-link-removed",
+                          (source, target, param, before - len(song.controls)))
         elif cmd.kind == "device-remove":
             uvid = cmd.arg
             song.devices = [d for d in song.devices if d.uvid != uvid]

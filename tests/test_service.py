@@ -121,3 +121,62 @@ def test_render_loop_wav_without_range_reports_error(tmp_path):
         assert not (tmp_path / "x.wav").exists()
     finally:
         svc.shutdown()
+
+
+def test_control_link_add_remove(tmp_path):
+    """GrooveInput::Add/RemoveControlLink (messages.rs:13-38): wiring a
+    signal-passthrough source to an effect param at runtime must change
+    the render (and save into the song's `controls` section); removing
+    it must restore the original audio."""
+    import json
+
+    src = tmp_path / "link-song.json"
+    src.write_text(json.dumps({
+        "clock": {"bpm": 120},
+        "devices": [
+            {"instrument": ["i1", {"oscillator": {
+                "waveform": "sine", "frequency": 220.0}}]},
+            {"instrument": ["i2", {"oscillator": {
+                "waveform": "sine", "frequency": 3.0}}]},
+            {"effect": ["fx", {"gain": {"ceiling": 1.0}}]},
+            {"controller": ["sc", {"signal-passthrough-controller": [{}]}]},
+        ],
+        "patch-cables": [["i1", "fx", "main-mixer"],
+                         ["i2", "sc", "main-mixer"]],
+        "patterns": [{"id": "p", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    events = []
+    svc = EngineService(on_event=lambda k, d: events.append((k, d)),
+                        use_audio=False)
+    try:
+        svc.open_project(src)
+        assert svc.sync()
+        base = svc._ensure_rendered().copy()
+
+        svc.add_control_link("sc", "fx", "ceiling")
+        assert svc.sync()
+        assert ("control-link-added", ("sc", "fx", "ceiling")) in events
+        linked = svc._ensure_rendered().copy()
+        assert not np.array_equal(base, linked), \
+            "control link had no effect on the render"
+        # the link must save like a hand-written controls entry
+        d = song_to_dict(svc.song)
+        assert any(c["source"] == "sc"
+                   and c["target"] == {"id": "fx", "param": "ceiling"}
+                   for c in d.get("controls", []))
+
+        svc.remove_control_link("sc", "fx", "ceiling")
+        assert svc.sync()
+        unlinked = svc._ensure_rendered().copy()
+        assert np.array_equal(base, unlinked), \
+            "removing the link did not restore the original render"
+
+        # bad targets report errors instead of corrupting the song
+        svc.add_control_link("sc", "nope", "ceiling")
+        svc.add_control_link("sc", "fx", "not-a-param")
+        assert svc.sync()
+        errs = [d for k, d in events if k == "error"]
+        assert len(errs) >= 2
+    finally:
+        svc.shutdown()
