@@ -61,14 +61,15 @@ class LiveSynth:
         with jax.default_device(self._device):
             self.state = welsh_model.live_init_state(n_voices)
         self._fn = jax.jit(
-            lambda st: welsh_model.live_render_block(
-                self.params, st, BLOCK, float(sample_rate)))
+            lambda st, t0: welsh_model.live_render_block(
+                self.params, st, BLOCK, float(sample_rate), t0=t0))
         self._lock = threading.Lock()
         # host mirrors for voice allocation (tiny, numpy)
         self._keys = np.zeros(n_voices, np.float32)
         self._vels = np.zeros(n_voices, np.float32)
         self._age = np.zeros(n_voices, np.int64)
         self._held = np.zeros(n_voices, bool)
+        self._frames = 0  # absolute session frames (noise block keying)
 
     # -- MIDI (any thread) -------------------------------------------------
 
@@ -122,8 +123,10 @@ class LiveSynth:
     def render_block(self) -> np.ndarray:
         """One 64-frame stereo block [BLOCK, 2]."""
         with self._lock:
-            mono, self.state = self._fn(self.state)
+            mono, self.state = self._fn(
+                self.state, np.int32(self._frames & 0x7FFFFFFF))
             self._age += BLOCK
+            self._frames += BLOCK
         m = np.asarray(mono, np.float32)
         return np.stack([m, m], axis=-1)
 

@@ -254,6 +254,19 @@ class StreamingRenderer:
                         span, float(self.c.sample_rate))
                     self.inputs[f"{b}/tfull"] = tf
                     self.inputs[f"{b}/tbfull"] = tbf
+                    # NOTE: noise rows are REGENERATED in-graph per segment
+                    # (welsh.render_notes_slice_pre) rather than passed in
+                    # as pre-generated input tables. Tables were built and
+                    # measured (round 3): values bitwise-match and the
+                    # welsh-level chain stays bitwise, but inside the full
+                    # engine program a gather-of-input producer makes
+                    # XLA:CPU contract the noise mix differently at
+                    # different segment lengths (1-ulp one-seg vs many-seg
+                    # divergence under the 8-virtual-device env, even with
+                    # an optimization_barrier on the window) — the
+                    # in-graph RNG producer is what keeps the mix's fma
+                    # decisions identical across programs. See DECISIONS.md
+                    # 'Sliced noise tables'.
                 if dev.sample_table is not None:
                     self.inputs[f"{b}/slots"] = dev.slots[idx]
                 if dev.kind == "sampler":

@@ -55,13 +55,36 @@ LN_BASE = float(np.log(T.FREQUENCY_TO_LINEAR_BASE))
 LN_COEF = float(np.log(T.FREQUENCY_TO_LINEAR_COEFFICIENT))
 
 
-@dataclass(frozen=True)
-class WelshNoteBatch:
-    """Device arrays for one Welsh instrument's notes."""
-
-    keys: jnp.ndarray        # [n] int32
-    vels: jnp.ndarray        # [n] float32 (0..127)
-    gate_frames: jnp.ndarray  # [n] int32
+def _sustained_pole_coeffs(params: WelshVoiceParams,
+                           sample_rate: float) -> tuple[np.ndarray, np.ndarray]:
+    """Pole coefficients (a1, a2) of the voice's 24 dB cascade at every
+    SUSTAINED operating point — resting (env = 0 -> start pct) and held
+    (env = sustain level) cutoffs, widened ±LFO depth when the LFO routes
+    to the cutoff, and evaluated at q*(1±depth) as well when it routes to
+    'resonance' (the render paths boost runtime q up to q*(1+depth), so a
+    statically-safe q can still park poles past the thresholds mid-cycle).
+    Shared by the fidelity checks below. HOST-only (eager jnp)."""
+    fe = params.filter_envelope
+    sustained_envs = [0.0, float(fe.sustain)]
+    pts = [params.filter_cutoff_start
+           + (params.filter_cutoff_end - params.filter_cutoff_start) * e
+           for e in sustained_envs]
+    if params.lfo.routing in ("filter-cutoff", "cutoff-amp"):
+        pts = [p + s * params.lfo.depth for p in pts for s in (-1.0, 1.0)]
+    pcts = np.clip(np.asarray(pts, np.float64), 0.0, 1.0)
+    hz = np.exp(LN_COEF + pcts * LN_BASE).astype(np.float32)
+    q0 = max(params.filter_q, 1e-3)
+    qs = [q0]
+    if params.lfo.routing == "resonance":
+        d = abs(params.lfo.depth)
+        # runtime: q = max(q*(1 + lfo*depth), 0.1), lfo bipolar in [-1, 1]
+        qs += [max(q0 * (1.0 - d), 0.1), q0 * (1.0 + d)]
+    a1s, a2s = [], []
+    for q in qs:
+        _, secs = iir_ops.lp24_sections(hz, np.float32(q), sample_rate)
+        a1s.append(np.stack([np.asarray(s[3]) for s in secs]))
+        a2s.append(np.stack([np.asarray(s[4]) for s in secs]))
+    return np.concatenate(a1s), np.concatenate(a2s)
 
 
 def needs_filter_refinement(params: WelshVoiceParams,
@@ -72,28 +95,14 @@ def needs_filter_refinement(params: WelshVoiceParams,
     holds 330 Hz at q 4.3 — a2 0.99 — at -62 dBFS over 1.5 s; the
     defect-correction pass reads -124).
 
-    The flag tests the SUSTAINED cutoff operating points — resting
-    (env = 0 -> start pct) and held (env = sustain level) — ±LFO depth
-    when the LFO routes to the cutoff. Transient attack/decay extremes
-    are excluded: the blocked error accumulates with residence time
-    (the 25 Hz -> 20 kHz sweep passes the corner in milliseconds and
-    measures fine; a parked pole does not), and flagging on the full
-    transient range taxed nearly every patch with the 2x refined solve
-    for corners their notes only brush. HOST-only (eager jnp): call it
-    at renderer init, never inside a trace."""
-    fe = params.filter_envelope
-    sustained_envs = [0.0, float(fe.sustain)]
-    pts = [params.filter_cutoff_start
-           + (params.filter_cutoff_end - params.filter_cutoff_start) * e
-           for e in sustained_envs]
-    if params.lfo.routing in ("filter-cutoff", "cutoff-amp"):
-        pts = [p + s * params.lfo.depth for p in pts for s in (-1.0, 1.0)]
-    pcts = np.clip(np.asarray(pts, np.float64), 0.0, 1.0)
-    hz = np.exp(LN_COEF + pcts * LN_BASE).astype(np.float32)
-    q = np.float32(max(params.filter_q, 1e-3))
-    _, secs = iir_ops.lp24_sections(hz, q, sample_rate)
-    a1 = np.stack([np.asarray(s[3]) for s in secs])
-    a2 = np.stack([np.asarray(s[4]) for s in secs])
+    The flag tests the SUSTAINED operating points (_sustained_pole_coeffs).
+    Transient attack/decay extremes are excluded: the blocked error
+    accumulates with residence time (the 25 Hz -> 20 kHz sweep passes the
+    corner in milliseconds and measures fine; a parked pole does not), and
+    flagging on the full transient range taxed nearly every patch with the
+    2x refined solve for corners their notes only brush. HOST-only (eager
+    jnp): call it at renderer init, never inside a trace."""
+    a1, a2 = _sustained_pole_coeffs(params, sample_rate)
     return iir_ops.needs_refinement(a1, a2)
 
 
@@ -106,22 +115,10 @@ def needs_filter_serial(params: WelshVoiceParams,
     (~-24 dBFS vs f64 at the corner) — while the strictly serial
     per-sample TDF2 scan reads -79 dBFS there (measured; the fused TPU
     Pallas kernel reads -95 on-chip and stays the production path).
-    True when any SUSTAINED operating point (same points as
-    needs_filter_refinement) crosses the static-serial thresholds
-    (iir._CRITICAL_A1/_CRITICAL_A2). HOST-only."""
-    fe = params.filter_envelope
-    sustained_envs = [0.0, float(fe.sustain)]
-    pts = [params.filter_cutoff_start
-           + (params.filter_cutoff_end - params.filter_cutoff_start) * e
-           for e in sustained_envs]
-    if params.lfo.routing in ("filter-cutoff", "cutoff-amp"):
-        pts = [p + s * params.lfo.depth for p in pts for s in (-1.0, 1.0)]
-    pcts = np.clip(np.asarray(pts, np.float64), 0.0, 1.0)
-    hz = np.exp(LN_COEF + pcts * LN_BASE).astype(np.float32)
-    q = np.float32(max(params.filter_q, 1e-3))
-    _, secs = iir_ops.lp24_sections(hz, q, sample_rate)
-    a1 = np.stack([np.asarray(s[3]) for s in secs])
-    a2 = np.stack([np.asarray(s[4]) for s in secs])
+    True when any SUSTAINED operating point (_sustained_pole_coeffs)
+    crosses the static-serial thresholds (iir._CRITICAL_A1/_CRITICAL_A2).
+    HOST-only."""
+    a1, a2 = _sustained_pole_coeffs(params, sample_rate)
     return bool(((a1 < iir_ops._CRITICAL_A1)
                  & (a2 > iir_ops._CRITICAL_A2)).any())
 
@@ -132,12 +129,140 @@ def filter_fidelity_mode(params: WelshVoiceParams,
     non-Pallas backends for deep-corner parked cascades (see
     needs_filter_serial), else 'refine' for near-critical sustained
     points, else None (single-pass blocked/Pallas)."""
+    a1, a2 = _sustained_pole_coeffs(params, sample_rate)
     if not iir_ops._pallas_available() \
-            and needs_filter_serial(params, sample_rate):
+            and bool(((a1 < iir_ops._CRITICAL_A1)
+                      & (a2 > iir_ops._CRITICAL_A2)).any()):
         return "serial"
-    if needs_filter_refinement(params, sample_rate):
+    if iir_ops.needs_refinement(a1, a2):
         return "refine"
     return None
+
+
+# ---------------------------------------------------------------------------
+# Shared voice-formula terms. The four render paths (whole-window
+# render_notes_parts, sliced render_notes_slice_pre, live live_window_block
+# and live_render_block) differ ONLY in their time bases and phase/state
+# carriage; the LFO, oscillator-signal/mix, filter-control and amp-envelope
+# FORMULAS are these helpers, so a routing added once applies everywhere.
+
+
+#: S&H bank size for the LIVE paths' noise LFO: live note ages are
+#: unbounded, so the bank wraps (offline banks cover the whole window and
+#: clip). threefry is prefix-stable, so the first cycles equal an offline
+#: bank drawn from the same key.
+_LIVE_SH_CYCLES = 8192
+
+
+def _make_lfo_value(lfo, n_cycles: int, noise_seed: int, wrap: bool):
+    """-> lfo_value(tv): the LFO's bipolar value * depth at times tv
+    (seconds since note-on; the LFO restarts at note-on), or [1, 1] zeros
+    when the LFO is inert. 'noise' is sample-and-hold at the LFO rate (a
+    per-sample white-noise cutoff modulation at high Q measurably blows up
+    the time-varying filter: nerd-o-tron-2000 hit 9e37) drawn from a bank
+    of n_cycles values; wrap=True indexes mod n_cycles (live), else
+    clipped (offline, bank sized to the window)."""
+    if not (lfo.routing != "none" and lfo.frequency > 0.0
+            and lfo.depth != 0.0):
+        return lambda tv: jnp.zeros((1, 1), jnp.float32)
+
+    def lfo_value(tv):
+        lfo_phase = lfo.frequency * tv
+        if lfo.waveform.kind == "noise":
+            vals = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
+                (n_cycles,), jnp.float32, -1.0, 1.0,
+            )
+            cycle = jnp.floor(lfo_phase).astype(jnp.int32)
+            idx = jnp.mod(cycle, n_cycles) if wrap \
+                else jnp.clip(cycle, 0, n_cycles - 1)
+            return vals[idx] * lfo.depth
+        return osc_ops.evaluate(
+            lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
+        ) * lfo.depth
+
+    return lfo_value
+
+
+def _sh_cycles(lfo, span: int, sample_rate: float) -> int:
+    """Offline S&H bank size: cycles covering the whole note window."""
+    return int(np.ceil(span * lfo.frequency / sample_rate)) + 2
+
+
+def _osc_mix(params: WelshVoiceParams, phase1, phase2, routing, lfo_val,
+             noise_fn, shape):
+    """Oscillator signals -> mixed output [shape]: waveform evaluation
+    (with the pulse-width LFO routings), the mix-share rule
+    (patches.rs:123-132: share `mix` when both active, full scale when
+    one is), and the noise mix-in. noise_fn(which) supplies white noise
+    shaped [shape] for oscillator slot `which` (1/2) or the mix-in (3) —
+    the one term whose keying differs per path (note-identity rows
+    offline, block-keyed live)."""
+
+    def sig(osc, phase, which):
+        kind = osc.waveform.kind
+        if kind == "none":
+            return jnp.zeros(shape, jnp.float32)
+        if kind == "pulse-width":
+            width = osc.waveform.pulse_width
+            if routing == "pulse-width" or routing == f"pw-osc{which}":
+                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
+            return osc_ops.pulse_width(phase, width)
+        if kind == "noise":
+            return noise_fn(which)
+        return osc_ops.evaluate(kind, phase)
+
+    s1 = sig(params.oscillator_1, phase1, 1)
+    s2 = sig(params.oscillator_2, phase2, 2)
+    o1_active = params.oscillator_1.waveform.kind != "none"
+    o2_active = params.oscillator_2.waveform.kind != "none"
+    mix = params.oscillator_mix
+    if o1_active and o2_active:
+        osc_out = mix * s1 + (1.0 - mix) * s2
+    elif o1_active:
+        osc_out = s1
+    elif o2_active:
+        osc_out = s2
+    else:
+        osc_out = jnp.zeros(shape, jnp.float32)
+    if params.noise > 0.0:
+        osc_out = osc_out * (1.0 - params.noise) + noise_fn(3) * params.noise
+    return osc_out
+
+
+def _filter_controls(params: WelshVoiceParams, t_blk, gate_s, lfo_value):
+    """Block-rate filter controls -> (cutoff_hz, q) at control times t_blk:
+    cutoff pct driven by the filter envelope (and the cutoff/resonance LFO
+    routings), converted through the hearing-range map (25*800^pct).
+    Evaluated at the reference's 64-frame CONTROL cadence — coefficients
+    are recomputed per handle_work buffer, not per sample
+    (orchestrator.rs:631-708; SURVEY §7 'held constant within a block')."""
+    fe = params.filter_envelope
+    f_env = env_ops.adsr(t_blk, gate_s, fe.attack, fe.decay, fe.sustain,
+                         fe.release)
+    cutoff_pct = params.filter_cutoff_start + (
+        params.filter_cutoff_end - params.filter_cutoff_start
+    ) * f_env
+    routing = params.lfo.routing
+    if routing in ("filter-cutoff", "cutoff-amp"):
+        cutoff_pct = cutoff_pct + lfo_value(t_blk)
+    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
+    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)  # 25 * 800^pct
+    q = params.filter_q
+    if routing == "resonance":
+        q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
+    return cutoff_hz, q
+
+
+def _amp_env(params: WelshVoiceParams, t, gate_s, vels, routing, lfo_val):
+    """Amp envelope * velocity (+ the amplitude LFO routings) at times t."""
+    ae = params.amp_envelope
+    a_env = env_ops.adsr(t, gate_s, ae.attack, ae.decay, ae.sustain,
+                         ae.release)
+    amp = a_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
+    if routing in ("amplitude", "cutoff-amp"):
+        amp = amp * (1.0 + lfo_val)
+    return amp
 
 
 def render_notes_parts(
@@ -180,28 +305,8 @@ def render_notes_parts(
     gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
 
     lfo = params.lfo
-
-    def lfo_value(tv):
-        """LFO value at times tv [1, m] (restarts at note-on)."""
-        if not (lfo.routing != "none" and lfo.frequency > 0.0
-                and lfo.depth != 0.0):
-            return jnp.zeros((1, 1), jnp.float32)
-        lfo_phase = lfo.frequency * tv
-        if lfo.waveform.kind == "noise":
-            # LFO noise is sample-and-hold at the LFO rate (a per-sample
-            # white-noise cutoff modulation at high Q measurably blows up
-            # the time-varying filter: nerd-o-tron-2000 hit 9e37)
-            n_cycles = int(np.ceil(span * lfo.frequency / sample_rate)) + 2
-            vals = jax.random.uniform(
-                jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
-                (n_cycles,), jnp.float32, -1.0, 1.0,
-            )
-            cycle = jnp.floor(lfo_phase).astype(jnp.int32)
-            return vals[jnp.clip(cycle, 0, n_cycles - 1)] * lfo.depth
-        return osc_ops.evaluate(
-            lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
-        ) * lfo.depth
-
+    lfo_value = _make_lfo_value(lfo, _sh_cycles(lfo, span, sample_rate),
+                                noise_seed, wrap=False)
     lfo_val = lfo_value(t)  # [1, span] (pitch/amp/pw routings, sample rate)
     routing = lfo.routing
 
@@ -223,24 +328,15 @@ def render_notes_parts(
         # cumsum drift on multi-second notes
         return f * t
 
-    def osc_signal(osc, phase, which):
-        kind = osc.waveform.kind
-        if kind == "none":
-            return jnp.zeros((n_notes, span), jnp.float32)
-        if kind == "pulse-width":
-            width = osc.waveform.pulse_width
-            if routing == "pulse-width" or routing == f"pw-osc{which}":
-                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
-            return osc_ops.pulse_width(phase, width)
-        if kind == "noise":
-            return osc_ops.noise_rows(
-                jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
-                note_ids, span,
-            )
-        return osc_ops.evaluate(kind, phase)
+    def noise_fn(which):
+        # noise rows keyed by note IDENTITY over the full window, so a
+        # note draws the same noise whatever batch it lands in
+        return osc_ops.noise_rows(
+            jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
+            note_ids, span,
+        )
 
     o1_active = params.oscillator_1.waveform.kind != "none"
-    o2_active = params.oscillator_2.waveform.kind != "none"
 
     f1 = osc_freq(params.oscillator_1, None, False)
     f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz, True)
@@ -251,55 +347,17 @@ def render_notes_parts(
     else:
         phase2 = osc_phase(f2)
 
-    s1 = osc_signal(params.oscillator_1, phase1, 1)
-    s2 = osc_signal(params.oscillator_2, phase2, 2)
+    osc_out = _osc_mix(params, phase1, phase2, routing, lfo_val, noise_fn,
+                       (n_notes, span))
 
-    mix = params.oscillator_mix
-    if o1_active and o2_active:
-        osc_out = mix * s1 + (1.0 - mix) * s2
-    elif o1_active:
-        osc_out = s1
-    elif o2_active:
-        osc_out = s2
-    else:
-        osc_out = jnp.zeros((n_notes, span), jnp.float32)
-
-    if params.noise > 0.0:
-        nz = osc_ops.noise_rows(
-            jax.random.fold_in(jax.random.PRNGKey(noise_seed), 3),
-            note_ids, span,
-        )
-        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
-
-    # Filter: cutoff pct driven by the filter envelope (and LFO routings),
-    # evaluated at the reference's 64-frame CONTROL cadence — coefficients
-    # are recomputed per handle_work buffer, not per sample
-    # (orchestrator.rs:631-708; SURVEY §7 "held constant within a block").
     cblock = iir_ops.CONTROL_BLOCK
     nb = -(-span // cblock)
     t_blk = (jnp.arange(nb, dtype=jnp.float32) * cblock)[None, :] / sample_rate
-    fe = params.filter_envelope
-    f_env = env_ops.adsr(t_blk, gate_s, fe.attack, fe.decay, fe.sustain,
-                         fe.release)
-    cutoff_pct = params.filter_cutoff_start + (
-        params.filter_cutoff_end - params.filter_cutoff_start
-    ) * f_env
-    if routing in ("filter-cutoff", "cutoff-amp"):
-        cutoff_pct = cutoff_pct + lfo_value(t_blk)
-    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
-    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)  # 25 * 800^pct
-    q = params.filter_q
-    if routing == "resonance":
-        q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
+    cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
     q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n_notes, nb))
     cutoff_b = jnp.broadcast_to(cutoff_hz, (n_notes, nb))
 
-    # Amp envelope + velocity + amplitude LFO.
-    ae = params.amp_envelope
-    a_env = env_ops.adsr(t, gate_s, ae.attack, ae.decay, ae.sustain, ae.release)
-    amp = a_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
-    if routing in ("amplitude", "cutoff-amp"):
-        amp = amp * (1.0 + lfo_val)
+    amp = _amp_env(params, t, gate_s, vels, routing, lfo_val)
     return osc_out, cutoff_b, q_b, amp
 
 
@@ -360,8 +418,9 @@ def tail_seconds(params: WelshVoiceParams) -> float:
 # window's ~sqrt(span) blocks), so sliced-vs-whole agrees to ~1e-6 —
 # the same contract the streamed effect filters have.
 #
-# KEEP IN SYNC with render_notes_parts: the osc/LFO/envelope formulas
-# here must match it term for term.
+# The osc/LFO/envelope formulas are the shared helpers above
+# (_make_lfo_value/_osc_mix/_filter_controls/_amp_env), so they match
+# render_notes_parts term for term by construction.
 
 
 def can_slice(params: WelshVoiceParams) -> bool:
@@ -499,25 +558,9 @@ def render_notes_slice_pre(
     gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
 
     lfo = params.lfo
-
-    def lfo_value(tv):
-        if not (lfo.routing != "none" and lfo.frequency > 0.0
-                and lfo.depth != 0.0):
-            return jnp.zeros((1, 1), jnp.float32)
-        lfo_phase = lfo.frequency * tv
-        if lfo.waveform.kind == "noise":
-            # S&H bank sized from the WHOLE window (slice-invariant)
-            n_cycles = int(np.ceil(span * lfo.frequency / sample_rate)) + 2
-            vals = jax.random.uniform(
-                jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
-                (n_cycles,), jnp.float32, -1.0, 1.0,
-            )
-            cycle = jnp.floor(lfo_phase).astype(jnp.int32)
-            return vals[jnp.clip(cycle, 0, n_cycles - 1)] * lfo.depth
-        return osc_ops.evaluate(
-            lfo.waveform.kind, lfo_phase, lfo.waveform.pulse_width
-        ) * lfo.depth
-
+    # S&H bank sized from the WHOLE window (slice-invariant)
+    lfo_value = _make_lfo_value(lfo, _sh_cycles(lfo, span, sample_rate),
+                                noise_seed, wrap=False)
     lfo_val = lfo_value(t)
     routing = lfo.routing
     # pitch modulation is excluded by can_slice (cumsum phases)
@@ -529,28 +572,21 @@ def render_notes_slice_pre(
             f = base_freq * osc.tune_ratio
         return jnp.broadcast_to(f, (n, S))
 
-    def osc_signal(osc, phase, which):
-        kind = osc.waveform.kind
-        if kind == "none":
-            return jnp.zeros((n, S), jnp.float32)
-        if kind == "pulse-width":
-            width = osc.waveform.pulse_width
-            if routing == "pulse-width" or routing == f"pw-osc{which}":
-                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
-            return osc_ops.pulse_width(phase, width)
-        if kind == "noise":
-            # full id-keyed rows sliced at the note age: bitwise the
-            # whole path's noise whatever the segmentation
-            nz = osc_ops.noise_rows(
-                jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
-                note_ids, span,
-            )
-            return jnp.take_along_axis(
-                nz, jnp.clip(age, 0, span - 1), axis=1)
-        return osc_ops.evaluate(kind, phase)
+    def noise_fn(which):
+        # full id-keyed rows REGENERATED in-graph and sliced at the note
+        # age: bitwise the whole path's noise whatever the segmentation.
+        # Regeneration is O(n*span) RNG per segment, but it is what keeps
+        # the invariance: pre-generated input TABLES were measured to make
+        # XLA:CPU contract the downstream noise mix differently at
+        # different segment lengths (1-ulp one-seg vs many-seg divergence;
+        # DECISIONS.md 'Sliced noise tables').
+        nz = osc_ops.noise_rows(
+            jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
+            note_ids, span,
+        )
+        return jnp.take_along_axis(nz, jnp.clip(age, 0, span - 1), axis=1)
 
     o1_active = params.oscillator_1.waveform.kind != "none"
-    o2_active = params.oscillator_2.waveform.kind != "none"
     f1 = osc_freq(params.oscillator_1, None)
     f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz)
     phase1 = f1 * t
@@ -559,43 +595,15 @@ def render_notes_slice_pre(
     else:
         phase2 = f2 * t
 
-    s1 = osc_signal(params.oscillator_1, phase1, 1)
-    s2 = osc_signal(params.oscillator_2, phase2, 2)
-    mix = params.oscillator_mix
-    if o1_active and o2_active:
-        osc_out = mix * s1 + (1.0 - mix) * s2
-    elif o1_active:
-        osc_out = s1
-    elif o2_active:
-        osc_out = s2
-    else:
-        osc_out = jnp.zeros((n, S), jnp.float32)
-    if params.noise > 0.0:
-        nz = osc_ops.noise_rows(
-            jax.random.fold_in(jax.random.PRNGKey(noise_seed), 3),
-            note_ids, span,
-        )
-        nz = jnp.take_along_axis(nz, jnp.clip(age, 0, span - 1), axis=1)
-        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
+    osc_out = _osc_mix(params, phase1, phase2, routing, lfo_val, noise_fn,
+                       (n, S))
 
     # zero the out-of-window region BEFORE the filter: the cascade state
     # must stay exactly 0 until note-on (the whole path's window starts
     # there), and junk past the window end must not enter the recurrence
     osc_out = jnp.where(valid, osc_out, 0.0)
 
-    fe = params.filter_envelope
-    f_env = env_ops.adsr(t_blk, gate_s, fe.attack, fe.decay, fe.sustain,
-                         fe.release)
-    cutoff_pct = params.filter_cutoff_start + (
-        params.filter_cutoff_end - params.filter_cutoff_start
-    ) * f_env
-    if routing in ("filter-cutoff", "cutoff-amp"):
-        cutoff_pct = cutoff_pct + lfo_value(t_blk)
-    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
-    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)
-    q = params.filter_q
-    if routing == "resonance":
-        q = jnp.maximum(q * (1.0 + lfo_value(t_blk)), 0.1)
+    cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
     q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n, nb_seg))
     del validb  # coefficients outside the window meet zero input/output
 
@@ -676,12 +684,7 @@ def _slice_finish(params, y, t, gate_s, vels, lfo_val, valid, routing):
     """Amp envelope + velocity + LFO amplitude routing + window mask —
     identical on the XLA and Pallas cascade paths (and term-for-term
     render_notes_parts' amp stage)."""
-    ae = params.amp_envelope
-    a_env = env_ops.adsr(t, gate_s, ae.attack, ae.decay, ae.sustain,
-                         ae.release)
-    amp = a_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
-    if routing in ("amplitude", "cutoff-amp"):
-        amp = amp * (1.0 + lfo_val)
+    amp = _amp_env(params, t, gate_s, vels, routing, lfo_val)
     amp = jnp.where(valid, amp, 0.0)
     return y * amp
 
@@ -776,13 +779,9 @@ def live_window_block(
 
     lfo = params.lfo
     routing = lfo.routing
-    if routing != "none" and lfo.frequency > 0.0 and lfo.depth != 0.0 \
-            and lfo.waveform.kind != "noise":
-        lfo_val = osc_ops.evaluate(
-            lfo.waveform.kind, lfo.frequency * t_abs, lfo.waveform.pulse_width
-        ) * lfo.depth
-    else:
-        lfo_val = jnp.zeros((1, 1), jnp.float32)
+    # S&H noise LFO included: fixed wrapping bank (live ages are unbounded)
+    lfo_value = _make_lfo_value(lfo, _LIVE_SH_CYCLES, 0, wrap=True)
+    lfo_val = lfo_value(t_abs)
 
     def freq_of(osc, fixed_hz, is_osc2):
         if fixed_hz is not None:
@@ -807,52 +806,20 @@ def live_window_block(
     if params.oscillator_2_sync and params.oscillator_1.waveform.kind != "none":
         ph2 = osc_ops.hard_sync_phase(ph1, f2 / jnp.maximum(f1, 1e-6))
 
-    def sig(osc, ph, which):
-        kind = osc.waveform.kind
-        if kind == "none":
-            return jnp.zeros((V, n), jnp.float32)
-        if kind == "pulse-width":
-            width = osc.waveform.pulse_width
-            if routing == "pulse-width" or routing == f"pw-osc{which}":
-                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
-            return osc_ops.pulse_width(ph, width)
-        if kind == "noise":
-            return osc_ops.noise(jax.random.PRNGKey(which), (V, n))
-        return osc_ops.evaluate(kind, ph)
+    t0i = jnp.asarray(t0, jnp.int32)
 
-    s1 = sig(params.oscillator_1, ph1, 1)
-    s2 = sig(params.oscillator_2, ph2, 2)
-    o1 = params.oscillator_1.waveform.kind != "none"
-    o2 = params.oscillator_2.waveform.kind != "none"
-    mix = params.oscillator_mix
-    if o1 and o2:
-        osc_out = mix * s1 + (1.0 - mix) * s2
-    elif o1:
-        osc_out = s1
-    elif o2:
-        osc_out = s2
-    else:
-        osc_out = jnp.zeros((V, n), jnp.float32)
-    if params.noise > 0.0:
-        nz = osc_ops.noise(jax.random.PRNGKey(3), (V, n))
-        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
+    def noise_fn(which):
+        # keyed per BLOCK (fold the absolute block origin): a constant
+        # key would repeat the same 64-sample pattern every block — a
+        # pitched ~689 Hz buzz at 44.1 kHz instead of white noise
+        return osc_ops.noise(
+            jax.random.fold_in(jax.random.PRNGKey(which), t0i), (V, n))
+
+    osc_out = _osc_mix(params, ph1, ph2, routing, lfo_val, noise_fn, (V, n))
 
     # filter coefficients at block start (the 64-frame control cadence)
     t0v = t_abs[:, :1]
-    fe = params.filter_envelope
-    f_env = env_ops.adsr(t0v, gate_s, fe.attack, fe.decay, fe.sustain,
-                         fe.release)
-    cutoff_pct = params.filter_cutoff_start + (
-        params.filter_cutoff_end - params.filter_cutoff_start) * f_env
-    if routing in ("filter-cutoff", "cutoff-amp"):
-        cutoff_pct = cutoff_pct + lfo_val[:, :1] if lfo_val.shape[-1] > 1 \
-            else cutoff_pct + lfo_val
-    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
-    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)
-    q = params.filter_q
-    if routing == "resonance":
-        qv = jnp.maximum(q * (1.0 + lfo_val), 0.1)
-        q = qv[:, :1] if qv.ndim == 2 and qv.shape[-1] > 1 else qv
+    cutoff_hz, q = _filter_controls(params, t0v, gate_s, lfo_value)
     gain, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
     y = osc_out * gain
     s1a0 = jnp.where(fresh, 0.0, fstate["s1a"])
@@ -866,12 +833,8 @@ def live_window_block(
         y, sections[1], block=n,
         initial_state=(s1b0, s2b0), return_state=True)
 
-    ae = params.amp_envelope
-    a_env = env_ops.adsr(t_abs, gate_s, ae.attack, ae.decay, ae.sustain,
-                         ae.release)
-    amp = a_env * (vels[:, None] / 127.0) * active * (age_i >= 0)
-    if routing in ("amplitude", "cutoff-amp"):
-        amp = amp * (1.0 + lfo_val)
+    amp = _amp_env(params, t_abs, gate_s, vels, routing, lfo_val) \
+        * active * (age_i >= 0)
     mono = jnp.sum(y * amp, axis=0)
 
     return mono, {"phase1": new_phase1, "phase2": new_phase2,
@@ -883,6 +846,7 @@ def live_render_block(
     state: LiveVoiceState,
     block: int,
     sample_rate: float,
+    t0=0,
 ) -> tuple[jnp.ndarray, LiveVoiceState]:
     """One streaming block: -> (mono [block], next state).
 
@@ -890,7 +854,9 @@ def live_render_block(
     drift on long holds); filter coefficients update at block rate (the
     reference's 64-frame control cadence) with exact TDF2 state carry via
     ops/iir.biquad(initial_state=..., return_state=True). LFO phase is
-    derived from voice age, so every routing works in streaming mode."""
+    derived from voice age, so every routing works in streaming mode.
+    t0: absolute session frame of the block start (host counter, traced) —
+    keys the noise oscillators per block so their pattern never repeats."""
     sr = sample_rate
     V = state.keys.shape[0]
     j = jnp.arange(block, dtype=jnp.float32)[None, :]
@@ -901,13 +867,9 @@ def live_render_block(
 
     lfo = params.lfo
     routing = lfo.routing
-    if routing != "none" and lfo.frequency > 0.0 and lfo.depth != 0.0 \
-            and lfo.waveform.kind != "noise":
-        lfo_val = osc_ops.evaluate(
-            lfo.waveform.kind, lfo.frequency * t_abs, lfo.waveform.pulse_width
-        ) * lfo.depth
-    else:
-        lfo_val = jnp.zeros((1, 1), jnp.float32)
+    # S&H noise LFO included: fixed wrapping bank (live ages are unbounded)
+    lfo_value = _make_lfo_value(lfo, _LIVE_SH_CYCLES, 0, wrap=True)
+    lfo_val = lfo_value(t_abs)
 
     def freq_of(osc, fixed_hz, is_osc2):
         if fixed_hz is not None:
@@ -928,52 +890,20 @@ def live_render_block(
     if params.oscillator_2_sync and params.oscillator_1.waveform.kind != "none":
         ph2 = osc_ops.hard_sync_phase(ph1, f2 / jnp.maximum(f1, 1e-6))
 
-    def sig(osc, ph, which):
-        kind = osc.waveform.kind
-        if kind == "none":
-            return jnp.zeros((V, block), jnp.float32)
-        if kind == "pulse-width":
-            width = osc.waveform.pulse_width
-            if routing == "pulse-width" or routing == f"pw-osc{which}":
-                width = jnp.clip(width + 0.5 * lfo_val, 0.01, 0.99)
-            return osc_ops.pulse_width(ph, width)
-        if kind == "noise":
-            return osc_ops.noise(jax.random.PRNGKey(which), (V, block))
-        return osc_ops.evaluate(kind, ph)
+    t0i = jnp.asarray(t0, jnp.int32)
 
-    s1 = sig(params.oscillator_1, ph1, 1)
-    s2 = sig(params.oscillator_2, ph2, 2)
-    o1 = params.oscillator_1.waveform.kind != "none"
-    o2 = params.oscillator_2.waveform.kind != "none"
-    mix = params.oscillator_mix
-    if o1 and o2:
-        osc_out = mix * s1 + (1.0 - mix) * s2
-    elif o1:
-        osc_out = s1
-    elif o2:
-        osc_out = s2
-    else:
-        osc_out = jnp.zeros((V, block), jnp.float32)
-    if params.noise > 0.0:
-        nz = osc_ops.noise(jax.random.PRNGKey(3), (V, block))
-        osc_out = osc_out * (1.0 - params.noise) + nz * params.noise
+    def noise_fn(which):
+        # keyed per BLOCK (fold the absolute block origin): a constant
+        # key would repeat the same pattern every block — a pitched buzz
+        return osc_ops.noise(
+            jax.random.fold_in(jax.random.PRNGKey(which), t0i), (V, block))
+
+    osc_out = _osc_mix(params, ph1, ph2, routing, lfo_val, noise_fn,
+                       (V, block))
 
     # filter coefficients at block start (control cadence)
-    t0 = t_abs[:, :1]
-    fe = params.filter_envelope
-    f_env = env_ops.adsr(t0, gate_s, fe.attack, fe.decay, fe.sustain,
-                         fe.release)
-    cutoff_pct = params.filter_cutoff_start + (
-        params.filter_cutoff_end - params.filter_cutoff_start) * f_env
-    if routing in ("filter-cutoff", "cutoff-amp"):
-        cutoff_pct = cutoff_pct + lfo_val[:, :1] if lfo_val.shape[-1] > 1 \
-            else cutoff_pct + lfo_val
-    cutoff_pct = jnp.clip(cutoff_pct, 0.0, 1.0)
-    cutoff_hz = jnp.exp(LN_COEF + cutoff_pct * LN_BASE)        # [V, 1]
-    q = params.filter_q
-    if routing == "resonance":
-        qv = jnp.maximum(q * (1.0 + lfo_val), 0.1)
-        q = qv[:, :1] if qv.ndim == 2 and qv.shape[-1] > 1 else qv
+    t_blk0 = t_abs[:, :1]
+    cutoff_hz, q = _filter_controls(params, t_blk0, gate_s, lfo_value)
     gain, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
     y = osc_out * gain
     y, (s1a, s2a), _ = iir_ops.biquad(
@@ -983,12 +913,7 @@ def live_render_block(
         y, sections[1], block=block,
         initial_state=(state.s1b, state.s2b), return_state=True)
 
-    ae = params.amp_envelope
-    a_env = env_ops.adsr(t_abs, gate_s, ae.attack, ae.decay, ae.sustain,
-                         ae.release)
-    amp = a_env * (state.vels[:, None] / 127.0)
-    if routing in ("amplitude", "cutoff-amp"):
-        amp = amp * (1.0 + lfo_val)
+    amp = _amp_env(params, t_abs, gate_s, state.vels, routing, lfo_val)
     mono = jnp.sum(y * amp, axis=0)
 
     new_state = LiveVoiceState(

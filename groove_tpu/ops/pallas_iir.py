@@ -424,14 +424,8 @@ def _lp24_blk_state_2d(x, na1a, na2a, na1b, na2b, state, cblock: int,
     output and exit state are bitwise the XLA streamed path's, and
     therefore segmentation-invariant for any 64-multiple segmenting."""
     B, n = x.shape
-    ln = cblock
-    nb = -(-n // ln)
-    cb = CB
-    nchunks = -(-nb // cb)
-    nbp = nchunks * cb
-    R = _pick_r(B, BLK_MAX_R)
-    G = -(-B // R)
-    T = nb if nchunks == 1 else cb
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(
+        B, n, cblock, max_r=BLK_MAX_R, pin_ln=True)
     kernel, lb = _make_kernel_lp24_blk_state(ln, T, cblock, nchunks,
                                              (nb - 1) % cb)
     nb64 = na1a.shape[-1]
@@ -469,23 +463,21 @@ def lp24_blockrate_stream_pallas(x, sections_b, state, cblock: int = 64,
     """Fused lp24 cascade with block-rate denominators AND carried TDF2
     state — the kernel form of applying ops/stream.biquad_stream twice.
     x: [..., n]; state: [..., 4] as (s1a, s2a, s1b, s2b).
+    n must be a multiple of cblock: the kernel pads n up to the 64-grid
+    internally, and an unaligned call would export state contaminated by
+    the padded zero samples — breaking the chain-bitwise contract
+    silently (ops/stream.biquad_stream documents the same requirement).
     Returns (y, state')."""
     shape = x.shape
+    if shape[-1] % cblock:
+        raise ValueError(
+            f"stateful stream kernel needs n % {cblock} == 0, got "
+            f"{shape[-1]} (exported state would include padded samples)")
     flat = _flat(x)
     nb64 = -(-shape[-1] // cblock)
     cshape = shape[:-1] + (nb64,)
-
-    def denoms(sec):
-        _, _, _, a1, a2 = sec
-        return (
-            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-        )
-
-    na1a, na2a = denoms(sections_b[0])
-    na1b, na2b = denoms(sections_b[1])
+    na1a, na2a = _denoms_blk(sections_b[0], cshape, flat.shape[0], nb64)
+    na1b, na2b = _denoms_blk(sections_b[1], cshape, flat.shape[0], nb64)
     st = jnp.asarray(state, jnp.float32).reshape(flat.shape[0], 4)
     y, st2 = _lp24_blk_state_2d(flat, na1a, na2a, na1b, na2b, st, cblock,
                                 interpret=interpret)
@@ -575,11 +567,14 @@ def _lp24_2d(x, na1a, na2a, na1b, na2b, interpret: bool = False):
     return _unfold(y, B, n)
 
 
-def _geom_blk(B: int, n: int, cblock: int, max_r: int = 24):
+def _geom_blk(B: int, n: int, cblock: int, max_r: int = 24,
+              pin_ln: bool = False):
     """Geometry for block-rate-coefficient kernels: ln must be a multiple
-    of cblock so coef rows tile evenly."""
+    of cblock so coef rows tile evenly. pin_ln=True pins ln = cblock —
+    the STATEFUL kernels' grid, whose math must match ops/stream's fixed
+    64-grid so chained calls are bitwise one long call."""
     from groove_tpu.ops.iir import block_for
-    ln = max(block_for(n, max_block=L), cblock)
+    ln = cblock if pin_ln else max(block_for(n, max_block=L), cblock)
     nb = -(-n // ln)
     cb = CB
     nchunks = -(-nb // cb)
@@ -588,6 +583,19 @@ def _geom_blk(B: int, n: int, cblock: int, max_r: int = 24):
     G = -(-B // R)
     T = nb if nchunks == 1 else cb
     return ln, nb, cb, nchunks, nbp, G, T, R
+
+
+def _denoms_blk(sec, cshape, rows: int, nb64: int):
+    """Negated denominators of one lp24 section, broadcast/flattened to
+    [rows, nb64] kernel rows (the cascade's numerators are the constant
+    (1, 2, 1) by construction, so only -a1/-a2 ship to the kernels)."""
+    _, _, _, a1, a2 = sec
+    return (
+        jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
+        .reshape(rows, nb64),
+        jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
+        .reshape(rows, nb64),
+    )
 
 
 def _pad_fold_blk(vb, B, nb64, G, lb, nbp, R):
@@ -684,18 +692,8 @@ def lp24_blockrate_pallas(x, sections_b, cblock: int = 64,
     flat = _flat(x)
     nb64 = -(-shape[-1] // cblock)
     cshape = shape[:-1] + (nb64,)
-
-    def denoms(sec):
-        _, _, _, a1, a2 = sec
-        return (
-            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-        )
-
-    na1a, na2a = denoms(sections_b[0])
-    na1b, na2b = denoms(sections_b[1])
+    na1a, na2a = _denoms_blk(sections_b[0], cshape, flat.shape[0], nb64)
+    na1b, na2b = _denoms_blk(sections_b[1], cshape, flat.shape[0], nb64)
     out = _lp24_blk_2d(flat, na1a, na2a, na1b, na2b, cblock,
                        interpret=interpret)
     return out.reshape(shape)
@@ -725,21 +723,12 @@ def biquad_pallas(x, coefs, interpret: bool = False):
 def lp24_cascade_pallas(x, sections, interpret: bool = False):
     """Fused filters004 24 dB cascade. sections: two (b0, b1, b2, a1, a2)
     tuples from ops/iir.lp24_sections — numerators are the constant
-    (1, 2, 1) by construction; only the denominators are shipped."""
+    (1, 2, 1) by construction; only the denominators are shipped. The
+    denominators here are PER-SAMPLE (cshape = the full signal shape)."""
     shape = x.shape
     flat = _flat(x)
-
-    def denoms(sec):
-        _, _, _, a1, a2 = sec
-        return (
-            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), shape)
-            .reshape(flat.shape),
-            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), shape)
-            .reshape(flat.shape),
-        )
-
-    na1a, na2a = denoms(sections[0])
-    na1b, na2b = denoms(sections[1])
+    na1a, na2a = _denoms_blk(sections[0], shape, flat.shape[0], shape[-1])
+    na1b, na2b = _denoms_blk(sections[1], shape, flat.shape[0], shape[-1])
     out = _lp24_2d(flat, na1a, na2a, na1b, na2b, interpret=interpret)
     return out.reshape(shape)
 
@@ -1046,18 +1035,8 @@ def lp24_refined_blockrate_pallas(x, sections_b, cblock: int = 64,
     flat = _flat(x)
     nb64 = -(-shape[-1] // cblock)
     cshape = shape[:-1] + (nb64,)
-
-    def denoms(sec):
-        _, _, _, a1, a2 = sec
-        return (
-            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-        )
-
-    na1a, na2a = denoms(sections_b[0])
-    na1b, na2b = denoms(sections_b[1])
+    na1a, na2a = _denoms_blk(sections_b[0], cshape, flat.shape[0], nb64)
+    na1b, na2b = _denoms_blk(sections_b[1], cshape, flat.shape[0], nb64)
     out = _lp24_refined_blk_2d(flat, na1a, na2a, na1b, na2b, cblock,
                                interpret=interpret)
     return out.reshape(shape)
@@ -1071,14 +1050,8 @@ def _lp24_refined_blk_state_2d(x, na1a, na2a, na1b, na2b, state,
     chained calls are bitwise one long call for any 64-multiple
     segmenting. Returns (y [B, n], state' [B, 20])."""
     B, n = x.shape
-    ln = cblock
-    nb = -(-n // ln)
-    cb = CB
-    nchunks = -(-nb // cb)
-    nbp = nchunks * cb
-    R = _pick_r(B, REFINED_MAX_R)
-    G = -(-B // R)
-    T = nb if nchunks == 1 else cb
+    ln, nb, cb, nchunks, nbp, G, T, R = _geom_blk(
+        B, n, cblock, max_r=REFINED_MAX_R, pin_ln=True)
     kernel, lb = _make_kernel_lp24_refined_blk(
         ln, T, cblock, nchunks=nchunks, last_lane=(nb - 1) % cb,
         state_io=True)
@@ -1121,23 +1094,19 @@ def lp24_refined_blockrate_stream_pallas(x, sections_b, state,
     """Fused refined lp24 cascade with carried state — the kernel form
     of segment-streaming the refinement. x: [..., n]; state: [..., 20]
     (zeros to start). Chaining calls through the state is bitwise one
-    long call. Returns (y, state')."""
+    long call. n must be a multiple of cblock (see
+    lp24_blockrate_stream_pallas: unaligned calls would export state
+    contaminated by padded zero samples). Returns (y, state')."""
     shape = x.shape
+    if shape[-1] % cblock:
+        raise ValueError(
+            f"stateful stream kernel needs n % {cblock} == 0, got "
+            f"{shape[-1]} (exported state would include padded samples)")
     flat = _flat(x)
     nb64 = -(-shape[-1] // cblock)
     cshape = shape[:-1] + (nb64,)
-
-    def denoms(sec):
-        _, _, _, a1, a2 = sec
-        return (
-            jnp.broadcast_to(jnp.asarray(-a1, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-            jnp.broadcast_to(jnp.asarray(-a2, jnp.float32), cshape)
-            .reshape(flat.shape[0], nb64),
-        )
-
-    na1a, na2a = denoms(sections_b[0])
-    na1b, na2b = denoms(sections_b[1])
+    na1a, na2a = _denoms_blk(sections_b[0], cshape, flat.shape[0], nb64)
+    na1b, na2b = _denoms_blk(sections_b[1], cshape, flat.shape[0], nb64)
     st = jnp.asarray(state, jnp.float32).reshape(flat.shape[0], 20)
     y, st2 = _lp24_refined_blk_state_2d(flat, na1a, na2a, na1b, na2b,
                                         st, cblock, interpret=interpret)
