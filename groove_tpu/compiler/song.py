@@ -26,7 +26,9 @@ from groove_tpu.core.time import (
     render_length_frames,
 )
 from groove_tpu.models import sampler as sampler_mod
-from groove_tpu.models.voices import apply_mono_policy, apply_multilimit_policy
+from groove_tpu.models.voices import (apply_mono_policy,
+                                      apply_multilimit_policy,
+                                      glide_prev_keys)
 from groove_tpu.project.paths import Paths
 from groove_tpu.project.patches import (
     FmSynthParams,
@@ -45,10 +47,14 @@ class PatchError(ValueError):
 
 @dataclass
 class NoteTensors:
-    keys: np.ndarray        # [n] int32
+    keys: np.ndarray        # [n] int32 (float32 for unison-tripled welsh)
     vels: np.ndarray        # [n] float32
     on_frames: np.ndarray   # [n] int32
     off_frames: np.ndarray  # [n] int32
+    # glide-source keys (models/voices.glide_prev_keys); only set for
+    # welsh voices with glide > 0 — None keeps glide-free devices'
+    # render graphs byte-identical to before the feature existed
+    prev_keys: "np.ndarray | None" = None
 
     @property
     def count(self) -> int:
@@ -291,14 +297,21 @@ def compile_song(
             nslots = dev.sample_table.data.shape[0]
             dev.slots = (keys % max(nslots, 1)).astype(np.int32)
 
+        prev = None
         if isinstance(dev.voice, WelshVoiceParams):
             if dev.voice.polyphony == "mono":
                 off = apply_mono_policy(on, off)
             elif (dev.voice.polyphony == "multi-limit"
                   and dev.voice.poly_limit > 0):
                 off = apply_multilimit_policy(on, off, dev.voice.poly_limit)
+            if dev.voice.glide > 0.0 and len(keys):
+                prev = glide_prev_keys(keys, on)
+            # NOTE: unison is NOT applied here — dev.notes stays the true
+            # performance (the MIDI bounce, GUI and save read it); the
+            # render engines triple notes at input-build time
+            # (welsh.unison_notes).
 
-        dev.notes = NoteTensors(keys, vels, on, off)
+        dev.notes = NoteTensors(keys, vels, on, off, prev_keys=prev)
 
     # ---- control links: trips -------------------------------------------
     initial_values: dict[tuple[str, str], float] = {}

@@ -70,6 +70,7 @@ class LiveSynth:
         self._age = np.zeros(n_voices, np.int64)
         self._held = np.zeros(n_voices, bool)
         self._frames = 0  # absolute session frames (noise block keying)
+        self._last_key = None  # glide source: the last played pitch
 
     # -- MIDI (any thread) -------------------------------------------------
 
@@ -80,6 +81,10 @@ class LiveSynth:
                 v = int(free[0])
             else:  # steal the oldest voice
                 v = int(np.argmax(self._age))
+            # glide source: the last played pitch (or this one, first note)
+            prev = self._last_key if self._last_key is not None \
+                else float(key)
+            self._last_key = float(key)
             self._keys[v] = float(key)
             self._vels[v] = float(velocity)
             self._age[v] = 0
@@ -94,6 +99,7 @@ class LiveSynth:
                 release_age=st.release_age.at[v].set(2**30),
                 keys=st.keys.at[v].set(float(key)),
                 vels=st.vels.at[v].set(float(velocity)),
+                prev_keys=st.prev_keys.at[v].set(prev),
             )
 
     def note_off(self, key: int) -> None:
@@ -109,7 +115,7 @@ class LiveSynth:
                 s1a=st.s1a, s2a=st.s2a, s1b=st.s1b, s2b=st.s2b,
                 age=st.age,
                 release_age=st.release_age.at[v].set(st.age[v]),
-                keys=st.keys, vels=st.vels,
+                keys=st.keys, vels=st.vels, prev_keys=st.prev_keys,
             )
 
     def handle_midi(self, channel: int, kind: str, data: tuple) -> None:

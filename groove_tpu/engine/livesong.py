@@ -86,6 +86,7 @@ class LiveSongRenderer(StreamingRenderer):
         self._seq_notes = bool(play_song)
         self._pools: dict[str, dict] = {}
         self._rr: dict[str, dict] = {}   # drum round-robin counters
+        self._glide_last: dict[str, float | None] = {}  # last pitch per pool
         self._lock = threading.RLock()
         self.frame = 0                    # next block start (rebases, see
         #                                   render_block; ages stay exact)
@@ -120,8 +121,13 @@ class LiveSongRenderer(StreamingRenderer):
                     "off": np.full(V, FAR, np.int32),
                     "slot": np.full(V, -1, np.int32),
                     "ratio": np.ones(V, np.float32),
+                    # glide-source key per voice (welsh portamento): the
+                    # last pitch played on this device before the voice's
+                    # note-on (== keys for the first note / no glide)
+                    "prev": np.zeros(V, np.float32),
                 }
                 self._rr[dev.uvid] = {}
+                self._glide_last[dev.uvid] = None
 
     # ---- state/input overrides --------------------------------------------
 
@@ -161,7 +167,8 @@ class LiveSongRenderer(StreamingRenderer):
         for u, pool in self._pools.items():
             xs[f"{u}/li"] = np.stack(
                 [pool["keys"], pool["on"], pool["off"], pool["slot"]])
-            xs[f"{u}/lf"] = np.stack([pool["vels"], pool["ratio"]])
+            xs[f"{u}/lf"] = np.stack(
+                [pool["vels"], pool["ratio"], pool["prev"]])
         return xs
 
     # ---- live instrument rendering ----------------------------------------
@@ -213,7 +220,8 @@ class LiveSongRenderer(StreamingRenderer):
                       for name in ("phase1", "phase2",
                                    "s1a", "s2a", "s1b", "s2b")}
             mono, fstate2 = welsh_model.live_window_block(
-                dev.voice, fstate, keys, vels, on, off, t0, n, sr)
+                dev.voice, fstate, keys, vels, on, off, t0, n, sr,
+                prev_keys=lf[2])
             for name, v in fstate2.items():
                 new_state[f"{u}/lw/{name}"] = v
             lv, rv = pan_gains(0.0)
@@ -272,6 +280,12 @@ class LiveSongRenderer(StreamingRenderer):
                 pool["vels"][v] = float(velocity)
                 pool["on"][v] = t
                 pool["off"][v] = FAR
+                # glide source: the device's last played pitch (live
+                # unison stays a single center voice — the pool transports
+                # integer keys; offline unison triples at compile time)
+                last = self._glide_last.get(u)
+                pool["prev"][v] = float(key) if last is None else last
+                self._glide_last[u] = float(key)
                 if dev.kind == "drumkit":
                     rr = dev.drum_note_slots.get(int(key)) \
                         if dev.drum_note_slots else None

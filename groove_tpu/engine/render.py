@@ -246,12 +246,20 @@ class Renderer:
             needs, owner, local, per_dev = [], [], [], {}
             for di, d in enumerate(grp):
                 notes = d.notes
-                gate = (notes.off_frames - notes.on_frames).astype(np.int64)
+                k, v, on, off, pv = (notes.keys, notes.vels,
+                                     notes.on_frames, notes.off_frames,
+                                     notes.prev_keys)
+                if d.voice.unison and notes.count:
+                    # unison triples the RENDERED notes only (dev.notes
+                    # stays the true performance — welsh.unison_notes)
+                    k, v, on, off, pv = welsh_model.unison_notes(
+                        k, v, on, off, pv)
+                gate = (off - on).astype(np.int64)
                 tail = welsh_model.tail_seconds(d.voice)
                 needs.append(gate + int(np.ceil(tail * sr)) + 1)
-                owner.append(np.full(notes.count, di))
-                local.append(np.arange(notes.count))
-                per_dev[d.uvid] = (notes, gate)
+                owner.append(np.full(len(k), di))
+                local.append(np.arange(len(k)))
+                per_dev[d.uvid] = (k, v, on, gate, pv)
             owner = np.concatenate(owner)
             local = np.concatenate(local)
             buckets = bucket_notes(np.concatenate(needs), self.c.n_frames,
@@ -263,15 +271,17 @@ class Renderer:
                     li = np.sort(local[idx[owner[idx] == di]])
                     if li.size == 0:
                         continue
-                    notes, gate = per_dev[d.uvid]
+                    k, v, on, gate, pv = per_dev[d.uvid]
                     b = f"wm/b{j}/{d.uvid}"
-                    self.inputs[f"{b}/keys"] = notes.keys[li]
-                    self.inputs[f"{b}/vels"] = notes.vels[li]
-                    self.inputs[f"{b}/on"] = notes.on_frames[li]
+                    self.inputs[f"{b}/keys"] = k[li]
+                    self.inputs[f"{b}/vels"] = v[li]
+                    self.inputs[f"{b}/on"] = on[li]
                     self.inputs[f"{b}/gate"] = gate[li].astype(np.int32)
                     # global note indices within the DEVICE (noise keying
                     # — welsh.render_notes_parts note_ids)
                     self.inputs[f"{b}/ids"] = li.astype(np.int32)
+                    if pv is not None:  # glide sources
+                        self.inputs[f"{b}/prev"] = pv[li]
                     members.append((d.uvid, int(li.size)))
                 self._wm_plan.append((int(span), members))
                 j += 1
@@ -375,34 +385,36 @@ class Renderer:
                 else 12 * self.NOTE_CHUNK_ELEMS)
 
     def _chunked_mono(self, render_fn, keys, vels, gate, on, ids, span: int,
-                      n: int):
+                      n: int, prev=None):
         """Render note batches in chunks and scatter-sum into the timeline.
 
         Chunks run under lax.scan so the HLO holds ONE voice-pipeline
         instance however many chunks a long song needs (a Python loop
         duplicated the pipeline per chunk and overwhelmed the remote
         compiler on 2,400-note SMF imports). Padding notes are silent
-        (velocity 0)."""
+        (velocity 0). prev (optional glide-source keys) chunks alongside
+        and is passed to render_fn as a sixth argument; padded rows get
+        prev == keys == 0 (ratio 1, no glide)."""
         count = keys.shape[0]
         per_chunk = max(1, self._note_chunk_elems // max(span, 1))
         if count <= per_chunk:
-            return scatter_notes(render_fn(keys, vels, gate, on, ids), on, n)
+            args = (keys, vels, gate, on, ids) \
+                + (() if prev is None else (prev,))
+            return scatter_notes(render_fn(*args), on, n)
         n_chunks = -(-count // per_chunk)
         padn = n_chunks * per_chunk - count
-        keys_c = jnp.pad(keys, (0, padn)).reshape(n_chunks, per_chunk)
-        vels_c = jnp.pad(vels, (0, padn)).reshape(n_chunks, per_chunk)
-        gate_c = jnp.pad(gate, (0, padn)).reshape(n_chunks, per_chunk)
-        on_c = jnp.pad(on, (0, padn)).reshape(n_chunks, per_chunk)
-        ids_c = jnp.pad(ids, (0, padn)).reshape(n_chunks, per_chunk)
+        cols = [keys, vels, gate, on, ids] \
+            + ([] if prev is None else [prev])
+        chunked = tuple(
+            jnp.pad(c, (0, padn)).reshape(n_chunks, per_chunk) for c in cols)
 
         def body(mono, chunk):
-            k, v, g, o, i = chunk
-            notes = render_fn(k, v, g, o, i)
+            o = chunk[3]
+            notes = render_fn(*chunk)
             return mono + scatter_notes(notes, o, n), None
 
         mono0 = jnp.zeros((n,), jnp.float32)
-        mono, _ = jax.lax.scan(
-            body, mono0, (keys_c, vels_c, gate_c, on_c, ids_c))
+        mono, _ = jax.lax.scan(body, mono0, chunked)
         return mono
 
     def _render_welsh_merged(self, inputs, n: int, only=None) -> dict:
@@ -435,14 +447,16 @@ class Renderer:
                         dev = self.c.devices[uvid]
                         rf = self._welsh_refine.get(uvid, False)
                         mono = self._chunked_mono(
-                            lambda k, v, g, o, i, s=span, p=dev.voice,
+                            lambda k, v, g, o, i, *pr, s=span, p=dev.voice,
                             rf_=rf:
                             welsh_model.render_notes(
                                 p, k, v, g, s, sr, refine_filter=rf_,
-                                note_ids=i),
+                                note_ids=i,
+                                prev_keys=pr[0] if pr else None),
                             inputs[f"{b}/keys"], inputs[f"{b}/vels"],
                             inputs[f"{b}/gate"], inputs[f"{b}/on"],
                             inputs[f"{b}/ids"], span, n,
+                            prev=inputs.get(f"{b}/prev"),
                         )
                         monos[uvid] = monos[uvid] + mono
                         continue
@@ -468,6 +482,7 @@ class Renderer:
                 dev.voice, inputs[f"{b}/keys"], inputs[f"{b}/vels"],
                 inputs[f"{b}/gate"], span, sr,
                 note_ids=inputs[f"{b}/ids"],
+                prev_keys=inputs.get(f"{b}/prev"),
             )
             oss.append(o)
             cuts.append(cb)

@@ -151,17 +151,20 @@ class StreamingRenderer:
             return float(dev.params.get("release", 0.0))
         return 0.0
 
-    def _note_buckets(self, dev: DeviceIR) -> list:
+    def _note_buckets(self, dev: DeviceIR, on=None, off=None) -> list:
         """Span buckets [(span, note_indices)] for one instrument — the
         whole-song path's wasted-work bound (one drone must not force
         every short note to render a drone-length window; in the stream
         it additionally multiplies by the segment-overlap factor). Spans
-        crop to the timeline like the whole-song Renderer."""
+        crop to the timeline like the whole-song Renderer. on/off
+        override the device's note frames (unison-tripled welsh)."""
         from groove_tpu.models.voices import bucket_notes
 
         notes = dev.notes
         sr = self.c.sample_rate
-        gate = (notes.off_frames - notes.on_frames).astype(np.int64)
+        on = notes.on_frames if on is None else on
+        off = notes.off_frames if off is None else off
+        gate = (off - on).astype(np.int64)
         tail = self._note_tail(dev)
         need = gate + int(np.ceil(tail * sr)) + 1
         return bucket_notes(need, self.c.n_frames)
@@ -226,8 +229,18 @@ class StreamingRenderer:
                     and dev.voice is None:
                 continue  # loader already warned; renders silent
             notes = dev.notes
-            gate = (notes.off_frames - notes.on_frames).astype(np.int32)
-            buckets = self._note_buckets(dev)
+            keys_a, vels_a = notes.keys, notes.vels
+            on_a, off_a = notes.on_frames, notes.off_frames
+            prev_a = notes.prev_keys
+            if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None \
+                    and dev.voice.unison and notes.count:
+                # unison triples the RENDERED notes only (dev.notes stays
+                # the true performance — welsh.unison_notes)
+                keys_a, vels_a, on_a, off_a, prev_a = \
+                    welsh_model.unison_notes(keys_a, vels_a, on_a, off_a,
+                                             prev_a)
+            gate = (off_a - on_a).astype(np.int32)
+            buckets = self._note_buckets(dev, on_a, off_a)
             self._spans[u] = [s for s, _ in buckets]
             self._bucket_on[u] = []
             if dev.kind == "sampler":
@@ -239,14 +252,16 @@ class StreamingRenderer:
                 )
             for j, (span, idx) in enumerate(buckets):
                 b = f"{u}/b{j}"
-                self.inputs[f"{b}/keys"] = notes.keys[idx]
-                self.inputs[f"{b}/vels"] = notes.vels[idx]
-                self.inputs[f"{b}/on"] = notes.on_frames[idx]
+                self.inputs[f"{b}/keys"] = keys_a[idx]
+                self.inputs[f"{b}/vels"] = vels_a[idx]
+                self.inputs[f"{b}/on"] = on_a[idx]
                 self.inputs[f"{b}/gate"] = gate[idx]
                 # global note indices: noise keying must be invariant to
                 # the bucket partition AND the per-segment overlap set
                 # (welsh.render_notes note_ids)
                 self.inputs[f"{b}/ids"] = idx.astype(np.int32)
+                if prev_a is not None:  # glide sources
+                    self.inputs[f"{b}/prev"] = prev_a[idx]
                 if dev.uvid in self._sliced:
                     # host time-base constants the slice path gathers
                     # from (bitwise the whole path's t / t_blk values)
@@ -271,8 +286,7 @@ class StreamingRenderer:
                     self.inputs[f"{b}/slots"] = dev.slots[idx]
                 if dev.kind == "sampler":
                     self.inputs[f"{b}/ratios"] = ratios[idx]
-                self._bucket_on[u].append(
-                    np.asarray(notes.on_frames[idx], np.int64))
+                self._bucket_on[u].append(np.asarray(on_a[idx], np.int64))
             if dev.sample_table is not None:
                 self.inputs[f"{u}/table"] = dev.sample_table.data
                 self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
@@ -532,10 +546,14 @@ class StreamingRenderer:
                                   beta_b=ac_.get("beta")))
                 else:
                     rf = self._welsh_refine.get(u, False)
-                    render = (lambda p_, k, v, g, o, s_, sr_, i_=ids, rf_=rf:
+                    pv = jnp.take(inputs[f"{b}/prev"], idx, axis=0) \
+                        if f"{b}/prev" in inputs else None
+                    render = (lambda p_, k, v, g, o, s_, sr_, i_=ids,
+                              rf_=rf, pv_=pv:
                               welsh_model.render_notes(p_, k, v, g, s_, sr_,
                                                        refine_filter=rf_,
-                                                       note_ids=i_))
+                                                       note_ids=i_,
+                                                       prev_keys=pv_))
                 mono = place(render(dev.voice, keys, vels, gate, on,
                                     span, sr))
                 out = out + jnp.stack([mono, mono])  # DCA applied after

@@ -121,6 +121,33 @@ def bucket_notes(need_frames: np.ndarray, cap: int, max_buckets: int = 3,
     return out
 
 
+def glide_prev_keys(keys: np.ndarray, on: np.ndarray) -> np.ndarray:
+    """Per-note glide-source keys: the key of the latest STRICTLY-earlier
+    onset on the same device (portamento slides from the last played
+    pitch, whether or not it is still sounding — how analog monosynths
+    behave). Notes sharing an onset (chords) all glide from the same
+    predecessor and never from each other; the first onset group gets its
+    own keys (no glide). Host-side (numpy), computed at compile time.
+
+    RECONSTRUCTION: the reference parses glide (patches.rs:33) but its
+    derive drops it (patches.rs:110-169), so these are improvement
+    semantics, not reference semantics."""
+    keys = np.asarray(keys, np.float32)
+    on = np.asarray(on)
+    prev = keys.copy()
+    order = np.argsort(on, kind="stable")
+    j, last_key = 0, None
+    while j < len(order):
+        k = j
+        while k < len(order) and on[order[k]] == on[order[j]]:
+            k += 1
+        if last_key is not None:
+            prev[order[j:k]] = last_key
+        last_key = keys[order[k - 1]]
+        j = k
+    return prev
+
+
 def apply_mono_policy(on: np.ndarray, off: np.ndarray) -> np.ndarray:
     """Monophonic voice policy: a new note-on gates off the previous note.
 

@@ -33,7 +33,14 @@ review):
     through the hearing-range map (25*800^pct), per sample;
   - both the voice DCA and the synth DCA apply (both exist in
     WelshSynthParams, patches.rs:160-168), i.e. 0.75^2 per channel at
-    center pan.
+    center pan;
+  - glide (portamento) and unison are KEPT like the noise mix-in: the
+    reference parses both (patches.rs:33-34) but its derive drops them
+    (patches.rs:110-169) although 19 shipped patches carry nonzero glide
+    and screaming-sync sets unison. Glide = constant-time exponential
+    slide from the last played pitch (_glide_factor/_glide_phase,
+    closed-form — no cumsum); unison = three copies at +/-UNISON_CENTS
+    and vel/3, tripled at render-input time (unison_notes).
 """
 
 from __future__ import annotations
@@ -152,6 +159,57 @@ def filter_fidelity_mode(params: WelshVoiceParams,
 #: clip). threefry is prefix-stable, so the first cycles equal an offline
 #: bank drawn from the same key.
 _LIVE_SH_CYCLES = 8192
+
+#: Unison detune: the classic +/-7-cent three-voice stack. Unison is a
+#: RECONSTRUCTED IMPROVEMENT (the reference derive drops the patch field,
+#: patches.rs:110-169) implemented by note TRIPLING at compile time
+#: (compiler/song.py): fractional MIDI keys +/-0.07 semitones at vel/3
+#: ride every existing render path unchanged.
+UNISON_CENTS = 7.0
+
+
+def unison_notes(keys, vels, on_frames, off_frames, prev_keys=None):
+    """Host-side unison TRIPLING for the render engines' note inputs:
+    -> (keys f32, vels, on, off, prev) with each note replaced by three
+    copies at -/0/+ UNISON_CENTS detune and vel/3 (copies glide in
+    parallel when prev_keys is given). dev.notes itself is never tripled
+    — it stays the true performance for the MIDI bounce/GUI/save; only
+    what the welsh voice renders is stacked."""
+    n = len(keys)
+    rep = np.repeat(np.arange(n), 3)
+    det_semi = np.float32(UNISON_CENTS / 100.0)
+    det = np.tile(np.array([-det_semi, 0.0, det_semi], np.float32), n)
+    keys3 = np.asarray(keys, np.float32)[rep] + det
+    vels3 = (np.asarray(vels, np.float32) / 3.0)[rep]
+    on3 = np.asarray(on_frames)[rep]
+    off3 = np.asarray(off_frames)[rep]
+    prev3 = None if prev_keys is None \
+        else np.asarray(prev_keys, np.float32)[rep] + det
+    return keys3, vels3, on3, off3, prev3
+
+
+def _glide_factor(r, T: float, t):
+    """Instantaneous glide multiplier g(t) = r^max(1 - t/T, 0): the pitch
+    starts at r x the target frequency (r = f_prev/f_target) and slides
+    exponentially (linear in log-frequency) to 1 over T seconds —
+    constant-TIME portamento. Glide is a RECONSTRUCTED IMPROVEMENT: the
+    reference parses the patch field (patches.rs:33) but its derive drops
+    it (patches.rs:110-169); 19 shipped patches carry nonzero glide."""
+    u = jnp.maximum(1.0 - t / T, 0.0)
+    return jnp.exp(u * jnp.log(r))
+
+
+def _glide_phase(f, r, T: float, t):
+    """Closed-form phase of the exponential glide (integral of
+    f * _glide_factor): f*T*(r - r^u)/ln r + f*max(t - T, 0) with
+    u = max(1 - t/T, 0) and the r -> 1 limit f*t (guarded |ln r|).
+    Closed form keeps the no-cumsum rule: f32 phase accumulation drifts
+    on multi-second notes (see render_notes_parts.osc_phase)."""
+    lr = jnp.log(r)
+    safe = jnp.where(jnp.abs(lr) < 1e-6, 1.0, lr)
+    u = jnp.maximum(1.0 - t / T, 0.0)
+    ph = f * T * (r - jnp.exp(u * safe)) / safe + f * jnp.maximum(t - T, 0.0)
+    return jnp.where(jnp.abs(lr) < 1e-6, f * t, ph)
 
 
 def _make_lfo_value(lfo, n_cycles: int, noise_seed: int, wrap: bool):
@@ -274,6 +332,7 @@ def render_notes_parts(
     sample_rate: float,
     noise_seed: int = 0,
     note_ids=None,
+    prev_keys=None,
 ):
     """Everything but the cascade: (osc_out [n, span], cutoff_hz [n, nb],
     q_b [n, nb], amp [n, span]).
@@ -289,7 +348,10 @@ def render_notes_parts(
     arange) — callers that batch a SUBSET of an instrument's notes (span
     buckets, per-segment overlap sets) must pass the notes' global
     indices so a note's noise is invariant to how the batch was formed
-    (osc_ops.noise_rows)."""
+    (osc_ops.noise_rows). prev_keys: [n] glide-source keys
+    (models/voices.glide_prev_keys) — pitch slides from them over
+    params.glide seconds when the patch sets glide > 0; None (or
+    glide == 0) keeps the exact glide-free graph."""
     keys = jnp.asarray(keys, jnp.float32)
     n_notes = keys.shape[0]
     if note_ids is None:
@@ -311,6 +373,11 @@ def render_notes_parts(
     routing = lfo.routing
 
     pitch_modulated = routing in ("pitch", "pitch-osc2")
+    glide_on = params.glide > 0.0 and prev_keys is not None
+    if glide_on:
+        # frequency ratio prev/target per note (tune-independent)
+        r_gl = jnp.exp2(
+            (jnp.asarray(prev_keys, jnp.float32) - keys) / 12.0)[:, None]
 
     def osc_freq(osc, fixed_hz, is_osc2):
         if fixed_hz is not None:
@@ -321,9 +388,14 @@ def render_notes_parts(
             f = f * jnp.exp2(lfo_val)
         return jnp.broadcast_to(f, (n_notes, span))
 
-    def osc_phase(f):
+    def osc_phase(f, glides=True):
         if pitch_modulated:
+            if glide_on and glides:
+                f = f * _glide_factor(r_gl, params.glide, t)
             return osc_ops.phase_from_freq(f, sample_rate)
+        if glide_on and glides:
+            # closed-form glide phase (no cumsum, same rule as below)
+            return _glide_phase(f, r_gl, params.glide, t)
         # constant per-note frequency: closed-form phase avoids the f32
         # cumsum drift on multi-second notes
         return f * t
@@ -340,12 +412,17 @@ def render_notes_parts(
 
     f1 = osc_freq(params.oscillator_1, None, False)
     f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz, True)
+    o2_tracks = params.oscillator_2_fixed_hz is None
     phase1 = osc_phase(f1)
     if params.oscillator_2_sync and o1_active:
         # hard sync: osc2 phase resets at each osc1 wrap (closed form)
-        phase2 = osc_ops.hard_sync_phase(phase1, f2 / jnp.maximum(f1, 1e-6))
+        ratio = f2 / jnp.maximum(f1, 1e-6)
+        if glide_on and not o2_tracks:
+            # osc2 holds its fixed pitch while osc1 glides underneath
+            ratio = ratio / _glide_factor(r_gl, params.glide, t)
+        phase2 = osc_ops.hard_sync_phase(phase1, ratio)
     else:
-        phase2 = osc_phase(f2)
+        phase2 = osc_phase(f2, glides=o2_tracks)
 
     osc_out = _osc_mix(params, phase1, phase2, routing, lfo_val, noise_fn,
                        (n_notes, span))
@@ -371,6 +448,7 @@ def render_notes(
     noise_seed: int = 0,
     refine_filter: bool = False,
     note_ids=None,
+    prev_keys=None,
 ) -> jnp.ndarray:
     """Render all notes -> mono [n_notes, span]. refine_filter: add the
     defect-correction pass to the cascade (host decision via
@@ -378,10 +456,10 @@ def render_notes(
     in-graph code cannot decide) — may also be a fidelity MODE string
     from filter_fidelity_mode ("serial" routes deep-corner parked
     cascades on non-Pallas backends). See render_notes_parts for the
-    note_ids contract."""
+    note_ids and prev_keys (glide) contracts."""
     osc_out, cutoff_b, q_b, amp = render_notes_parts(
         params, keys, vels, gate_frames, span, sample_rate,
-        noise_seed=noise_seed, note_ids=note_ids,
+        noise_seed=noise_seed, note_ids=note_ids, prev_keys=prev_keys,
     )
     # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU)
     fidelity = refine_filter if isinstance(refine_filter, str) \
@@ -425,11 +503,16 @@ def tail_seconds(params: WelshVoiceParams) -> float:
 
 def can_slice(params: WelshVoiceParams) -> bool:
     """Pitch-modulated phases integrate a cumsum over the whole window
-    and cannot be sliced; everything else is closed-form in note age."""
+    and cannot be sliced; everything else is closed-form in note age.
+    Glide patches also fall back to the unsliced path: the glide phase is
+    closed-form in note age but transcendental-heavy (exp/log per
+    sample), and per-program fma regrouping of such chains is exactly
+    the class of hazard the sliced bitwise contract pins against — the
+    unsliced path needs no such proof."""
     lfo = params.lfo
     pitch_mod = (lfo.routing in ("pitch", "pitch-osc2")
                  and lfo.frequency > 0.0 and lfo.depth != 0.0)
-    return not pitch_mod
+    return not pitch_mod and params.glide <= 0.0
 
 
 def slice_time_bases(span: int, sample_rate: float):
@@ -712,12 +795,13 @@ class LiveVoiceState:
     release_age: jnp.ndarray  # i32 frame of note-off (2**30 while held)
     keys: jnp.ndarray       # f32 MIDI key
     vels: jnp.ndarray       # f32 0..127 (0 = inactive)
+    prev_keys: jnp.ndarray  # f32 glide-source key (last played pitch)
 
 
 jax.tree_util.register_dataclass(
     LiveVoiceState,
     data_fields=["phase1", "phase2", "s1a", "s2a", "s1b", "s2b",
-                 "age", "release_age", "keys", "vels"],
+                 "age", "release_age", "keys", "vels", "prev_keys"],
     meta_fields=[],
 )
 
@@ -726,7 +810,7 @@ def live_init_state(n_voices: int) -> LiveVoiceState:
     z = jnp.zeros((n_voices,), jnp.float32)
     zi = jnp.zeros((n_voices,), jnp.int32)
     return LiveVoiceState(z, z, z, z, z, z, zi,
-                          jnp.full((n_voices,), 2**30, jnp.int32), z, z)
+                          jnp.full((n_voices,), 2**30, jnp.int32), z, z, z)
 
 
 def live_window_state_init(n_voices: int) -> dict:
@@ -747,6 +831,7 @@ def live_window_block(
     t0,
     n: int,
     sample_rate: float,
+    prev_keys=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Live full-graph voice block -> (mono [n], next fstate).
 
@@ -761,6 +846,10 @@ def live_window_block(
 
     Envelopes/LFO are closed-form in integer note age; oscillator phases
     integrate per block (carried mod 1, no f32 drift on long holds).
+    prev_keys: [V] glide-source keys per voice (the last played pitch,
+    host-tracked) — with params.glide > 0 the per-sample oscillator
+    frequency is scaled by the glide factor BEFORE the phase integral,
+    so the cumsum integrates the slide exactly.
     """
     sr = sample_rate
     keys = jnp.asarray(keys, jnp.float32)
@@ -794,6 +883,13 @@ def live_window_block(
 
     f1 = freq_of(params.oscillator_1, None, False)
     f2 = freq_of(params.oscillator_2, params.oscillator_2_fixed_hz, True)
+    if params.glide > 0.0 and prev_keys is not None:
+        r_gl = jnp.exp2(
+            (jnp.asarray(prev_keys, jnp.float32) - keys) / 12.0)[:, None]
+        gf = _glide_factor(r_gl, params.glide, t_abs)   # [V, n]
+        f1 = f1 * gf
+        if params.oscillator_2_fixed_hz is None:
+            f2 = f2 * gf
     ph1_0 = jnp.where(fresh, 0.0, fstate["phase1"])[:, None]
     ph2_0 = jnp.where(fresh, 0.0, fstate["phase2"])[:, None]
     # exclusive cumulative phase; samples before note-on don't advance it
@@ -882,6 +978,12 @@ def live_render_block(
 
     f1 = freq_of(params.oscillator_1, None, False)
     f2 = freq_of(params.oscillator_2, params.oscillator_2_fixed_hz, True)
+    if params.glide > 0.0:
+        r_gl = jnp.exp2((state.prev_keys - state.keys) / 12.0)[:, None]
+        gf = _glide_factor(r_gl, params.glide, t_abs)   # [V, block]
+        f1 = f1 * gf
+        if params.oscillator_2_fixed_hz is None:
+            f2 = f2 * gf
     # exclusive cumulative phase: sample j uses phase BEFORE advancing by f_j
     ph1 = state.phase1[:, None] + (jnp.cumsum(f1, axis=1) - f1) / sr
     ph2 = state.phase2[:, None] + (jnp.cumsum(f2, axis=1) - f2) / sr
@@ -922,5 +1024,6 @@ def live_render_block(
         age=state.age + block,
         release_age=state.release_age,
         keys=state.keys, vels=state.vels,
+        prev_keys=state.prev_keys,
     )
     return mono, new_state

@@ -202,6 +202,13 @@ class WelshVoiceParams:
     poly_limit: int = 0
     gain: float = 1.0
     pan: float = 0.0
+    # glide/unison are RECONSTRUCTED IMPROVEMENTS: the reference's derive
+    # DROPS both (WelshSynthParams has no slots for them,
+    # patches.rs:110-169) even though 19 shipped patches carry nonzero
+    # glide and screaming-sync sets unison — keeping them honors the
+    # patch author's data, like the kept noise mix-in above.
+    glide: float = 0.0     # portamento time in seconds (GlideSettings f32)
+    unison: bool = False   # stack 3 detuned copies (+/- UNISON_CENTS)
 
 
 def patch_name_to_settings_name(name: str) -> str:
@@ -305,6 +312,10 @@ class WelshPatchSettings:
             filter_envelope=filt_env,
             polyphony=str(poly),
             poly_limit=poly_limit,
+            # data quirk: octave-switch has glide: "off"
+            glide=float(d.get("glide", 0.0))
+            if isinstance(d.get("glide", 0.0), (int, float)) else 0.0,
+            unison=bool(d.get("unison", False)),
         )
 
 

@@ -71,7 +71,8 @@ def test_live_render_block_noise_fresh_per_block():
         phase1=state.phase1, phase2=state.phase2,
         s1a=state.s1a, s2a=state.s2a, s1b=state.s1b, s2b=state.s2b,
         age=state.age, release_age=state.release_age,
-        keys=state.keys.at[0].set(60.0), vels=state.vels.at[0].set(100.0))
+        keys=state.keys.at[0].set(60.0), vels=state.vels.at[0].set(100.0),
+        prev_keys=state.prev_keys.at[0].set(60.0))
     m1, state = welsh.live_render_block(params, state, 64, SR, t0=0)
     m2, state = welsh.live_render_block(params, state, 64, SR, t0=64)
     assert np.abs(np.asarray(m1)).max() > 1e-3
