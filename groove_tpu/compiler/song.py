@@ -47,7 +47,9 @@ class PatchError(ValueError):
 
 @dataclass
 class NoteTensors:
-    keys: np.ndarray        # [n] int32 (float32 for unison-tripled welsh)
+    keys: np.ndarray        # [n] int32 (always the true performance;
+    #                         unison tripling happens only in the
+    #                         engines' input builders — welsh.unison_notes)
     vels: np.ndarray        # [n] float32
     on_frames: np.ndarray   # [n] int32
     off_frames: np.ndarray  # [n] int32

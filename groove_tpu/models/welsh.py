@@ -126,6 +126,13 @@ def needs_filter_serial(params: WelshVoiceParams,
     crosses the static-serial thresholds (iir._CRITICAL_A1/_CRITICAL_A2).
     HOST-only."""
     a1, a2 = _sustained_pole_coeffs(params, sample_rate)
+    return _crosses_serial(a1, a2)
+
+
+def _crosses_serial(a1: np.ndarray, a2: np.ndarray) -> bool:
+    """The static-serial threshold predicate — ONE definition shared by
+    needs_filter_serial and filter_fidelity_mode so the standalone flag
+    and the engine routing can never disagree."""
     return bool(((a1 < iir_ops._CRITICAL_A1)
                  & (a2 > iir_ops._CRITICAL_A2)).any())
 
@@ -137,9 +144,7 @@ def filter_fidelity_mode(params: WelshVoiceParams,
     needs_filter_serial), else 'refine' for near-critical sustained
     points, else None (single-pass blocked/Pallas)."""
     a1, a2 = _sustained_pole_coeffs(params, sample_rate)
-    if not iir_ops._pallas_available() \
-            and bool(((a1 < iir_ops._CRITICAL_A1)
-                      & (a2 > iir_ops._CRITICAL_A2)).any()):
+    if not iir_ops._pallas_available() and _crosses_serial(a1, a2):
         return "serial"
     if iir_ops.needs_refinement(a1, a2):
         return "refine"

@@ -312,9 +312,11 @@ class WelshPatchSettings:
             filter_envelope=filt_env,
             polyphony=str(poly),
             poly_limit=poly_limit,
-            # data quirk: octave-switch has glide: "off"
+            # data quirk: octave-switch has glide: "off"; any non-numeric
+            # value (incl. booleans) falls to 0 per warn-and-skip policy
             glide=float(d.get("glide", 0.0))
-            if isinstance(d.get("glide", 0.0), (int, float)) else 0.0,
+            if isinstance(d.get("glide", 0.0), (int, float))
+            and not isinstance(d.get("glide", 0.0), bool) else 0.0,
             unison=bool(d.get("unison", False)),
         )
 

@@ -146,6 +146,33 @@ def test_unison_triples_render_only():
     assert env_ratio(uni) < 0.75, "unison stack should beat audibly"
 
 
+def test_unison_streamed_matches_whole():
+    """The streamed engine must triple unison notes exactly like the
+    whole-song path (input-build tripling + _note_buckets on/off
+    overrides): whole vs streamed stays within the usual regroup
+    tolerance, and streaming is bitwise segmentation-invariant."""
+    c = compile_song(_song(unison=True, glide=0.1,
+                           notes=((57, "half"), (64, "half")), bpm=240))
+    whole = np.asarray(Renderer(c).render())
+    one_seg = -(-c.n_frames // 64) * 64
+    one = np.asarray(StreamingRenderer(c, segment_frames=one_seg).render())
+    many = np.asarray(StreamingRenderer(c, segment_frames=8192).render())
+    assert np.array_equal(one, many)
+    assert np.abs(whole).max() > 0.05
+    assert np.max(np.abs(whole - many)) <= 1e-4 * np.abs(whole).max()
+
+
+def test_boolean_glide_is_skipped():
+    """'glide: true' must fall to 0 like other non-numeric values (bool is
+    an int subclass — must not parse as a 1-second portamento)."""
+    from groove_tpu.project.patches import WelshPatchSettings
+
+    raw = {"name": "x", "glide": True, "oscillator-1": {
+        "waveform": "sine", "tune": {"float": 1}, "mix-pct": 1}}
+    v = WelshPatchSettings(name="x", raw=raw).derive_welsh_voice_params()
+    assert v.glide == 0.0
+
+
 def test_glide_patch_loads_from_corpus():
     """didgeridoo (glide 0.1, mono) and screaming-sync (glide+unison) parse
     their fields; octave-switch's glide: 'off' quirk maps to 0."""
