@@ -245,15 +245,10 @@ class Renderer:
         for grp in groups:
             needs, owner, local, per_dev = [], [], [], {}
             for di, d in enumerate(grp):
-                notes = d.notes
-                k, v, on, off, pv = (notes.keys, notes.vels,
-                                     notes.on_frames, notes.off_frames,
-                                     notes.prev_keys)
-                if d.voice.unison and notes.count:
-                    # unison triples the RENDERED notes only (dev.notes
-                    # stays the true performance — welsh.unison_notes)
-                    k, v, on, off, pv = welsh_model.unison_notes(
-                        k, v, on, off, pv)
+                # unison triples the RENDERED notes only (dev.notes stays
+                # the true performance — welsh.unison_input_notes)
+                k, v, on, off, pv = welsh_model.unison_input_notes(
+                    d.notes, d.voice)
                 gate = (off - on).astype(np.int64)
                 tail = welsh_model.tail_seconds(d.voice)
                 needs.append(gate + int(np.ceil(tail * sr)) + 1)
@@ -542,17 +537,16 @@ class Renderer:
                 else:
                     mono = osc_ops.evaluate(str(wf), phase)
                 return jnp.stack([mono, mono])
-            mono = simple_model.oscillator_instrument(
-                str(wf), float(dev.params.get("frequency", 440.0)), n, sr
-            )
+            freq = float(dev.params.get("frequency", 440.0))
             if wf == "pulse-width":
                 # host time base: keeps edges jit/eager-identical (see
                 # welsh.render_notes)
                 t = jnp.asarray(np.arange(n, dtype=np.float32)
                                 / np.float32(sr))
-                mono = osc_ops.pulse_width(
-                    float(dev.params.get("frequency", 440.0)) * t, pw
-                )
+                mono = osc_ops.pulse_width(freq * t, pw)
+            else:
+                mono = simple_model.oscillator_instrument(str(wf), freq, n,
+                                                          sr)
             return jnp.stack([mono, mono])
         if dev.kind == "toy-instrument":
             mono = simple_model.toy_instrument(

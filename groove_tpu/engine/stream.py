@@ -15,7 +15,10 @@ output: every stateful op comes from ops/stream.py, whose float schedule
 is segmentation-invariant for 64-frame-multiple segments, so rendering the
 song as ONE segment and as MANY segments is bit-identical
 (tests/test_stream.py) — an unbounded song streams with device memory
-bounded by the segment size plus carried state.
+bounded by the segment size plus carried state. (Always-on oscillator
+tracks are HOST-resident and shipped as per-segment slices in the step's
+xs; block-rate automation curves stay device-resident at 1/64 of the
+frame count — the one remaining linear-in-length device buffer.)
 
 Loop-range seek rides the same machinery: play [0, loop_end), then
 repeatedly [loop_start, loop_end), state (reverb tails, filter ring-out)
@@ -115,6 +118,9 @@ class StreamingRenderer:
         self._spans: dict[str, list[int]] = {}
         self._bucket_on: dict[str, list[np.ndarray]] = {}
         self._caps: dict[tuple[str, int], int] = {}
+        # host-resident whole-plan oscillator tracks, sliced per segment
+        # in _seg_xs (device memory stays bounded by the segment size)
+        self._osc_tracks: dict[str, np.ndarray] = {}
         from groove_tpu.engine.render import compute_filter_fidelity
         self._filter_modes = compute_filter_fidelity(compiled)
         self._welsh_refine = {
@@ -212,13 +218,23 @@ class StreamingRenderer:
                     else:
                         mono = osc_ops.evaluate(str(wf), phase)
                 elif wf == "pulse-width":
-                    t = jnp.arange(self.plan_frames, dtype=jnp.float32)
-                    mono = osc_ops.pulse_width(freq * t / c.sample_rate, pw)
+                    # SAME host time base and op order as the whole-song
+                    # path (render.py oscillator branch): (freq*t)/sr vs
+                    # freq*(t/sr) reassociates in f32 and flips pulse
+                    # EDGE samples (measured 4 flips / 200k at 440 Hz)
+                    t = jnp.asarray(
+                        np.arange(self.plan_frames, dtype=np.float32)
+                        / np.float32(c.sample_rate))
+                    mono = osc_ops.pulse_width(freq * t, pw)
                 else:
                     mono = simple_model.oscillator_instrument(
                         str(wf), freq, self.plan_frames, float(c.sample_rate)
                     )
-                self.inputs[f"{u}/osc"] = mono
+                # HOST-resident; _seg_xs ships only the segment's slice,
+                # keeping device memory bounded by the segment size for
+                # unbounded songs (the module's memory claim) — a 1-hour
+                # song would otherwise pin ~635 MB per oscillator device
+                self._osc_tracks[u] = np.asarray(mono)
                 continue
             if (dev.role != "instrument" and dev.kind != "calculator") \
                     or dev.notes is None or dev.notes.count == 0:
@@ -229,16 +245,10 @@ class StreamingRenderer:
                     and dev.voice is None:
                 continue  # loader already warned; renders silent
             notes = dev.notes
-            keys_a, vels_a = notes.keys, notes.vels
-            on_a, off_a = notes.on_frames, notes.off_frames
-            prev_a = notes.prev_keys
-            if dev.kind in ("welsh", "welsh-raw") and dev.voice is not None \
-                    and dev.voice.unison and notes.count:
-                # unison triples the RENDERED notes only (dev.notes stays
-                # the true performance — welsh.unison_notes)
-                keys_a, vels_a, on_a, off_a, prev_a = \
-                    welsh_model.unison_notes(keys_a, vels_a, on_a, off_a,
-                                             prev_a)
+            # unison triples the RENDERED notes only (dev.notes stays
+            # the true performance — welsh.unison_input_notes)
+            keys_a, vels_a, on_a, off_a, prev_a = \
+                welsh_model.unison_input_notes(notes, dev.voice)
             gate = (off_a - on_a).astype(np.int32)
             buckets = self._note_buckets(dev, on_a, off_a)
             self._spans[u] = [s for s, _ in buckets]
@@ -336,6 +346,9 @@ class StreamingRenderer:
         """Per-segment traced inputs: playhead + padded per-bucket note
         index lists (indices are into the bucket's own arrays)."""
         xs = {"t0": np.int32(t0)}
+        for u, track in self._osc_tracks.items():
+            # the segment's slice of the host-resident oscillator track
+            xs[f"{u}/osc"] = track[t0:t0 + seg_len]
         for (u, j), cap in self._caps.items():
             idx = self._overlap(u, j, t0, seg_len)
             if idx.size > cap:
@@ -475,7 +488,7 @@ class StreamingRenderer:
         u = dev.uvid
         sr = float(self.c.sample_rate)
         if dev.kind == "oscillator":
-            mono = jax.lax.dynamic_slice(inputs[f"{u}/osc"], (t0,), (n,))
+            mono = xs[f"{u}/osc"]  # host-sliced per segment (_seg_xs)
             return jnp.stack([mono, mono])
         if dev.kind == "toy-instrument":
             mono = simple_model.toy_instrument(
@@ -1038,6 +1051,12 @@ class StreamingRenderer:
         ls = _round_block(beats_to_frames(tempo, sr, Fraction(start_beats)))
         le = _round_block(beats_to_frames(tempo, sr, Fraction(end_beats)))
         le = min(le, self.plan_frames)
+        if le < BLOCK:
+            # an empty window would make stream_loop(iterations=None)
+            # spin forever yielding nothing (play_window(0, 0))
+            raise ValueError(
+                f"loop end {end_beats} beats quantizes to an empty window "
+                f"(< {BLOCK} frames)")
         ls = max(0, min(ls, le - BLOCK))
         return ls, le
 

@@ -193,6 +193,20 @@ def unison_notes(keys, vels, on_frames, off_frames, prev_keys=None):
     return keys3, vels3, on3, off3, prev3
 
 
+def unison_input_notes(notes, voice):
+    """The ONE place engines turn a device's NoteTensors into render
+    input arrays -> (keys, vels, on, off, prev): tripled via unison_notes
+    when the voice sets unison, verbatim otherwise (incl. non-welsh
+    voices, which have no unison field). Shared by engine/render and
+    engine/stream so the whole-vs-streamed tripling policy can never
+    drift."""
+    k, v, on, off, pv = (notes.keys, notes.vels, notes.on_frames,
+                         notes.off_frames, notes.prev_keys)
+    if getattr(voice, "unison", False) and len(k):
+        return unison_notes(k, v, on, off, pv)
+    return k, v, on, off, pv
+
+
 def _glide_factor(r, T: float, t):
     """Instantaneous glide multiplier g(t) = r^max(1 - t/T, 0): the pitch
     starts at r x the target frequency (r = f_prev/f_target) and slides

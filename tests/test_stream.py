@@ -303,3 +303,33 @@ def test_streamed_smf_import_matches_whole_timeline():
     whole = np.asarray(Renderer(c).render())
     peak = max(1.0, float(np.abs(whole).max()))
     assert float(np.abs(whole - many).max()) < 1e-4 * peak
+
+
+def test_pulse_width_oscillator_streamed_bitwise_whole():
+    """The streamed oscillator track must use the SAME host time base and
+    op order as the whole-song path: (freq*t)/sr vs freq*(t/sr)
+    reassociates in f32 and flips pulse EDGE samples (review finding,
+    round 3 — measured 4 flips / 200k samples at 440 Hz)."""
+    import json
+
+    c = compile_song(SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 120},
+        "devices": [{"instrument": ["o", {"oscillator": {
+            "waveform": {"pulse-width": 0.37}, "frequency": 440.0}}]}],
+        "patch-cables": [["o", "main-mixer"]],
+        "patterns": [{"id": "p", "note-value": "whole", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    })))
+    whole = np.asarray(Renderer(c).render())
+    streamed = np.asarray(StreamingRenderer(c, segment_frames=8192).render())
+    assert np.array_equal(whole, streamed), \
+        "pulse edges differ between whole and streamed oscillator tracks"
+
+
+def test_empty_loop_range_raises():
+    """loop end quantizing below one block must raise, not busy-hang
+    stream_loop(iterations=None) on an empty window."""
+    c = _compiled("projects/demos/effects/delay.json")
+    r = StreamingRenderer(c)
+    with pytest.raises(ValueError, match="empty window"):
+        r.loop_frames(0.0, 0.0)
