@@ -191,10 +191,14 @@ def _process_file(input_filename: str, paths: Paths, args) -> None:
     t1 = time.perf_counter()
     samples = render_fn()  # includes compile on first call
     compile_and_render = time.perf_counter() - t1
-    # steady-state render (program cached) for the honest perf number
-    t2 = time.perf_counter()
-    samples = render_fn()
-    render_s = time.perf_counter() - t2
+    render_s = compile_and_render
+    if args.perf:
+        # steady-state render (program cached) for the honest perf
+        # number — only when asked: it re-executes AND re-fetches the
+        # whole song over the tunnel (~2x wall-clock on plain renders)
+        t2 = time.perf_counter()
+        samples = render_fn()
+        render_s = time.perf_counter() - t2
     if not args.quiet:
         print(".")
     if args.perf:
@@ -230,11 +234,13 @@ def _play_live(compiled, args) -> None:
     if args.midi_out:
         from groove_tpu.io.midi_output import open_port
         echo = open_port(args.midi_out)
+    if not args.quiet:
+        # print BEFORE the open: a FIFO with no writer blocks open(2),
+        # and the user should see what the CLI is waiting on
+        print(f"Live: MIDI from {args.live}; Ctrl-C to stop")
     src = open(args.live, "rb", buffering=0)
     renderer = LiveSongRenderer(compiled)
     svc = LiveSongService(renderer, midi_source=src, midi_echo=echo)
-    if not args.quiet:
-        print(f"Live: MIDI from {args.live}; Ctrl-C to stop")
     try:
         while True:
             time.sleep(0.2)
@@ -242,6 +248,10 @@ def _play_live(compiled, args) -> None:
         pass
     finally:
         svc.stop()
+        try:
+            src.close()
+        except Exception:
+            pass
         if echo is not None:
             echo.close()
 

@@ -182,7 +182,11 @@ def sample_trip_curve(
             si += 1
         step = steps[si]
         if step.function == "triggered":
-            fired = [v for (ft, v) in triggers if ft <= t]
+            # a trigger strictly inside the block fires IN that block
+            # (containing-block semantics, matching note quantization —
+            # `ft <= block start` latched one block late otherwise)
+            t_end = beats_at_block[b + 1] if b + 1 < n else np.inf
+            fired = [v for (ft, v) in triggers if ft < t_end]
             out[b] = fired[-1] if fired else enters[si]
         else:
             out[b] = _step_value(step, t)

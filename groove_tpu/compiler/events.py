@@ -54,16 +54,13 @@ def stamp_patterns(
 ) -> tuple[list[NoteEvent], Fraction]:
     """All tracks' patterns -> note events + sequencer end (beats)."""
     ts = song.clock.time_signature
-    patterns = {p.id: p for p in song.patterns}
-    seen: set[str] = set()
-    deduped: dict[str, PatternSettings] = {}
+    # first-wins dedup (the reference warns and keeps one)
+    patterns: dict[str, PatternSettings] = {}
     for p in song.patterns:
-        if p.id in seen:
+        if p.id in patterns:
             warn(f"duplicate pattern ID {p.id}. Skipping all but one!")
             continue
-        seen.add(p.id)
-        deduped[p.id] = p
-    patterns = deduped
+        patterns[p.id] = p
 
     events: list[NoteEvent] = []
     end_beats = Fraction(0)

@@ -98,3 +98,17 @@ def resolve(kind: str, param: str) -> Optional[Param]:
         if p.name == param:
             return p
     return None
+
+
+def configured_value(kind: str, params: dict, p: Param):
+    """The device's CONFIGURED raw-JSON value for a registry param, or
+    None: checks the canonical name and any raw aliases still present in
+    project data (bitcrusher stores `bits`, not `bits-to-crush` — without
+    the alias check a trip/trigger's pre-automation region read 0.0
+    instead of the configured bits)."""
+    if p.name in params:
+        return params[p.name]
+    for (k, raw), canon in ALIASES.items():
+        if k == kind and canon == p.name and raw in params:
+            return params[raw]
+    return None

@@ -333,7 +333,7 @@ def compile_song(
             continue
         key = (trip.target.id, trip.target.param)
         resolved[key] = p
-        configured = tgt.params.get(p.name)
+        configured = param_mod.configured_value(tgt.kind, tgt.params, p)
         initial_values[key] = (
             float(p.from_domain(float(configured))) if configured is not None else 0.0
         )
@@ -403,10 +403,14 @@ def compile_song(
             t_beats = float(src.params.get("time", 0.0))
             val = float(src.params.get("value", 1.0))
             beats = auto_mod.block_start_beats(n_blocks, tempo, sr)
-            configured = tgt.params.get(p.name)
+            configured = param_mod.configured_value(tgt.kind, tgt.params, p)
             init = (float(p.from_domain(float(configured)))
                     if configured is not None else 0.0)
-            curve = np.where(beats >= t_beats, val, init)
+            # fire in the CONTAINING 64-frame block (block END > time),
+            # matching note buffer-quantization — `starts >= time` fired
+            # one block LATE whenever the time fell inside a block
+            ends = np.append(beats[1:], np.inf)
+            curve = np.where(ends > t_beats, val, init)
             tgt.automation[p.name] = np.asarray(
                 [p.to_domain(float(v)) for v in curve], np.float32
             )

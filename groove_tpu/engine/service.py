@@ -64,6 +64,12 @@ class EngineService:
         self._q.put(Command("open", path))
 
     def play(self):
+        # clear the stop flag HERE (enqueue time), never at stream start:
+        # clearing inside _stream/_stream_chunks erased a stop()/shutdown()
+        # issued between play() and the worker dequeuing it — with a loop
+        # range enabled, stream_loop(iterations=None) then played forever
+        # and 'quit' was never processed
+        self._stop_playback.clear()
         self._q.put(Command("play"))
 
     def stop(self):
@@ -118,10 +124,16 @@ class EngineService:
         self._q.put(Command("track-pattern-remove", (track_id, pattern_id)))
 
     def add_device(self, kind: str, uvid: Optional[str] = None,
-                   midi_channel: int = 0):
+                   midi_channel: int = 0,
+                   midi_out: Optional[int] = None):
         """Palette drop: instantiate an entity by factory key and patch it
-        to the main mixer (PaletteAction::NewDevice)."""
-        self._q.put(Command("device-add", (kind, uvid, midi_channel)))
+        to the main mixer (PaletteAction::NewDevice). midi_out applies to
+        CONTROLLERS only (the reference's arpeggiator listens on one
+        channel and emits on another, demos/controllers/arpeggiator.json:
+        in 1 -> out 0); default = midi_channel — note an arpeggiator with
+        in == out doubles the channel's notes with its own output."""
+        self._q.put(Command("device-add", (kind, uvid, midi_channel,
+                                           midi_out)))
 
     def remove_device(self, uvid: str):
         self._q.put(Command("device-remove", uvid))
@@ -225,8 +237,7 @@ class EngineService:
                         self.on_event("tempo", cmd.arg)
                 elif cmd.kind.startswith(("track-", "device-", "pattern-",
                                           "control-link-")):
-                    if self.song is not None:
-                        self._edit(cmd)
+                    if self.song is not None and self._edit(cmd):
                         self._dirty = True
                 elif cmd.kind == "save":
                     if self.song:
@@ -281,9 +292,12 @@ class EngineService:
             except Exception as e:  # surfaced like the reference's toasts
                 self.on_event("error", f"{type(e).__name__}: {e}")
 
-    def _edit(self, cmd: Command):
+    def _edit(self, cmd: Command) -> bool:
         """Track/device mutations on the settings tree (the reference edits
-        its Orchestrator in place; the settings layer is our live model)."""
+        its Orchestrator in place; the settings layer is our live model).
+        Returns True when the song actually changed — a failed or no-op
+        edit must not set _dirty (a spurious recompile costs ~2 min cold
+        on this machine's remote compile service)."""
         from groove_tpu.engine import factory
         from groove_tpu.project.schema import (
             ControllerSettings,
@@ -313,7 +327,7 @@ class EngineService:
             src = next((t for t in song.tracks if t.id == cmd.arg), None)
             if src is None:
                 self.on_event("error", f"no track {cmd.arg!r}")
-                return
+                return False
             ids = {t.id for t in song.tracks}
             k = 2
             while f"{src.id}-{k}" in ids:
@@ -324,18 +338,25 @@ class EngineService:
             self.on_event("track-added", dup.id)
         elif cmd.kind == "track-pattern-remove":
             track_id, pattern_id = cmd.arg
+            hit = False
             for t in song.tracks:
                 if t.id == track_id and pattern_id in t.pattern_ids:
                     t.pattern_ids.remove(pattern_id)
+                    hit = True
                     self.on_event("pattern-removed",
                                   (track_id, pattern_id))
+            if not hit:
+                return False
         elif cmd.kind == "device-add":
-            kind, uvid, channel = cmd.arg
+            kind, uvid, channel, midi_out = (cmd.arg if len(cmd.arg) == 4
+                                             else (*cmd.arg, None))
+            if midi_out is None:
+                midi_out = channel
             try:
                 proto = factory.prototype(kind)
             except KeyError:
                 self.on_event("error", f"unknown entity kind {kind!r}")
-                return
+                return False
             if uvid is None:
                 existing = {d.uvid for d in song.devices}
                 k = 1
@@ -351,7 +372,7 @@ class EngineService:
                 dev = DeviceSettings(
                     "controller", uvid,
                     controller=ControllerSettings(kind, int(channel),
-                                                  int(channel), params))
+                                                  int(midi_out), params))
             else:
                 dev = DeviceSettings("effect", uvid,
                                      effect=EffectSettings(kind, params))
@@ -379,9 +400,11 @@ class EngineService:
             song.trips = [t for t in song.trips if t not in removed]
             dead = {p for t in removed for p in t.path_ids}
             live = {p for t in song.trips for p in t.path_ids}
-            song.paths = [p for p in song.paths
-                          if p.id != pid
-                          and (p.id not in dead or p.id in live)]
+            # drop the editor path and any orphaned ones — but never a
+            # path some SURVIVING trip still references (incl. pid
+            # itself, if a foreign trip shares the editor's path id)
+            drop = ({pid} | dead) - live
+            song.paths = [p for p in song.paths if p.id not in drop]
             if values:
                 if len(values) == 1:
                     steps = [ControlStepSettings("flat", values[0],
@@ -389,17 +412,22 @@ class EngineService:
                 else:
                     steps = [ControlStepSettings("slope", a, b)
                              for a, b in zip(values, values[1:])]
+                existing_ids = {p.id for p in song.paths}
+                new_pid, k = pid, 2
+                while new_pid in existing_ids:  # pid kept alive above
+                    new_pid = f"{pid}-{k}"
+                    k += 1
                 song.paths.append(ControlPathSettings(
-                    pid, BeatValue.from_name(nv), steps))
+                    new_pid, BeatValue.from_name(nv), steps))
                 song.trips.append(ControlTripSettings(
-                    tid, ControlTargetSettings(uvid, name), [pid]))
+                    tid, ControlTargetSettings(uvid, name), [new_pid]))
             self.on_event("automation-set", (uvid, name, len(values)))
         elif cmd.kind == "device-param":
             uvid, name, value = cmd.arg
             dev = next((d for d in song.devices if d.uvid == uvid), None)
             if dev is None:
                 self.on_event("error", f"no device {uvid!r}")
-                return
+                return False
             settings = dev.instrument or dev.controller or dev.effect
             settings.params[name] = value
             self.on_event("device-param", (uvid, name, value))
@@ -408,7 +436,7 @@ class EngineService:
             pat = next((p for p in song.patterns if p.id == pattern_id), None)
             if pat is None:
                 self.on_event("error", f"no pattern {pattern_id!r}")
-                return
+                return False
             while len(pat.notes) <= row:
                 pat.notes.append([])
             pat.notes[row] = [int(n) for n in notes]
@@ -425,14 +453,14 @@ class EngineService:
                 self.on_event("error",
                               f"control link {source}->{target}: "
                               f"unknown device")
-                return
+                return False
             tgt = next(d for d in song.devices if d.uvid == target)
             kind = (tgt.instrument or tgt.controller or tgt.effect).kind
             if resolve(kind, param) is None:
                 self.on_event("error",
                               f"{kind} has no controllable param "
                               f"{param!r}")
-                return
+                return False
             ids = {c.id for c in song.controls}
             lid = f"link-{source}-{target}-{param}"
             k = 2
@@ -452,6 +480,8 @@ class EngineService:
             ]
             self.on_event("control-link-removed",
                           (source, target, param, before - len(song.controls)))
+            if len(song.controls) == before:
+                return False  # nothing matched; song unchanged
         elif cmd.kind == "device-remove":
             uvid = cmd.arg
             song.devices = [d for d in song.devices if d.uvid != uvid]
@@ -461,6 +491,7 @@ class EngineService:
             ]
             song.patch_cables = [c for c in song.patch_cables if len(c) >= 2]
             self.on_event("device-removed", uvid)
+        return True
 
     def _loop_samples(self, iterations: int) -> Optional[np.ndarray]:
         """Bounded loop bounce: [0, end) + `iterations` x [start, end)."""
@@ -477,8 +508,8 @@ class EngineService:
 
     def _stream_chunks(self, chunk_iter):
         """Stream an (possibly unbounded) iterator of [n, 2] chunks to the
-        audio service, stopping on the stop event."""
-        self._stop_playback.clear()
+        audio service, stopping on the stop event (cleared by play(), so a
+        stop request issued before playback starts still wins)."""
         if not self.use_audio:
             return
         try:
@@ -507,7 +538,6 @@ class EngineService:
             svc.stop()
 
     def _stream(self, samples: np.ndarray):
-        self._stop_playback.clear()
         if not self.use_audio:
             return
         try:

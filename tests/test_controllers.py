@@ -346,3 +346,65 @@ def test_steal_rings_out_through_release():
     after = analyze(out[:, t2: t2 + int(0.3 * sr)], sr)
     assert after.level_at(523.25) > -20.0
     assert after.level_at(440.0) < after.level_at(523.25) - 35.0
+
+
+def test_trigger_fires_in_containing_block():
+    """A trigger time strictly INSIDE a 64-frame block fires in that block
+    (matching note buffer-quantization) — `block start >= time` fired one
+    block late whenever the time wasn't block-aligned (review finding)."""
+    bpm, sr = 128.0, 44100
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": bpm},
+        "devices": [
+            {"instrument": ["i", {"toy-instrument": [{"midi-in": 0},
+                                                     {"fake-value": 0.4}]}]},
+            {"effect": ["g", {"gain": {"ceiling": 1.0}}]},
+            {"controller": ["trig", {"trigger": [
+                {"midi-in": 0, "midi-out": 0},
+                {"time": 0.999, "value": 0.25},
+            ]}]},
+        ],
+        "patch-cables": [["i", "g", "main-mixer"]],
+        "controls": [{"id": "c", "source": "trig",
+                      "target": {"id": "g", "param": "ceiling"}}],
+        "patterns": [{"id": "p", "note-value": "whole", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    from groove_tpu.compiler.automation import block_start_beats
+    from groove_tpu.core.time import SampleRate, Tempo
+
+    curve = compile_song(song).devices["g"].automation["ceiling"]
+    beats = block_start_beats(len(curve), Tempo(bpm), SampleRate(sr))
+    # the block CONTAINING beat 0.999 (strictly inside: starts are
+    # ~0.99690 and 1.0 at 128 bpm on the quantized musical-time grid)
+    blk = int(np.searchsorted(beats, 0.999, side="right") - 1)
+    assert beats[blk] < 0.999 < beats[blk + 1], "fixture must be mid-block"
+    assert abs(curve[blk] - 0.25) < 1e-6, "trigger missed its containing block"
+    assert abs(curve[blk - 1] - 1.0) < 1e-6, "trigger fired early"
+
+
+def test_bitcrusher_bits_alias_seeds_pre_trigger_region():
+    """Project data stores bitcrusher depth under `bits` (the registry
+    name is `bits-to-crush`); the pre-trigger region must read the
+    CONFIGURED value through the alias, not 0 (review finding)."""
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 240},
+        "devices": [
+            {"instrument": ["i", {"toy-instrument": [{"midi-in": 0},
+                                                     {"fake-value": 0.4}]}]},
+            {"effect": ["b", {"bitcrusher": {"bits": 6}}]},
+            {"controller": ["trig", {"trigger": [
+                {"midi-in": 0, "midi-out": 0},
+                {"time": 2.0, "value": 1.0},
+            ]}]},
+        ],
+        "patch-cables": [["i", "b", "main-mixer"]],
+        "controls": [{"id": "c", "source": "trig",
+                      "target": {"id": "b", "param": "bits-to-crush"}}],
+        "patterns": [{"id": "p", "note-value": "whole", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    }))
+    curve = compile_song(song).devices["b"].automation["bits-to-crush"]
+    assert abs(curve[0] - 6.0) < 1e-6, \
+        f"pre-trigger bits read {curve[0]}, expected the configured 6"
+    assert abs(curve[-1] - 15.0) < 1e-6  # fired: ControlValue 1.0 -> 15

@@ -180,3 +180,93 @@ def test_control_link_add_remove(tmp_path):
         assert len(errs) >= 2
     finally:
         svc.shutdown()
+
+
+def test_stop_issued_before_playback_still_wins():
+    """stop()/shutdown() set the stop flag; play() must be the ONLY place
+    that clears it (clearing at stream start erased a stop issued between
+    play() and the worker dequeuing it — with a loop range, playback then
+    ran forever past 'quit')."""
+    svc = EngineService(on_event=lambda k, d: None, use_audio=False)
+    try:
+        svc.stop()
+        assert svc._stop_playback.is_set()
+        svc.play()  # a NEW play request supersedes the old stop
+        assert not svc._stop_playback.is_set()
+        svc.stop()  # stop after play-enqueue must survive stream start
+        svc.sync()
+        assert svc._stop_playback.is_set()
+    finally:
+        svc.shutdown()
+
+
+def test_noop_edit_does_not_mark_dirty():
+    """A failed or no-op edit must not force a recompile (2 min cold)."""
+    svc = EngineService(on_event=lambda k, d: None, use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        svc.sync()
+        svc._dirty = False
+        svc.remove_control_link("nobody", "nothing", "nope")  # 0 matches
+        svc.set_device_param("ghost-device", "gain", 1.0)     # no device
+        svc.sync()
+        assert not svc._dirty, "no-op edits forced a recompile"
+        svc.add_device("gain")  # a REAL edit still marks dirty
+        svc.sync()
+        assert svc._dirty
+    finally:
+        svc.shutdown()
+
+
+def test_add_controller_with_distinct_out_channel():
+    """The reference's arpeggiator listens on one channel and emits on
+    another (demos/controllers/arpeggiator.json: in 1 -> out 0); the
+    service API can express that."""
+    svc = EngineService(on_event=lambda k, d: None, use_audio=False)
+    try:
+        svc.new_project()
+        svc.add_device("arpeggiator", midi_channel=1, midi_out=0)
+        svc.sync()
+        dev = next(d for d in svc.song.devices
+                   if d.controller is not None
+                   and d.controller.kind == "arpeggiator")
+        assert dev.controller.midi_in == 1
+        assert dev.controller.midi_out == 0
+    finally:
+        svc.shutdown()
+
+
+def test_set_automation_preserves_shared_path():
+    """Clearing editor automation must not orphan a path some OTHER trip
+    still references — even one that shares the editor's path id."""
+    from groove_tpu.project.schema import (ControlPathSettings,
+                                           ControlStepSettings,
+                                           ControlTargetSettings,
+                                           ControlTripSettings)
+    from groove_tpu.core.time import BeatValue
+
+    svc = EngineService(on_event=lambda k, d: None, use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        svc.sync()
+        song = svc.song
+        dev = song.devices[0].uvid if song.devices else "oscillator-1"
+        pid = f"auto-{dev}-frequency"
+        # a FOREIGN trip (different target, so the editor's REPLACE
+        # semantics never remove it) that shares the editor's path id
+        song.paths.append(ControlPathSettings(
+            pid, BeatValue.from_name("whole"),
+            [ControlStepSettings("flat", 0.5, 0.5)]))
+        song.trips.append(ControlTripSettings(
+            "foreign-trip", ControlTargetSettings(dev, "waveform"), [pid]))
+        svc.set_automation(dev, "frequency", [])
+        svc.sync()
+        assert any(p.id == pid for p in song.paths), \
+            "shared path orphaned by set_automation clear"
+        # setting NEW values must not duplicate the shared id
+        svc.set_automation(dev, "frequency", [0.1, 0.9])
+        svc.sync()
+        ids = [p.id for p in song.paths]
+        assert len(ids) == len(set(ids)), f"duplicate path ids: {ids}"
+    finally:
+        svc.shutdown()
