@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from fractions import Fraction
 from pathlib import Path
 from groove_tpu.compiler.events import NoteEvent
+from groove_tpu.project.schema import warn
 
 
 @dataclass
@@ -64,7 +65,6 @@ def parse_smf(path) -> SmfFile:
     pos = 8 + hlen
 
     smf = SmfFile(format=fmt, division=division, n_tracks=ntrks, events=[])
-    first_tempo_seen = False
     for _ in range(ntrks):
         if data[pos:pos + 4] != b"MTrk":
             raise ValueError(f"{path}: expected MTrk at {pos}")
@@ -101,9 +101,6 @@ def parse_smf(path) -> SmfFile:
                 if meta == 0x51 and length == 3:
                     us = (body[0] << 16) | (body[1] << 8) | body[2]
                     smf.events.append(SmfEvent(ticks, -1, "tempo", (us,)))
-                    if not first_tempo_seen:
-                        smf.tempo_us_per_qn = us
-                        first_tempo_seen = True
                 elif meta == 0x58 and length >= 2:
                     smf.time_signature = (body[0], 2 ** body[1])
                     smf.events.append(
@@ -131,7 +128,14 @@ def parse_smf(path) -> SmfFile:
                     d1 = data[tpos]
                     tpos += 1
                     if kind == 0xC0:
-                        smf.programs.setdefault(channel, d1)
+                        prior = smf.programs.setdefault(channel, d1)
+                        if prior != d1:
+                            # one instrument per channel by compilation
+                            # model — a mid-song switch is silently lost
+                            # otherwise, so say so
+                            warn(f"channel {channel}: mid-song program "
+                                 f"change {prior} -> {d1} ignored (one "
+                                 f"instrument per channel)")
                         smf.events.append(
                             SmfEvent(ticks, channel, "program", (d1,))
                         )
@@ -141,6 +145,13 @@ def parse_smf(path) -> SmfFile:
                         f"offset {tpos}"
                     )
     smf.events.sort(key=lambda e: e.ticks)
+    # base tempo: the EARLIEST tempo meta across all tracks (track parse
+    # order picked the wrong base for format-1 files whose track 0 carries
+    # a LATER tempo than track 1's tick-0 meta)
+    for e in smf.events:
+        if e.kind == "tempo":
+            smf.tempo_us_per_qn = e.data[0]
+            break
     return smf
 
 

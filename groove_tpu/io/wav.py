@@ -18,62 +18,43 @@ from pathlib import Path
 import numpy as np
 
 
+def _chunk_to_i2(chunk) -> np.ndarray:
+    """ONE definition of the output quantization: float chunks scale by
+    32767, truncate toward zero and saturate (Rust `as i16` semantics);
+    int16 passes through (already quantized on-device —
+    quantize_16bit_device is bitwise this spec); mono stacks to stereo."""
+    c = np.asarray(chunk)
+    if c.dtype == np.int16:
+        scaled = c.astype("<i2", copy=False)
+    else:
+        scaled = np.clip(np.trunc(c.astype(np.float64) * 32767.0),
+                         -32768, 32767).astype("<i2")
+    if scaled.ndim == 1:
+        scaled = np.stack([scaled, scaled], axis=-1)
+    return scaled
+
+
 def write_wav_16bit_stereo(path, samples: np.ndarray, sample_rate: int) -> None:
-    """samples: [n, 2] float; scaled by 32767, truncated toward zero,
-    saturated (Rust `as i16` semantics). int16 input is written as-is
-    (already quantized on-device — quantize_16bit_device is bitwise this
-    spec)."""
-    samples = np.asarray(samples)
-    if samples.dtype == np.int16:
-        scaled = samples.astype("<i2", copy=False)
-        if scaled.ndim == 1:
-            scaled = np.stack([scaled, scaled], axis=-1)
-        with wave.open(str(path), "wb") as w:
-            w.setnchannels(2)
-            w.setsampwidth(2)
-            w.setframerate(int(sample_rate))
-            w.writeframes(scaled.tobytes())
-        return
-    samples = samples.astype(np.float64)
-    if samples.ndim == 1:
-        samples = np.stack([samples, samples], axis=-1)
-    scaled = np.trunc(samples * 32767.0)
-    scaled = np.clip(scaled, -32768, 32767).astype("<i2")
-    with wave.open(str(path), "wb") as w:
-        w.setnchannels(2)
-        w.setsampwidth(2)
-        w.setframerate(int(sample_rate))
-        w.writeframes(scaled.tobytes())
+    """samples: [n, 2] float (or device-quantized int16); spec in
+    _chunk_to_i2."""
+    write_wav_16bit_stereo_stream(path, [samples], sample_rate)
 
 
 def write_wav_16bit_stereo_stream(path, chunks, sample_rate: int) -> int:
     """Incremental writer for segment-streamed renders: consumes an
     iterator of [n, 2] float chunks, writing each as it arrives (constant
     memory for unbounded songs; the wave module patches the RIFF sizes on
-    close). Same scale/trunc/saturate spec as write_wav_16bit_stereo.
-    Returns total frames written."""
+    close). Quantization spec in _chunk_to_i2. Returns total frames
+    written."""
     total = 0
     with wave.open(str(path), "wb") as w:
         w.setnchannels(2)
         w.setsampwidth(2)
         w.setframerate(int(sample_rate))
         for chunk in chunks:
-            c = np.asarray(chunk)
-            if c.dtype == np.int16:
-                # already quantized on-device (quantize_16bit_device,
-                # bitwise this writer's own spec)
-                if c.ndim == 1:
-                    c = np.stack([c, c], axis=-1)
-                w.writeframes(c.astype("<i2", copy=False).tobytes())
-                total += len(c)
-                continue
-            c = c.astype(np.float64)
-            if c.ndim == 1:
-                c = np.stack([c, c], axis=-1)
-            scaled = np.clip(np.trunc(c * 32767.0),
-                             -32768, 32767).astype("<i2")
+            scaled = _chunk_to_i2(chunk)
             w.writeframes(scaled.tobytes())
-            total += len(c)
+            total += len(scaled)
     return total
 
 
@@ -148,6 +129,7 @@ def read_wav(path) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -155,6 +137,7 @@ def read_wav(path) -> tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body  # kept whole for the EXTENSIBLE GUID below
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
@@ -164,16 +147,7 @@ def read_wav(path) -> tuple[np.ndarray, int]:
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real format is a
         # GUID at byte 24 of the fmt body; the first two GUID bytes are the
         # classic format code (1 = PCM, 3 = IEEE float).
-        fmt_body = None
-        pos = 12
-        while pos + 8 <= len(data):
-            cid = data[pos:pos + 4]
-            size = struct.unpack_from("<I", data, pos + 4)[0]
-            if cid == b"fmt ":
-                fmt_body = data[pos + 8:pos + 8 + size]
-                break
-            pos += 8 + size + (size & 1)
-        if fmt_body is not None and len(fmt_body) >= 26:
+        if len(fmt_body) >= 26:
             audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
         else:
             audio_format = 1

@@ -72,11 +72,11 @@ class _Parser:
             return self.parse_object()
         if c == "[":
             return self.parse_array()
-        if c in "\"'":
+        if c and c in "\"'":
+            # the `c and` guard matters: peek() returns "" at EOF and
+            # `"" in "\"'"` is True — parse_string then IndexErrors
             return self.parse_string()
-        if c and (c in "+-0123456789." or c in "IN"):
-            return self.parse_number_or_word()
-        if c and c in _IDENT_START:
+        if c and (c in "+-0123456789." or c in _IDENT_START):
             return self.parse_number_or_word()
         raise self.error("expected array, boolean, null, number, object, or string")
 
@@ -107,9 +107,9 @@ class _Parser:
 
     def parse_key(self) -> str:
         c = self.peek()
-        if c in "\"'":
+        if c and c in "\"'":  # "" at EOF would match the pair string
             return self.parse_string()
-        if c in _IDENT_START:
+        if c and c in _IDENT_START:
             start = self.pos
             while self.pos < self.n and self.text[self.pos] in _IDENT_CONT:
                 self.pos += 1
@@ -154,14 +154,25 @@ class _Parser:
                 e = self.text[self.pos]
                 if e == "u":
                     hexs = self.text[self.pos + 1:self.pos + 5]
-                    out.append(chr(int(hexs, 16)))
+                    try:
+                        out.append(chr(int(hexs, 16)))
+                    except ValueError:
+                        raise self.error(f"bad \\u escape {hexs!r}") from None
                     self.pos += 5
                 elif e == "x":
                     hexs = self.text[self.pos + 1:self.pos + 3]
-                    out.append(chr(int(hexs, 16)))
+                    try:
+                        out.append(chr(int(hexs, 16)))
+                    except ValueError:
+                        raise self.error(f"bad \\x escape {hexs!r}") from None
                     self.pos += 3
                 elif e == "\n":
                     self.pos += 1  # line continuation
+                elif e == "\r":
+                    # JSON5 line continuation: \<CR> and \<CR><LF>
+                    self.pos += 1
+                    if self.pos < self.n and self.text[self.pos] == "\n":
+                        self.pos += 1
                 elif e in _ESCAPES:
                     out.append(_ESCAPES[e])
                     self.pos += 1
@@ -220,12 +231,17 @@ class _Parser:
             raise self.error("expected array, boolean, null, number, object, or string")
         self.pos = j
         raw = self.text[start:j]
-        if seen_dot or seen_exp:
-            return float(raw)
         try:
-            return int(raw)
+            if seen_dot or seen_exp:
+                return float(raw)
+            try:
+                return int(raw)
+            except ValueError:
+                return float(raw)
         except ValueError:
-            return float(raw)
+            # e.g. '1e+' — report line/column like every other parse error
+            self.pos = start
+            raise self.error(f"bad number literal {raw!r}") from None
 
 
 def loads(text: str):

@@ -57,8 +57,11 @@ class ClockSettings:
             # object form {"top": 4, "bottom": 4}
             # (test-data/kitchen-sink.json, projects/dev-loop.json5)
             sig = TimeSignature(int(ts.get("top", 4)), int(ts.get("bottom", 4)))
-        else:
+        elif isinstance(ts, (list, tuple)) and len(ts) >= 2:
             sig = TimeSignature(int(ts[0]), int(ts[1]))
+        else:
+            raise ProjectError(f"malformed time-signature {ts!r} "
+                               "(expected [top, bottom] or an object)")
         return cls(
             bpm=float(d.get("bpm", 128.0)),
             midi_ticks_per_second=int(d.get("midi-ticks-per-second", 960)),
@@ -175,8 +178,12 @@ def _parse_controller(uvid: str, d: dict) -> ControllerSettings:
         midi = payload[0] if payload else {}
         params = dict(payload[1]) if len(payload) > 1 else {}
     else:
-        midi = payload
-        params = {}
+        # map form: every non-MIDI key is a kind param (dropping them
+        # silently lost e.g. a trigger's time/value — warn-and-skip
+        # policy demands the data survive)
+        midi = payload if isinstance(payload, dict) else {}
+        params = {k: v for k, v in midi.items()
+                  if k not in ("midi-in", "midi-out")}
     return ControllerSettings(
         kind=kind,
         midi_in=int(midi.get("midi-in", 0)),
@@ -201,6 +208,9 @@ def _parse_device(d: dict) -> DeviceSettings:
     role, payload = _single_kind(
         d, {"instrument", "controller", "effect"}, "device"
     )
+    if not isinstance(payload, (list, tuple)) or len(payload) < 2:
+        raise ProjectError(f"malformed {role} device {payload!r} "
+                           "(expected [uvid, settings])")
     uvid = str(payload[0])
     body = payload[1]
     dev = DeviceSettings(role=role, uvid=uvid)
@@ -281,16 +291,24 @@ class ControlStepSettings:
 
     @classmethod
     def from_json(cls, d: dict) -> "ControlStepSettings":
+        if not isinstance(d, dict) or not d:
+            raise ProjectError(f"malformed control step {d!r} "
+                               "(expected {kind: payload})")
         kind, payload = next(iter(d.items()))
-        if kind == "flat":
-            v = payload[0] if isinstance(payload, list) else payload.get("value")
-            return cls("flat", float(v), float(v))
-        if kind in ("slope", "logarithmic", "exponential"):
-            if isinstance(payload, list):
-                start, end = float(payload[0]), float(payload[1])
-            else:
-                start, end = float(payload["start"]), float(payload["end"])
-            return cls(kind, start, end)
+        try:
+            if kind == "flat":
+                v = (payload[0] if isinstance(payload, list)
+                     else payload.get("value"))
+                return cls("flat", float(v), float(v))
+            if kind in ("slope", "logarithmic", "exponential"):
+                if isinstance(payload, list):
+                    start, end = float(payload[0]), float(payload[1])
+                else:
+                    start, end = float(payload["start"]), float(payload["end"])
+                return cls(kind, start, end)
+        except (TypeError, AttributeError, IndexError, KeyError) as e:
+            raise ProjectError(
+                f"malformed {kind} control step payload {payload!r}") from e
         if kind == "triggered":
             return cls("triggered")
         raise ProjectError(f"unknown control step kind {kind!r}")

@@ -176,3 +176,27 @@ def test_streaming_wav_writer_empty_and_roundtrip(tmp_path):
         chunked, (x[i:i + 7] for i in range(0, len(x), 7)), 44100)
     assert n == len(x)
     assert (one.read_bytes() == chunked.read_bytes())
+
+
+def test_base_tempo_is_earliest_tick_across_tracks(tmp_path):
+    """Format-1: a LATER tempo meta in track 0 must not shadow track 1's
+    tick-0 tempo — the base tempo is the earliest by TICK, not by track
+    parse order (review finding)."""
+    import struct
+
+    t0 = b""
+    t0 += _vlq(960) + bytes([0xFF, 0x51, 0x03]) + (250000).to_bytes(3, "big")
+    t0 += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    t1 = b""
+    t1 += _vlq(0) + bytes([0xFF, 0x51, 0x03]) + (500000).to_bytes(3, "big")
+    t1 += _vlq(0) + bytes([0x90, 60, 100])
+    t1 += _vlq(96) + bytes([0x80, 60, 0])
+    t1 += _vlq(0) + bytes([0xFF, 0x2F, 0x00])
+    data = (b"MThd" + struct.pack(">IHHH", 6, 1, 2, 96)
+            + b"MTrk" + struct.pack(">I", len(t0)) + t0
+            + b"MTrk" + struct.pack(">I", len(t1)) + t1)
+    p = tmp_path / "tempo-order.mid"
+    p.write_bytes(data)
+    smf = parse_smf(p)
+    assert smf.tempo_us_per_qn == 500000, \
+        f"base tempo {smf.tempo_us_per_qn} picked by track order, not tick"

@@ -148,3 +148,68 @@ def test_frequency_percent_roundtrip():
     assert T.percent_to_frequency(1.0) == pytest.approx(20000.0)
     for hz in [40.0, 440.0, 1000.0, 8000.0]:
         assert T.percent_to_frequency(T.frequency_to_percent(hz)) == pytest.approx(hz)
+
+
+def test_map_form_controller_keeps_params():
+    """A controller written in MAP form (not the [midi, params] tuple)
+    must keep its kind params — dropping them silently fired a trigger at
+    beat 0 with value 1.0 (review finding)."""
+    import json
+
+    song = SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 120},
+        "devices": [{"controller": ["t", {"trigger": {
+            "midi-in": 0, "time": 4.0, "value": 0.5}}]}],
+        "patch-cables": [],
+    }))
+    ctl = song.devices[0].controller
+    assert ctl.params.get("time") == 4.0
+    assert ctl.params.get("value") == 0.5
+    assert ctl.midi_in == 0
+
+
+def test_malformed_structures_raise_project_error():
+    """Structurally malformed projects must raise ProjectError with a
+    message, not opaque IndexError/StopIteration/AttributeError."""
+    import json
+
+    import pytest
+
+    from groove_tpu.project.schema import (ControlStepSettings,
+                                           ProjectError)
+
+    with pytest.raises(ProjectError, match="time-signature"):
+        SongSettings.from_json5_str(json.dumps(
+            {"clock": {"bpm": 120, "time-signature": [4]}}))
+    with pytest.raises(ProjectError, match="device"):
+        SongSettings.from_json5_str(json.dumps(
+            {"clock": {"bpm": 120}, "devices": [{"effect": "oops"}]}))
+    with pytest.raises(ProjectError, match="control step"):
+        ControlStepSettings.from_json({})
+    with pytest.raises(ProjectError, match="flat"):
+        ControlStepSettings.from_json({"flat": 0.5})
+
+
+def test_json5_error_positions_and_crlf_continuation():
+    """Parser robustness: bad numbers / short escapes report line/column
+    as Json5Error; backslash-CRLF is a legal line continuation."""
+    import pytest
+
+    from groove_tpu.project import json5
+
+    assert json5.loads('{"a": "x\\\r\ny"}') == {"a": "xy"}
+    assert json5.loads('{"a": "x\\\ry"}') == {"a": "xy"}
+    with pytest.raises(json5.Json5Error, match="number"):
+        json5.loads('{"a": 1e+}')
+    with pytest.raises(json5.Json5Error, match="escape"):
+        json5.loads('{"a": "\\u12"}')
+
+
+def test_json5_eof_mid_value_is_json5_error():
+    """peek() returns '' at EOF and `'' in quote-pair` is True — an input
+    truncated before a value crashed parse_string with IndexError."""
+    import pytest
+
+    for text in ("{bpm:", "[1,", "{"):
+        with pytest.raises(json5.Json5Error):
+            json5.loads(text)
