@@ -100,6 +100,28 @@ def resolve(kind: str, param: str) -> Optional[Param]:
     return None
 
 
+def to_domain_array(p: Param, v):
+    """Array-safe to_domain for IN-GRAPH use: sidechain overrides are
+    traced per-sample curves, and the scalar converters call
+    float()/int() (BitsFromV, percent_to_frequency) which reject
+    tracers. Without this, a sidechain onto a non-Identity param fed the
+    raw Normal where domain units were expected (bits floor(0.9) = 0;
+    a 0..1 'Hz' cutoff)."""
+    import jax.numpy as jnp
+
+    if p.to_domain is Identity:
+        return v
+    if p.to_domain is Bipolar:
+        return v * 2.0 - 1.0
+    if p.to_domain is BitsFromV:
+        return jnp.trunc(v * 15.0)
+    if p.to_domain is FreqFromPct:
+        import numpy as np
+        return T.FREQUENCY_TO_LINEAR_COEFFICIENT * jnp.exp(
+            float(np.log(T.FREQUENCY_TO_LINEAR_BASE)) * v)
+    return p.to_domain(v)  # unknown converters must be elementwise-safe
+
+
 def configured_value(kind: str, params: dict, p: Param):
     """The device's CONFIGURED raw-JSON value for a registry param, or
     None: checks the canonical name and any raw aliases still present in

@@ -864,7 +864,15 @@ class Renderer:
                 val = jnp.concatenate([jnp.zeros(1, val.dtype), val[:-1]])
                 per_sample = _upsample_block(val, n)
                 for tgt, pname in sidechain_by_src[uvid]:
-                    overrides[(tgt, pname)] = per_sample
+                    # ControlValue -> DOMAIN units, like every other
+                    # control route (trips/LFO/trigger apply to_domain at
+                    # compile; the raw Normal fed 0-bit crushes / 0..1 Hz
+                    # cutoffs to non-Identity params)
+                    from groove_tpu.compiler import params as param_mod
+                    p = param_mod.resolve(self.c.devices[tgt].kind, pname)
+                    overrides[(tgt, pname)] = (
+                        param_mod.to_domain_array(p, per_sample)
+                        if p is not None else per_sample)
 
         out = outputs.get(MAIN_MIXER_UVID, jnp.zeros((2, n), jnp.float32))
         return out.T  # [n, 2]

@@ -905,7 +905,13 @@ class StreamingRenderer:
                 new_state[f"{uvid}/sc"] = val[-1]
                 per_sample = _upsample(shifted, n)
                 for tgt, pname in sidechain_by_src[uvid]:
-                    overrides[(tgt, pname)] = per_sample
+                    # ControlValue -> DOMAIN units (see render.py's
+                    # sidechain site; both engines must share the map)
+                    from groove_tpu.compiler import params as param_mod
+                    p = param_mod.resolve(self.c.devices[tgt].kind, pname)
+                    overrides[(tgt, pname)] = (
+                        param_mod.to_domain_array(p, per_sample)
+                        if p is not None else per_sample)
 
         out = outputs.get(MAIN_MIXER_UVID, jnp.zeros((2, n), jnp.float32))
         return new_state, out.T  # [n, 2]

@@ -40,7 +40,22 @@ def _voices_at(params: FmSynthParams, keys, vels, gate_s, t,
     else:
         f_m = ratio * f_c                                  # [n, m]
         inc = f_m / sample_rate * (t >= 0.0)
-        mod_phase = jnp.cumsum(inc, axis=-1) - inc          # exclusive
+        m = inc.shape[-1]
+        if m % 64 == 0:
+            # exclusive prefix regrouped per 64-sample block: a flat
+            # per-sample f32 cumsum accumulates rounding against the
+            # growing sum (the oscillator measured ~0.3 cycles drift
+            # over 2 s before its host-f64 fix); block-level
+            # accumulation cuts the serial term count 64x, putting a
+            # 5 s automated-ratio note's phase error below audibility
+            nb = m // 64
+            inc3 = inc.reshape(inc.shape[0], nb, 64)
+            blk = inc3.sum(-1)                              # [n, nb]
+            blk_prefix = jnp.cumsum(blk, axis=-1) - blk     # exclusive
+            within = jnp.cumsum(inc3, axis=-1) - inc3
+            mod_phase = (blk_prefix[..., None] + within).reshape(inc.shape)
+        else:
+            mod_phase = jnp.cumsum(inc, axis=-1) - inc      # exclusive
 
     me = params.modulator_envelope
     mod_env = env_ops.adsr(t, gate_s, me.attack, me.decay, me.sustain, me.release)

@@ -32,7 +32,6 @@ from groove_tpu.core.types import note_to_frequency
 from groove_tpu.io.wav import read_wav
 from groove_tpu.project.paths import Paths
 from groove_tpu.project.schema import warn
-from groove_tpu.models.voices import note_freqs
 
 # GM percussion note -> 707 sample base name (general-midi-percussion
 # numbers; instrument choice within the kit is a reconstruction).
@@ -299,5 +298,11 @@ def render_window(
     return out * (jnp.asarray(vels, jnp.float32)[:, None, None] / 127.0)
 
 
-def sampler_ratios(keys, root: float) -> jnp.ndarray:
-    return note_freqs(np.asarray(keys)) / root_frequency(root)
+def sampler_ratios(keys, root: float) -> np.ndarray:
+    """Pure-numpy on purpose: the live note_on handler calls this under
+    the engine lock, and eager jnp ops each cost a ~24 ms synchronous
+    round trip over this machine's device tunnel (audio dropouts per
+    keypress otherwise)."""
+    keys = np.asarray(keys, np.float64)
+    freqs = 440.0 * np.exp2((keys - 69.0) / 12.0)  # voices.note_freqs
+    return (freqs / root_frequency(root)).astype(np.float32)

@@ -89,8 +89,6 @@ def delay_automated(x, delay_seconds_b, sample_rate: float,
     gather y[n] = x[n - D(block(n))] — length changes take effect at
     block boundaries with no crossfade, exactly like a live param tweak
     in the reference's per-buffer model."""
-    from groove_tpu.ops.iir import upsample_hold
-
     n = x.shape[-1]
     d_b = jnp.round(jnp.asarray(delay_seconds_b, jnp.float32)
                     * sample_rate).astype(jnp.int32)

@@ -46,15 +46,11 @@ def bitcrusher(x, bits):
     floor it to an integer shift amount and implement the shift as an
     integer divide/multiply so it stays differentiable-shape-friendly.
     """
-    b = jnp.floor(jnp.asarray(bits)).astype(jnp.int32)
+    # clamp to the registry's own 0..15 range (MAX_BITS_TO_CRUSH): an
+    # unclamped project value >= 31 is an out-of-range int32 shift that
+    # XLA lowers to 0, turning the divide into NaN for every sample
+    b = jnp.clip(jnp.floor(jnp.asarray(bits)), 0, 15).astype(jnp.int32)
     step = jnp.left_shift(jnp.int32(1), b).astype(x.dtype)
     mag = jnp.trunc(jnp.abs(x) * I16_MAX)
     crushed = jnp.trunc(mag / step) * step
     return jnp.sign(x) * crushed / I16_MAX
-
-
-def mix(*signals):
-    out = signals[0]
-    for s in signals[1:]:
-        out = out + s
-    return out

@@ -382,30 +382,63 @@ def reverb_stream_automated(x, state: dict, attenuation, seconds_b,
 # envelope follower / smoothed compressor with state
 
 
-def follower_stream(x, attack_s, release_s, sample_rate, st_att, st_rel):
-    """Peak follower (ops/dynamics.envelope_follower semantics) with
-    carried one-pole states. attack_s/release_s: scalars or [S] arrays.
-    Returns (env, st_att', st_rel')."""
+def max_decay_stream(x, r, y0):
+    """Peak hold with exponential release: y[n] = max(x[n], r[n]*y[n-1]),
+    y[-1] = y0. x: [..., S], S % 64 == 0; fixed-64-grid op order like
+    one_pole_stream, so results are segmentation-invariant. Returns
+    (y, y_last)."""
+    B = STREAM_BLOCK
+    n = x.shape[-1]
+    assert n % B == 0
+    nb = n // B
+    shape = x.shape[:-1] + (nb, B)
+    v = x.reshape(shape)
+    p = jnp.broadcast_to(jnp.asarray(r, x.dtype), x.shape).reshape(shape)
+
+    def combine(e1, e2):
+        v1, p1 = e1
+        v2, p2 = e2
+        return (jnp.maximum(v2, v1 * p2), p1 * p2)
+
+    V, P = jax.lax.associative_scan(combine, (v, p), axis=-1)
+    V_blk = jnp.moveaxis(V[..., -1], -1, 0)   # [nb, ...]
+    P_blk = jnp.moveaxis(P[..., -1], -1, 0)
+
+    def cross(yc, vp):
+        vb, pb = vp
+        return jnp.maximum(vb, pb * yc), yc   # emit the ENTERING state
+
+    y0b = jnp.broadcast_to(jnp.asarray(y0, x.dtype), V_blk[0].shape)
+    y_last, y_entry = jax.lax.scan(cross, y0b, (V_blk, P_blk))
+    y_entry = jnp.moveaxis(y_entry, 0, -1)    # [..., nb]
+    y = jnp.maximum(V, P * y_entry[..., None])
+    return y.reshape(x.shape), y_last
+
+
+def follower_stream(x, attack_s, release_s, sample_rate, st_env, st_peak):
+    """Decoupled peak detector (ops/dynamics.envelope_follower semantics)
+    with carried states: release-rate peak hold (max_decay_stream), then
+    attack-rate one-pole smoothing. attack_s/release_s: scalars or [S]
+    arrays. Returns (env, st_env', st_peak')."""
     from groove_tpu.ops.dynamics import _follower_coef
 
     mag = jnp.abs(x)
+    r = _follower_coef(release_s, sample_rate)
+    peak, st_peak2 = max_decay_stream(mag, r, st_peak)
     a_att = _follower_coef(attack_s, sample_rate)
-    a_rel = _follower_coef(release_s, sample_rate)
-    env_att, st_att2 = one_pole_stream(mag, a_att, 1.0 - a_att, st_att)
-    env_rel, st_rel2 = one_pole_stream(mag, a_rel, 1.0 - a_rel, st_rel)
-    rising = mag >= jnp.maximum(env_att, env_rel)
-    return jnp.where(rising, env_att, env_rel), st_att2, st_rel2
+    env, st_env2 = one_pole_stream(peak, a_att, 1.0 - a_att, st_env)
+    return env, st_env2, st_peak2
 
 
 def compressor_smoothed_stream(x, threshold, ratio, attack_s, release_s,
-                               sample_rate, st_att, st_rel):
-    env, st_att2, st_rel2 = follower_stream(
-        x, attack_s, release_s, sample_rate, st_att, st_rel
+                               sample_rate, st_env, st_peak):
+    env, st_env2, st_peak2 = follower_stream(
+        x, attack_s, release_s, sample_rate, st_env, st_peak
     )
     over = env > threshold
     target = threshold + (env - threshold) * ratio
     g = jnp.where(over, target / jnp.maximum(env, 1e-9), 1.0)
-    return x * g, st_att2, st_rel2
+    return x * g, st_env2, st_peak2
 
 
 # --------------------------------------------------------------------------

@@ -156,3 +156,46 @@ def test_adsr_envelope_shape():
     assert env2[49] == pytest.approx(0.49, abs=0.02)
     assert env2[51] < 0.5
     assert env2[400] == 0.0
+
+
+def test_follower_release_holds_short_transients():
+    """Decoupled peak detector (round-3 review finding): a 10 ms burst
+    through a 500 ms release must ring out from ~the PEAK, not collapse
+    instantly (the old two-one-pole+select form released from a slow
+    low-pass's value, ~0.02, making the release knob dead for short
+    material)."""
+    sr = 44100
+    n = int(0.6 * sr)
+    x = np.zeros(n, np.float32)
+    x[: int(0.010 * sr)] = 1.0
+    env = np.asarray(dynamics.envelope_follower(x, 0.001, 0.5, float(sr)))
+    burst_end = int(0.010 * sr)
+    assert env[burst_end - 1] > 0.9, "attack did not track the burst"
+    # 100 ms after the burst: exp(-0.1/0.5) = 0.82 of the held peak
+    at_100ms = env[burst_end + int(0.100 * sr)]
+    assert 0.6 < at_100ms < 0.95, \
+        f"release tail {at_100ms} — expected ~0.82 of the held peak"
+    # the tail decays monotonically (no regime-switch steps)
+    tail = env[burst_end + 64:burst_end + int(0.4 * sr)]
+    assert np.all(np.diff(tail) <= 1e-7)
+
+
+def test_follower_stream_matches_whole(tmp_path=None):
+    """The streamed follower (fixed 64-grid) chains bitwise and matches
+    the whole-window follower to float tolerance."""
+    from groove_tpu.ops import stream as sops
+
+    sr = 44100.0
+    rng = np.random.default_rng(7)
+    x = (rng.uniform(-1, 1, 8192).astype(np.float32)
+         * np.linspace(1, 0, 8192, dtype=np.float32))
+    whole = np.asarray(dynamics.envelope_follower(x, 0.01, 0.2, sr))
+    env1, e1, p1 = sops.follower_stream(x, 0.01, 0.2, sr, 0.0, 0.0)
+    parts, e, p = [], 0.0, 0.0
+    for i in range(0, 8192, 1024):
+        seg, e, p = sops.follower_stream(x[i:i + 1024], 0.01, 0.2, sr, e, p)
+        parts.append(np.asarray(seg))
+    chained = np.concatenate(parts)
+    assert np.array_equal(np.asarray(env1), chained), \
+        "streamed follower not segmentation-invariant"
+    assert float(np.abs(whole - chained).max()) < 1e-4 * whole.max()

@@ -340,3 +340,18 @@ def test_sidechain_delay_clamps_to_engine_bound():
 
 def test_static_only_set_is_exactly_the_structural_params():
     assert STATIC_ONLY_PARAMS == {("toy", "my-value")}
+
+
+def test_sidechain_bits_converts_control_value_to_domain():
+    """A sidechain onto bitcrusher bits-to-crush must convert the raw
+    Normal through the registry (trunc(v*15)) like every other control
+    route — the raw 0..1 value floored to 0 bits and the link was inert
+    (round-3 review finding)."""
+    linked = _sc_song("bitcrusher", {"bits": 0}, ["bits-to-crush"])
+    unlinked = _sc_song("bitcrusher", {"bits": 0}, [])
+    a, b = _render(linked), _render(unlinked)
+    assert not np.allclose(a, b, atol=1e-5), \
+        "sidechain onto bits-to-crush is inert (domain conversion missing)"
+    streamed = _stream_bitwise(linked)
+    peak = max(1.0, float(np.abs(a).max()))
+    assert float(np.abs(a - streamed).max()) < 1e-5 * peak
