@@ -69,6 +69,11 @@ class LiveSynth:
         self._vels = np.zeros(n_voices, np.float32)
         self._age = np.zeros(n_voices, np.int64)
         self._held = np.zeros(n_voices, bool)
+        # age at note-off (-1 while held / never played); a voice is FREE
+        # once its release tail has fully decayed past that point
+        self._rel_age = np.full(n_voices, -1, np.int64)
+        self._release_samples = int(
+            welsh_model.tail_seconds(self.params) * sample_rate) + BLOCK
         self._frames = 0  # absolute session frames (noise block keying)
         self._last_key = None  # glide source: the last played pitch
 
@@ -76,10 +81,22 @@ class LiveSynth:
 
     def note_on(self, key: int, velocity: int) -> None:
         with self._lock:
-            free = np.nonzero(~self._held & (self._vels == 0))[0]
+            # Free = never played, or released long enough ago that the
+            # amp envelope's tail is silent. Stealing preference: free ->
+            # still-ringing released voice (longest-released first) ->
+            # oldest HELD voice. Stealing a sustained pad while silent
+            # voices idle (the pre-round-3 bug) is the worst choice.
+            released = ~self._held
+            rel_elapsed = np.where(
+                self._rel_age >= 0, self._age - self._rel_age, 0)
+            free = np.nonzero(released & (
+                (self._vels == 0) | (rel_elapsed > self._release_samples)))[0]
             if len(free):
                 v = int(free[0])
-            else:  # steal the oldest voice
+            elif released.any():
+                ring = np.where(released, rel_elapsed, -1)
+                v = int(np.argmax(ring))
+            else:  # all held: steal the oldest
                 v = int(np.argmax(self._age))
             # glide source: the last played pitch (or this one, first note)
             prev = self._last_key if self._last_key is not None \
@@ -89,6 +106,7 @@ class LiveSynth:
             self._vels[v] = float(velocity)
             self._age[v] = 0
             self._held[v] = True
+            self._rel_age[v] = -1
             st = self.state
             self.state = welsh_model.LiveVoiceState(
                 phase1=st.phase1.at[v].set(0.0),
@@ -109,6 +127,7 @@ class LiveSynth:
                 return
             v = int(matches[0])
             self._held[v] = False
+            self._rel_age[v] = self._age[v]
             st = self.state
             self.state = welsh_model.LiveVoiceState(
                 phase1=st.phase1, phase2=st.phase2,
@@ -173,7 +192,8 @@ class LiveMidiService:
             from groove_tpu.io import native
             if native.available():
                 self._audio = native.AudioService(
-                    sample_rate=synth.sample_rate, buffer_frames=BLOCK)
+                    sample_rate=synth.sample_rate, buffer_frames=BLOCK,
+                    lead_buffers=lead_blocks)
             self._thread = threading.Thread(target=self._loop, daemon=True)
             self._thread.start()
         # external sinks pace themselves via pump()
@@ -199,10 +219,16 @@ class LiveMidiService:
                 time.sleep(0.01)
 
     def stop(self):
+        # MIDI first (no new events), then the render thread, then the
+        # native service. The join can time out while render_block sits in
+        # a cold jit compile (~2 min on the axon fallback); AudioService/
+        # RingBuffer serialize their native handles against close, so a
+        # late write() from the still-running thread degrades to a no-op
+        # instead of dereferencing a freed pointer.
+        if self._midi is not None:
+            self._midi.stop()
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
-        if self._midi is not None:
-            self._midi.stop()
         if self._audio is not None:
             self._audio.stop()

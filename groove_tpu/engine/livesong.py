@@ -375,7 +375,7 @@ class LiveSongService:
 
     def __init__(self, renderer: LiveSongRenderer, midi_source=None,
                  sink: Optional[Callable[[np.ndarray], None]] = None,
-                 midi_echo=None):
+                 midi_echo=None, lead_blocks: int = 4):
         self.renderer = renderer
         self.blocks_rendered = 0
         self._sink = sink
@@ -398,7 +398,8 @@ class LiveSongService:
             from groove_tpu.io import native
             if native.available():
                 self._audio = native.AudioService(
-                    sample_rate=renderer.c.sample_rate, buffer_frames=BLOCK)
+                    sample_rate=renderer.c.sample_rate, buffer_frames=BLOCK,
+                    lead_buffers=lead_blocks)
                 self._thread = threading.Thread(
                     target=self._loop, daemon=True)
                 self._thread.start()
@@ -425,10 +426,12 @@ class LiveSongService:
                 time.sleep(0.0005)
 
     def stop(self):
+        # MIDI first, then the render thread, then the native service —
+        # see live.LiveMidiService.stop for the shutdown-race rationale.
+        if self._midi is not None:
+            self._midi.stop()
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
-        if self._midi is not None:
-            self._midi.stop()
         if self._audio is not None:
             self._audio.stop()

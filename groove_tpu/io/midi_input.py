@@ -35,11 +35,18 @@ class MidiByteParser:
             if b >= 0xF8:
                 continue  # realtime messages pass through parsers untouched
             if b & 0x80:
-                self._status = b
+                if b >= 0xF0:
+                    # System common (SysEx 0xF0, MTC, song pos/select, tune,
+                    # EOX 0xF7): cancels running status per the MIDI spec.
+                    # Their data bytes are discarded below (status==0), so a
+                    # SysEx bulk dump cannot grow _buf unboundedly.
+                    self._status = 0
+                else:
+                    self._status = b
                 self._buf = []
                 continue
             if not self._status:
-                continue
+                continue  # data byte with no channel status (e.g. SysEx body)
             self._buf.append(b)
             kind = self._status & 0xF0
             need = self._LENGTHS.get(kind, 0)
@@ -72,19 +79,53 @@ class MidiInputService:
         self._thread.start()
 
     def _loop(self):
-        while self._running.is_set():
-            chunk = self._source.read(64)
-            if not chunk:
-                break
-            self._parser.feed(chunk)
+        # fd-backed sources (FIFOs, pipes, sockets) poll with a timeout so
+        # stop() can always interrupt — a thread parked in a blocking
+        # read() on a FIFO with a silent writer is not unblockable from
+        # another thread. os.read also returns as soon as ANY bytes arrive,
+        # where a buffered read(64) would hold a 3-byte note-on hostage
+        # until 61 more bytes showed up.
+        try:
+            fd = self._source.fileno()
+        except Exception:
+            fd = None
+        if fd is not None:
+            import select
+
+            while self._running.is_set():
+                try:
+                    ready, _, _ = select.select([fd], [], [], 0.1)
+                except (OSError, ValueError):
+                    break  # source closed out from under us by stop()
+                if not ready:
+                    continue
+                try:
+                    chunk = os.read(fd, 64)
+                except (OSError, ValueError):
+                    break
+                if not chunk:
+                    break
+                self._parser.feed(chunk)
+        else:
+            # non-fd sources (BytesIO, custom objects): read1 when
+            # available returns with whatever is buffered
+            read = getattr(self._source, "read1", None) or self._source.read
+            while self._running.is_set():
+                try:
+                    chunk = read(64)
+                except (ValueError, OSError):
+                    break
+                if not chunk:
+                    break
+                self._parser.feed(chunk)
 
     def stop(self):
         self._running.clear()
+        self._thread.join(timeout=5)
         try:
             self._source.close()
         except Exception:
             pass
-        self._thread.join(timeout=5)
 
 
 def list_ports(midi_dir: Optional[str] = None) -> list[str]:

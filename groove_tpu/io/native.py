@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -49,7 +50,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rb_readable.argtypes = [ctypes.c_void_p]
     lib.audio_service_start.restype = ctypes.c_void_p
     lib.audio_service_start.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                        ctypes.c_int, ctypes.c_char_p]
+                                        ctypes.c_int, ctypes.c_char_p,
+                                        ctypes.c_int]
     lib.audio_service_stop.argtypes = [ctypes.c_void_p]
     lib.audio_service_frames_consumed.restype = ctypes.c_uint64
     lib.audio_service_frames_consumed.argtypes = [ctypes.c_void_p]
@@ -71,32 +73,52 @@ def available() -> bool:
 
 
 class RingBuffer:
+    """SPSC stereo-frame ring. The lock is NOT for producer/consumer data
+    exchange (the C side handles that with acquire/release atomics) — it
+    serializes the Python-visible handle against close(), so a render
+    thread that loses a shutdown race calls into a no-op, not a freed
+    pointer."""
+
     def __init__(self, capacity_frames: int):
         lib = _load()
         if lib is None:
             raise RuntimeError("groove_native library not available")
         self._lib = lib
+        self._lock = threading.Lock()
         self._rb = lib.rb_create(capacity_frames)
 
     def write(self, frames: np.ndarray) -> int:
         """frames: [n, 2] float32. Returns frames accepted."""
         frames = np.ascontiguousarray(frames, np.float32)
+        if frames.ndim != 2 or frames.shape[1] != 2:
+            raise ValueError(
+                f"RingBuffer.write expects [n, 2] stereo frames, "
+                f"got shape {frames.shape}")
         ptr = frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        return self._lib.rb_write(self._rb, ptr, len(frames))
+        with self._lock:
+            if self._rb is None:
+                return 0
+            return self._lib.rb_write(self._rb, ptr, len(frames))
 
     def read(self, n_frames: int) -> np.ndarray:
         out = np.zeros((n_frames, 2), np.float32)
         ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        self._lib.rb_read(self._rb, ptr, n_frames)
+        with self._lock:
+            if self._rb is not None:
+                self._lib.rb_read(self._rb, ptr, n_frames)
         return out
 
     def readable(self) -> int:
-        return self._lib.rb_readable(self._rb)
+        with self._lock:
+            if self._rb is None:
+                return 0
+            return self._lib.rb_readable(self._rb)
 
     def close(self):
-        if self._rb:
-            self._lib.rb_destroy(self._rb)
-            self._rb = None
+        with self._lock:
+            if self._rb:
+                self._lib.rb_destroy(self._rb)
+                self._rb = None
 
 
 class AudioService:
@@ -108,31 +130,47 @@ class AudioService:
 
     def __init__(self, sample_rate: int = 44100, buffer_frames: int = 64,
                  capacity_frames: int = 1 << 16,
-                 sink_path: Optional[str] = None):
+                 sink_path: Optional[str] = None, lead_buffers: int = 4):
         self.rb = RingBuffer(capacity_frames)
         lib = self.rb._lib
         self._lib = lib
+        self._lock = threading.Lock()  # handle-vs-stop guard (see RingBuffer)
         self._svc = lib.audio_service_start(
             self.rb._rb, sample_rate, buffer_frames,
-            (sink_path or "").encode(),
+            (sink_path or "").encode(), int(lead_buffers),
         )
+        if not self._svc:
+            self.rb.close()
+            raise RuntimeError(
+                f"audio_service_start failed (sink_path={sink_path!r} "
+                "could not be opened)")
 
     def write(self, frames: np.ndarray) -> int:
         return self.rb.write(frames)
 
     def needs_frames(self) -> int:
-        return self._lib.audio_service_needs_frames(self._svc)
+        with self._lock:
+            if not self._svc:
+                return 0
+            return self._lib.audio_service_needs_frames(self._svc)
 
     def frames_consumed(self) -> int:
-        return self._lib.audio_service_frames_consumed(self._svc)
+        with self._lock:
+            if not self._svc:
+                return 0
+            return self._lib.audio_service_frames_consumed(self._svc)
 
     def underruns(self) -> int:
-        return self._lib.audio_service_underruns(self._svc)
+        with self._lock:
+            if not self._svc:
+                return 0
+            return self._lib.audio_service_underruns(self._svc)
 
     def stop(self):
-        if self._svc:
-            self._lib.audio_service_stop(self._svc)
-            self._svc = None
+        with self._lock:
+            svc, self._svc = self._svc, None
+        if svc:
+            self._lib.audio_service_stop(svc)
         self.rb.close()
 
 

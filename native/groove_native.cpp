@@ -49,16 +49,23 @@ void rb_destroy(RingBuffer* rb) {
 }
 
 size_t rb_readable(const RingBuffer* rb) {
-  return rb->head.load(std::memory_order_acquire) -
-         rb->tail.load(std::memory_order_acquire);
+  if (!rb) return 0;
+  // Observer-safe order: load tail BEFORE head. head only grows, so a
+  // stale tail under-reports; loading head first lets a third thread see
+  // tail advance past the sampled head and wrap the size_t difference.
+  size_t tail = rb->tail.load(std::memory_order_acquire);
+  size_t head = rb->head.load(std::memory_order_acquire);
+  return head - tail;
 }
 
 size_t rb_writable(const RingBuffer* rb) {
+  if (!rb) return 0;
   return rb->capacity - rb_readable(rb);
 }
 
 // Returns frames actually written (drops the remainder when full).
 size_t rb_write(RingBuffer* rb, const float* frames, size_t n_frames) {
+  if (!rb || !frames) return 0;
   size_t head = rb->head.load(std::memory_order_relaxed);
   size_t free_frames = rb->capacity -
       (head - rb->tail.load(std::memory_order_acquire));
@@ -75,6 +82,7 @@ size_t rb_write(RingBuffer* rb, const float* frames, size_t n_frames) {
 // Returns frames actually read; missing frames are zero-filled (underrun),
 // matching the callback contract of an audio device (silence on starvation).
 size_t rb_read(RingBuffer* rb, float* out, size_t n_frames) {
+  if (!rb || !out) return 0;
   size_t tail = rb->tail.load(std::memory_order_relaxed);
   size_t avail = rb->head.load(std::memory_order_acquire) - tail;
   size_t take = n_frames < avail ? n_frames : avail;
@@ -106,7 +114,8 @@ struct AudioService {
   std::atomic<uint64_t> underruns;
   int sample_rate;
   int buffer_frames;
-  FILE* sink_file;  // nullptr -> null sink
+  int lead_buffers;  // NeedsAudio target, in buffers
+  FILE* sink_file;   // nullptr -> null sink
 };
 
 static void service_loop(AudioService* svc) {
@@ -130,8 +139,11 @@ static void service_loop(AudioService* svc) {
   delete[] buf;
 }
 
+// Returns nullptr when a requested file sink cannot be opened (the caller
+// asked for capture; silently discarding frames would lose it).
 AudioService* audio_service_start(RingBuffer* rb, int sample_rate,
-                                  int buffer_frames, const char* sink_path) {
+                                  int buffer_frames, const char* sink_path,
+                                  int lead_buffers) {
   auto* svc = new AudioService();
   svc->rb = rb;
   svc->running.store(true);
@@ -139,24 +151,34 @@ AudioService* audio_service_start(RingBuffer* rb, int sample_rate,
   svc->underruns.store(0);
   svc->sample_rate = sample_rate;
   svc->buffer_frames = buffer_frames;
-  svc->sink_file = (sink_path && sink_path[0])
-                       ? fopen(sink_path, "wb")
-                       : nullptr;
+  svc->lead_buffers = lead_buffers > 0 ? lead_buffers : 4;
+  if (sink_path && sink_path[0]) {
+    svc->sink_file = fopen(sink_path, "wb");
+    if (!svc->sink_file) {
+      delete svc;
+      return nullptr;
+    }
+  } else {
+    svc->sink_file = nullptr;
+  }
   svc->thread = std::thread(service_loop, svc);
   return svc;
 }
 
 uint64_t audio_service_frames_consumed(AudioService* svc) {
-  return svc->frames_consumed.load();
+  return svc ? svc->frames_consumed.load() : 0;
 }
 
 uint64_t audio_service_underruns(AudioService* svc) {
-  return svc->underruns.load();
+  return svc ? svc->underruns.load() : 0;
 }
 
-// Frames the service wants buffered (the NeedsAudio count): keep ~4 buffers.
+// Frames the service wants buffered (the NeedsAudio count): keep
+// `lead_buffers` buffers queued (default 4) — the latency bound.
 int64_t audio_service_needs_frames(AudioService* svc) {
-  int64_t target = svc->buffer_frames * 4;
+  if (!svc) return 0;
+  int64_t target =
+      static_cast<int64_t>(svc->buffer_frames) * svc->lead_buffers;
   int64_t have = static_cast<int64_t>(rb_readable(svc->rb));
   return target > have ? target - have : 0;
 }
@@ -174,8 +196,15 @@ void audio_service_stop(AudioService* svc) {
 // Encode: float stereo [n*2] -> i16 with trunc-toward-zero + saturation
 // (Rust `as i16` semantics, helpers.rs:78-92).
 
+// Returns 0 on success, -1 on open/write/close failure (short write, disk
+// full), -2 when the payload cannot be represented in a RIFF uint32 header
+// (n_frames*4 >= 2^32-44 would silently wrap) — callers fall back or report.
 int wav_write_16bit_stereo(const char* path, const float* interleaved,
                            int64_t n_frames, int sample_rate) {
+  if (n_frames < 0 ||
+      static_cast<uint64_t>(n_frames) * 4u > 0xFFFFFFFFull - 44u) {
+    return -2;
+  }
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   const uint32_t data_bytes = static_cast<uint32_t>(n_frames * 2 * 2);
@@ -198,11 +227,11 @@ int wav_write_16bit_stereo(const char* path, const float* interleaved,
   memcpy(header + 34, &bits, 2);
   memcpy(header + 36, "data", 4);
   memcpy(header + 40, &data_bytes, 4);
-  fwrite(header, 1, 44, f);
+  bool ok = fwrite(header, 1, 44, f) == 44;
 
   const int64_t chunk = 1 << 16;
   int16_t* buf = new int16_t[chunk * 2];
-  for (int64_t start = 0; start < n_frames; start += chunk) {
+  for (int64_t start = 0; ok && start < n_frames; start += chunk) {
     int64_t n = n_frames - start < chunk ? n_frames - start : chunk;
     for (int64_t i = 0; i < n * 2; ++i) {
       double scaled = std::trunc(
@@ -211,11 +240,12 @@ int wav_write_16bit_stereo(const char* path, const float* interleaved,
       if (scaled < -32768.0) scaled = -32768.0;
       buf[i] = static_cast<int16_t>(scaled);
     }
-    fwrite(buf, sizeof(int16_t), static_cast<size_t>(n * 2), f);
+    ok = fwrite(buf, sizeof(int16_t), static_cast<size_t>(n * 2), f) ==
+         static_cast<size_t>(n * 2);
   }
   delete[] buf;
-  fclose(f);
-  return 0;
+  if (fclose(f) != 0) ok = false;  // flush can surface ENOSPC here
+  return ok ? 0 : -1;
 }
 
 }  // extern "C"

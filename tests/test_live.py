@@ -100,3 +100,48 @@ def test_voice_stealing_oldest(synth):
     s.note_on(67, 100)  # steals voice holding 60 (oldest)
     keys = set(np.asarray(s.state.keys)[np.asarray(s.state.vels) > 0])
     assert keys == {64.0, 67.0}
+
+
+def test_steal_prefers_released_over_held_pad():
+    """A sustained (held) voice must never be stolen while released voices
+    exist. Pre-round-3 the free check was `~held & (vels == 0)` with _vels
+    never reset, so after every voice had played once the pool ALWAYS
+    stole argmax(age) — the longest-held pad."""
+    s = LiveSynth(patch="piano", n_voices=4)
+    # fill the pool once so every voice has a nonzero historical velocity
+    for k in (60, 62, 64, 65):
+        s.note_on(k, 100)
+        s.render_block()
+    for k in (60, 62, 64, 65):
+        s.note_off(k)
+    # long-past the piano's release tail: all four are silent and free
+    for _ in range(int(s._release_samples / BLOCK) + 2):
+        s.render_block()
+    # hold a pad, then burst three short notes
+    s.note_on(48, 127)  # the pad (oldest trigger from here on)
+    s.render_block()
+    for k in (72, 74, 76):
+        s.note_on(k, 90)
+        s.render_block()
+        s.note_off(k)
+    # one more note: 3 released voices are available — the held pad at 48
+    # must survive
+    s.note_on(79, 90)
+    held_keys = set(np.asarray(s._keys)[s._held])
+    assert 48.0 in held_keys, "sustained pad was stolen"
+    assert 79.0 in held_keys
+
+
+def test_steal_prefers_longest_released_ring_out():
+    """When no voice is fully decayed, steal the one released longest ago
+    (quietest ring-out), not a held one."""
+    s = LiveSynth(patch="piano", n_voices=2)
+    s.note_on(60, 100)          # will be held
+    s.render_block()
+    s.note_on(64, 100)
+    s.render_block()
+    s.note_off(64)              # released, still ringing
+    s.render_block()
+    s.note_on(67, 100)          # must steal the released 64, not held 60
+    held_keys = set(np.asarray(s._keys)[s._held])
+    assert held_keys == {60.0, 67.0}

@@ -63,3 +63,54 @@ def test_native_wav_matches_python_writer(tmp_path):
     b, rb = read_wav(tmp_path / "nat.wav")
     assert ra == rb == 44100
     assert np.array_equal(a, b)
+
+
+def test_lead_buffers_sets_needs_frames_target():
+    """The NeedsAudio target is lead_buffers x buffer_frames (pre-fix the
+    C side hardcoded 4 and LiveMidiService.lead_blocks was dead)."""
+    svc = native.AudioService(sample_rate=44100, buffer_frames=64,
+                              lead_buffers=8)
+    try:
+        assert svc.needs_frames() <= 64 * 8
+        assert svc.needs_frames() > 64 * 4  # consumer may have drained some
+    finally:
+        svc.stop()
+
+
+def test_bad_sink_path_raises():
+    with pytest.raises(RuntimeError):
+        native.AudioService(sample_rate=44100, buffer_frames=64,
+                            sink_path="/nonexistent-dir/stream.f32")
+
+
+def test_ring_write_rejects_non_stereo():
+    rb = native.RingBuffer(64)
+    try:
+        with pytest.raises(ValueError):
+            rb.write(np.zeros(64, np.float32))       # mono [n]
+        with pytest.raises(ValueError):
+            rb.write(np.zeros((16, 3), np.float32))  # [n, 3]
+    finally:
+        rb.close()
+
+
+def test_post_stop_calls_are_safe():
+    """A render thread losing the shutdown race must hit no-ops, not freed
+    native handles."""
+    svc = native.AudioService(sample_rate=44100, buffer_frames=64)
+    svc.stop()
+    assert svc.needs_frames() == 0
+    assert svc.write(np.zeros((64, 2), np.float32)) == 0
+    assert svc.frames_consumed() == 0
+    svc.stop()  # idempotent
+    rb = native.RingBuffer(16)
+    rb.close()
+    assert rb.write(np.zeros((4, 2), np.float32)) == 0
+    assert rb.readable() == 0
+    assert np.all(rb.read(4) == 0)
+    rb.close()
+
+
+def test_wav_write_fast_reports_failure():
+    s = np.zeros((16, 2), np.float32)
+    assert not native.wav_write_fast("/nonexistent-dir/x.wav", s, 44100)
