@@ -80,6 +80,64 @@ def _upsample_block(curve, n: int):
     return out[:n]
 
 
+def host_effect_filter_coefs(dev, nb: int, sr: float):
+    """HOST (numpy f32) coefficients of one effect-filter device over nb
+    64-frame control blocks, from its static params + trip automation
+    curves (both compile-time data). Returns ("lp24", gain, secs) with
+    gain [nb] and secs = 2 tuples of 5 [nb] arrays, ("bq", coefs) with a
+    5-tuple of [nb] arrays, or None (not a designable filter kind).
+
+    These exact bits feed BOTH the fidelity planner and — for automated
+    filters — the render itself (shipped as inputs; see
+    iir.lp24_apply_blockrate_sections for why host bits matter on TPU).
+    Sidechain-overridden filters never reach this (their cutoffs are
+    runtime signals); the caller excludes them."""
+    k = dev.kind
+
+    def pb(name, default, d=dev):
+        if name in d.automation:
+            c = np.asarray(d.automation[name], np.float32)
+            if len(c) < nb:
+                c = np.pad(c, (0, nb - len(c)), mode="edge")
+            return c[:nb]
+        return np.full((nb,), d.params.get(name, default), np.float32)
+
+    cutoff = pb("cutoff", 1000.0)
+    if k == "filter-low-pass-24db":
+        q = np.maximum(pb("passband-ripple", 0.707), np.float32(1e-3))
+        gain, secs = iir.lp24_sections(cutoff, q, sr)
+        gain = np.broadcast_to(np.asarray(gain, np.float32), (nb,))
+        secs = [tuple(np.broadcast_to(np.asarray(c, np.float32), (nb,))
+                      for c in sec) for sec in secs]
+        return ("lp24", gain, secs)
+    mk = {
+        "filter-low-pass-12db": iir.rbj_low_pass,
+        "filter-high-pass-12db": iir.rbj_high_pass,
+        "filter-all-pass-12db": iir.rbj_all_pass,
+    }.get(k)
+    if mk is not None:
+        coefs = mk(cutoff, np.maximum(pb("q", 0.707), np.float32(1e-3)), sr)
+    elif k == "filter-band-pass-12db":
+        coefs = iir.rbj_band_pass(
+            cutoff, np.maximum(pb("bandwidth", 1.0), np.float32(1e-3)), sr)
+    elif k == "filter-band-stop-12db":
+        coefs = iir.rbj_band_stop(
+            cutoff, np.maximum(pb("bandwidth", 1.0), np.float32(1e-3)), sr)
+    elif k == "filter-peaking-eq-12db":
+        coefs = iir.rbj_peaking_eq(
+            cutoff, np.maximum(pb("q", 1.0), np.float32(1e-3)),
+            pb("db-gain", 0.0), sr)
+    elif k == "filter-low-shelf-12db":
+        coefs = iir.rbj_low_shelf(cutoff, pb("db-gain", 0.0), sr)
+    elif k == "filter-high-shelf-12db":
+        coefs = iir.rbj_high_shelf(cutoff, pb("db-gain", 0.0), sr)
+    else:
+        return None
+    coefs = tuple(np.broadcast_to(np.asarray(c, np.float32), (nb,))
+                  for c in coefs)
+    return ("bq", coefs)
+
+
 def compute_filter_fidelity(compiled) -> dict:
     """Host-side fidelity routing for EVERY filter device (the automation
     curves and static params are compile-time data; inside the traced
@@ -100,51 +158,17 @@ def compute_filter_fidelity(compiled) -> dict:
         k = dev.kind
         if not k.startswith("filter-") or dev.uvid in sidechain_targets:
             continue
-
-        def pb(name, default, d=dev):
-            if name in d.automation:
-                c = np.asarray(d.automation[name], np.float32)
-                if len(c) < nb:
-                    c = np.pad(c, (0, nb - len(c)), mode="edge")
-                return c[:nb]
-            return np.float32(d.params.get(name, default))
-
-        cutoff = pb("cutoff", 1000.0)
-        if k == "filter-low-pass-24db":
-            q = np.maximum(pb("passband-ripple", 0.707), 1e-3)
-            _, secs = iir.lp24_sections(cutoff, q, sr)
+        designed = host_effect_filter_coefs(dev, nb, sr)
+        if designed is None:
+            continue
+        if designed[0] == "lp24":
             # OR the two sections per block (leading dims are OR'd by
             # iir.needs_refinement)
-            a1 = np.stack([np.broadcast_to(np.asarray(s[3]), (nb,))
-                           for s in secs])
-            a2 = np.stack([np.broadcast_to(np.asarray(s[4]), (nb,))
-                           for s in secs])
+            a1 = np.stack([s[3] for s in designed[2]])
+            a2 = np.stack([s[4] for s in designed[2]])
         else:
-            mk = {
-                "filter-low-pass-12db": iir.rbj_low_pass,
-                "filter-high-pass-12db": iir.rbj_high_pass,
-                "filter-all-pass-12db": iir.rbj_all_pass,
-            }.get(k)
-            if mk is not None:
-                coefs = mk(cutoff, np.maximum(pb("q", 0.707), 1e-3), sr)
-            elif k == "filter-band-pass-12db":
-                coefs = iir.rbj_band_pass(
-                    cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
-            elif k == "filter-band-stop-12db":
-                coefs = iir.rbj_band_stop(
-                    cutoff, np.maximum(pb("bandwidth", 1.0), 1e-3), sr)
-            elif k == "filter-peaking-eq-12db":
-                coefs = iir.rbj_peaking_eq(
-                    cutoff, np.maximum(pb("q", 1.0), 1e-3),
-                    pb("db-gain", 0.0), sr)
-            elif k == "filter-low-shelf-12db":
-                coefs = iir.rbj_low_shelf(cutoff, pb("db-gain", 0.0), sr)
-            elif k == "filter-high-shelf-12db":
-                coefs = iir.rbj_high_shelf(cutoff, pb("db-gain", 0.0), sr)
-            else:
-                continue
-            a1 = np.atleast_1d(np.asarray(coefs[3]))
-            a2 = np.atleast_1d(np.asarray(coefs[4]))
+            a1 = np.atleast_1d(designed[1][3])
+            a2 = np.atleast_1d(designed[1][4])
         static = not dev.automation
         if static and bool(np.all(a1 < iir._CRITICAL_A1)
                            & np.all(a2 > iir._CRITICAL_A2)):
@@ -184,6 +208,7 @@ class Renderer:
         self._buckets: dict[str, list] = {}
         self._filter_modes: dict[str, str] = {}
         self._collect_inputs()
+        self._collect_effect_filters()
         self._plan_filters()
         # Pin inputs on-device once; sample tables are tens of MB and must
         # not be re-shipped per render call.
@@ -277,9 +302,45 @@ class Renderer:
                     self.inputs[f"{b}/ids"] = li.astype(np.int32)
                     if pv is not None:  # glide sources
                         self.inputs[f"{b}/prev"] = pv[li]
+                    # HOST control constants (welsh.host_osc_constants /
+                    # host_filter_tables): backend-independent bits the
+                    # traced program consumes verbatim
+                    hc = welsh_model.host_osc_constants(
+                        d.voice, k[li], None if pv is None else pv[li])
+                    tabs = welsh_model.host_filter_tables(
+                        d.voice, gate[li], int(span), sr)
+                    if tabs is not None:
+                        hc.update(tabs)
+                    for name, arr in hc.items():
+                        self.inputs[f"{b}/hc/{name}"] = arr
                     members.append((d.uvid, int(li.size)))
                 self._wm_plan.append((int(span), members))
                 j += 1
+
+    def _collect_effect_filters(self) -> None:
+        """Ship HOST-designed coefficient arrays for every AUTOMATED,
+        non-sidechain-overridden effect filter (host_effect_filter_coefs):
+        the traced program consumes the numpy f32 bits verbatim instead of
+        re-deriving tan/cos on its backend. Static filters already design
+        host-side (float params take the numpy path in ops/iir); sidechain
+        targets keep the traced path (runtime cutoffs)."""
+        nb = max(1, -(-self.c.n_frames // BLOCK))
+        sr = float(self.c.sample_rate)
+        sidechain_targets = {tgt for _, tgt, _ in self.c.sidechain}
+        for dev in self.c.devices.values():
+            if not dev.kind.startswith("filter-") or not dev.automation \
+                    or dev.uvid in sidechain_targets:
+                continue
+            designed = host_effect_filter_coefs(dev, nb, sr)
+            if designed is None:
+                continue
+            u = dev.uvid
+            if designed[0] == "lp24":
+                self.inputs[f"{u}/fc/gain"] = designed[1]
+                self.inputs[f"{u}/fc/secs"] = np.stack(
+                    [np.stack(sec) for sec in designed[2]])  # [2, 5, nb]
+            else:
+                self.inputs[f"{u}/fc/coefs"] = np.stack(designed[1])
 
     def _collect_instrument(self, dev: DeviceIR) -> None:
         notes = dev.notes
@@ -379,37 +440,57 @@ class Renderer:
         return (self.NOTE_CHUNK_ELEMS if jax.default_backend() == "cpu"
                 else 12 * self.NOTE_CHUNK_ELEMS)
 
+    # host_ctl entries that are PER-NOTE rows (chunk with the note batch);
+    # the rest (coefficient tables) pass through whole
+    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx")
+
     def _chunked_mono(self, render_fn, keys, vels, gate, on, ids, span: int,
-                      n: int, prev=None):
+                      n: int, prev=None, ctl=None):
         """Render note batches in chunks and scatter-sum into the timeline.
 
         Chunks run under lax.scan so the HLO holds ONE voice-pipeline
         instance however many chunks a long song needs (a Python loop
         duplicated the pipeline per chunk and overwhelmed the remote
         compiler on 2,400-note SMF imports). Padding notes are silent
-        (velocity 0). prev (optional glide-source keys) chunks alongside
-        and is passed to render_fn as a sixth argument; padded rows get
-        prev == keys == 0 (ratio 1, no glide)."""
+        (velocity 0). render_fn(keys, vels, gate, on, ids, prev, ctl):
+        prev (optional glide-source keys) chunks alongside — padded rows
+        get prev == keys == 0 (ratio 1, no glide) — and ctl (optional
+        host-control dict, welsh.host_osc_constants/host_filter_tables)
+        has its per-note rows chunked while coefficient tables pass
+        through whole."""
+        ctl = dict(ctl) if ctl else None
         count = keys.shape[0]
         per_chunk = max(1, self._note_chunk_elems // max(span, 1))
         if count <= per_chunk:
-            args = (keys, vels, gate, on, ids) \
-                + (() if prev is None else (prev,))
-            return scatter_notes(render_fn(*args), on, n)
+            return scatter_notes(
+                render_fn(keys, vels, gate, on, ids, prev, ctl), on, n)
         n_chunks = -(-count // per_chunk)
         padn = n_chunks * per_chunk - count
-        cols = [keys, vels, gate, on, ids] \
-            + ([] if prev is None else [prev])
-        chunked = tuple(
-            jnp.pad(c, (0, padn)).reshape(n_chunks, per_chunk) for c in cols)
 
-        def body(mono, chunk):
-            o = chunk[3]
-            notes = render_fn(*chunk)
+        def chunk(c, fill=0):
+            return jnp.pad(c, (0, padn),
+                           constant_values=fill).reshape(n_chunks, per_chunk)
+
+        cols = [chunk(c) for c in (keys, vels, gate, on, ids)]
+        cols.append(None if prev is None else chunk(prev))
+        ctl_chunked = None
+        if ctl:
+            # padded rows must keep a glide ratio of 1 (log(0) is -inf)
+            ctl_chunked = {name: chunk(ctl.pop(name),
+                                       fill=1 if name == "rgl" else 0)
+                           for name in self._CTL_PER_NOTE if name in ctl}
+
+        def body(mono, xs):
+            k, v, g, o, i, pr, cc = xs
+            hc = None
+            if cc is not None:
+                hc = dict(ctl)  # whole tables (closure constants)
+                hc.update(cc)
+            notes = render_fn(k, v, g, o, i, pr, hc)
             return mono + scatter_notes(notes, o, n), None
 
         mono0 = jnp.zeros((n,), jnp.float32)
-        mono, _ = jax.lax.scan(body, mono0, chunked)
+        mono, _ = jax.lax.scan(body, mono0, tuple(cols) + (ctl_chunked,))
         return mono
 
     def _render_welsh_merged(self, inputs, n: int, only=None) -> dict:
@@ -432,8 +513,12 @@ class Renderer:
                 mode = self._welsh_refine.get(uvid, False)
                 fid = mode if isinstance(mode, str) \
                     else ("refine" if mode else None)
-                groups.setdefault(fid, []).append((uvid, count))
-            for fid, mem in groups.items():
+                # host coefficient tables vs traced controls can't share
+                # a cascade launch (different coefficient plumbing), so
+                # table presence joins the packet grouping key
+                has_tab = f"wm/b{j}/{uvid}/hc/fgain" in inputs
+                groups.setdefault((fid, has_tab), []).append((uvid, count))
+            for (fid, _has_tab), mem in groups.items():
                 packet, rows = [], 0
                 for uvid, count in mem:
                     if count * span > cap:
@@ -441,17 +526,17 @@ class Renderer:
                         b = f"wm/b{j}/{uvid}"
                         dev = self.c.devices[uvid]
                         rf = self._welsh_refine.get(uvid, False)
+                        hc = self._hc_for(inputs, b)
                         mono = self._chunked_mono(
-                            lambda k, v, g, o, i, *pr, s=span, p=dev.voice,
-                            rf_=rf:
+                            lambda k, v, g, o, i, pr, hc_, s=span,
+                            p=dev.voice, rf_=rf:
                             welsh_model.render_notes(
                                 p, k, v, g, s, sr, refine_filter=rf_,
-                                note_ids=i,
-                                prev_keys=pr[0] if pr else None),
+                                note_ids=i, prev_keys=pr, host_ctl=hc_),
                             inputs[f"{b}/keys"], inputs[f"{b}/vels"],
                             inputs[f"{b}/gate"], inputs[f"{b}/on"],
                             inputs[f"{b}/ids"], span, n,
-                            prev=inputs.get(f"{b}/prev"),
+                            prev=inputs.get(f"{b}/prev"), ctl=hc,
                         )
                         monos[uvid] = monos[uvid] + mono
                         continue
@@ -466,31 +551,46 @@ class Renderer:
                         inputs, j, span, packet, fid, n, monos)
         return monos
 
+    def _hc_for(self, inputs, b: str):
+        """Collect a note batch's shipped host-control arrays (see
+        welsh.host_osc_constants/host_filter_tables)."""
+        prefix = f"{b}/hc/"
+        hc = {k[len(prefix):]: inputs[k]
+              for k in inputs if k.startswith(prefix)}
+        return hc or None
+
     def _cascade_packet(self, inputs, j: int, span: int, packet, fid,
                         n: int, monos) -> None:
         sr = float(self.c.sample_rate)
-        oss, cuts, qs, amps, ons = [], [], [], [], []
+        oss, filts, amps, ons = [], [], [], []
         for uvid, _count in packet:
             dev = self.c.devices[uvid]
             b = f"wm/b{j}/{uvid}"
-            o, cb, qb, am = welsh_model.render_notes_parts(
+            o, filt, am = welsh_model.render_notes_parts(
                 dev.voice, inputs[f"{b}/keys"], inputs[f"{b}/vels"],
                 inputs[f"{b}/gate"], span, sr,
                 note_ids=inputs[f"{b}/ids"],
                 prev_keys=inputs.get(f"{b}/prev"),
+                host_ctl=self._hc_for(inputs, b),
             )
             oss.append(o)
-            cuts.append(cb)
-            qs.append(qb)
+            filts.append(filt)
             amps.append(am)
             ons.append(inputs[f"{b}/on"])
+        kind = filts[0][0]  # packet members share it (the grouping key)
         if len(oss) == 1:
-            osc, cut, q = oss[0], cuts[0], qs[0]
+            osc, filt = oss[0], filts[0]
         else:
             osc = jnp.concatenate(oss)
-            cut = jnp.concatenate(cuts)
-            q = jnp.concatenate(qs)
-        y = iir.lp24_apply_blockrate(osc, cut, q, sr, fidelity=fid)
+            if kind == "secs":
+                gain = jnp.concatenate([f[1] for f in filts])
+                secs = [tuple(jnp.concatenate([f[2][i][c] for f in filts])
+                              for c in range(5)) for i in range(2)]
+                filt = ("secs", gain, secs)
+            else:
+                filt = ("hz", jnp.concatenate([f[1] for f in filts]),
+                        jnp.concatenate([f[2] for f in filts]))
+        y = welsh_model.apply_cascade(osc, filt, sr, fidelity=fid)
         r0 = 0
         for (uvid, count), am, on in zip(packet, amps, ons):
             mono = scatter_notes(y[r0:r0 + count] * am, on, n)
@@ -581,7 +681,7 @@ class Renderer:
                 mono = jnp.zeros((n,), jnp.float32)
                 for j, span in enumerate(self._buckets[u]):
                     mono = mono + self._chunked_mono(
-                        lambda k, v, g, o, i, s=span:
+                        lambda k, v, g, o, i, pr, hc, s=span:
                         render(dev.voice, k, v, g, o, i, s, sr),
                         inputs[f"{u}/b{j}/keys"], inputs[f"{u}/b{j}/vels"],
                         inputs[f"{u}/b{j}/gate"], inputs[f"{u}/b{j}/on"],
@@ -776,6 +876,20 @@ class Renderer:
             # already, so no per-sample upsample or per-sample tan/sin.
             # A sidechain override (per-sample) falls back to upsampling
             # its curve back to block rate via every 64th sample.
+            fidelity = self._filter_modes.get(dev.uvid)
+            # automated filters: HOST-designed coefficient arrays
+            # (_collect_effect_filters) — backend-independent bits
+            if f"{dev.uvid}/fc/secs" in inputs:
+                fs = inputs[f"{dev.uvid}/fc/secs"]
+                return iir.lp24_apply_blockrate_sections(
+                    x, inputs[f"{dev.uvid}/fc/gain"],
+                    [tuple(fs[i, j] for j in range(5)) for i in range(2)],
+                    fidelity=fidelity)
+            if f"{dev.uvid}/fc/coefs" in inputs:
+                co = inputs[f"{dev.uvid}/fc/coefs"]
+                return iir.biquad_blockrate(
+                    x, tuple(co[j] for j in range(5)), fidelity=fidelity)
+
             def PB(name, default):
                 ov = overrides.get((dev.uvid, name))
                 if ov is not None:
@@ -788,30 +902,36 @@ class Renderer:
                     return inputs[key]
                 return float(dev.params.get(name, default))
 
+            def fmax(v, lo):
+                # host max for static params keeps the coefficient design
+                # on the numpy path (backend-independent bits); traced
+                # values (sidechain overrides) stay traced
+                return max(v, lo) if isinstance(v, float) \
+                    else jnp.maximum(v, lo)
+
             cutoff = PB("cutoff", 1000.0)
-            fidelity = self._filter_modes.get(dev.uvid)
             if k == "filter-low-pass-24db":
                 q = PB("passband-ripple", 0.707)
                 return iir.lp24_apply_blockrate(
-                    x, cutoff, jnp.maximum(q, 1e-3), sr, fidelity=fidelity
+                    x, cutoff, fmax(q, 1e-3), sr, fidelity=fidelity
                 )
             if k == "filter-low-pass-12db":
-                coefs = iir.rbj_low_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
+                coefs = iir.rbj_low_pass(cutoff, fmax(PB("q", 0.707), 1e-3), sr)
             elif k == "filter-high-pass-12db":
-                coefs = iir.rbj_high_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
+                coefs = iir.rbj_high_pass(cutoff, fmax(PB("q", 0.707), 1e-3), sr)
             elif k == "filter-all-pass-12db":
-                coefs = iir.rbj_all_pass(cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
+                coefs = iir.rbj_all_pass(cutoff, fmax(PB("q", 0.707), 1e-3), sr)
             elif k == "filter-band-pass-12db":
                 coefs = iir.rbj_band_pass(
-                    cutoff, jnp.maximum(PB("bandwidth", 1.0), 1e-3), sr
+                    cutoff, fmax(PB("bandwidth", 1.0), 1e-3), sr
                 )
             elif k == "filter-band-stop-12db":
                 coefs = iir.rbj_band_stop(
-                    cutoff, jnp.maximum(PB("bandwidth", 1.0), 1e-3), sr
+                    cutoff, fmax(PB("bandwidth", 1.0), 1e-3), sr
                 )
             elif k == "filter-peaking-eq-12db":
                 coefs = iir.rbj_peaking_eq(
-                    cutoff, jnp.maximum(PB("q", 1.0), 1e-3), PB("db-gain", 0.0), sr
+                    cutoff, fmax(PB("q", 1.0), 1e-3), PB("db-gain", 0.0), sr
                 )
             elif k == "filter-low-shelf-12db":
                 coefs = iir.rbj_low_shelf(cutoff, PB("db-gain", 0.0), sr)

@@ -176,13 +176,30 @@ class StreamingRenderer:
         return bucket_notes(need, self.c.n_frames)
 
     def _collect_inputs(self) -> None:
-        from groove_tpu.engine.render import warn_static_only
+        from groove_tpu.engine.render import (host_effect_filter_coefs,
+                                              warn_static_only)
 
         c = self.c
         nb_plan = self.plan_frames // BLOCK
+        sidechain_targets = {tgt for _, tgt, _ in c.sidechain}
         for dev in c.devices.values():
             u = dev.uvid
             warn_static_only(dev)
+            if dev.kind.startswith("filter-") and dev.automation \
+                    and u not in sidechain_targets:
+                # HOST-designed whole-plan coefficient tables (see
+                # render.host_effect_filter_coefs); the step dynamic-
+                # slices the segment's blocks — gathers of the same host
+                # constants, so segmentation-invariant by construction
+                designed = host_effect_filter_coefs(dev, nb_plan,
+                                                    float(c.sample_rate))
+                if designed is not None:
+                    if designed[0] == "lp24":
+                        self.inputs[f"{u}/fc/gain"] = designed[1]
+                        self.inputs[f"{u}/fc/secs"] = np.stack(
+                            [np.stack(sec) for sec in designed[2]])
+                    else:
+                        self.inputs[f"{u}/fc/coefs"] = np.stack(designed[1])
             for pname, curve in dev.automation.items():
                 if dev.kind == "oscillator" and pname == "frequency":
                     # folded into the host-precomputed {u}/osc track
@@ -272,6 +289,20 @@ class StreamingRenderer:
                 self.inputs[f"{b}/ids"] = idx.astype(np.int32)
                 if prev_a is not None:  # glide sources
                     self.inputs[f"{b}/prev"] = prev_a[idx]
+                if dev.kind in ("welsh", "welsh-raw"):
+                    # HOST control constants (welsh.host_osc_constants /
+                    # host_filter_tables — backend-independent bits shared
+                    # with the whole-timeline path and the f64 reference)
+                    hc = welsh_model.host_osc_constants(
+                        dev.voice, keys_a[idx],
+                        None if prev_a is None else prev_a[idx])
+                    tabs = welsh_model.host_filter_tables(
+                        dev.voice, gate[idx].astype(np.int64), int(span),
+                        float(c.sample_rate))
+                    if tabs is not None:
+                        hc.update(tabs)
+                    for name, arr in hc.items():
+                        self.inputs[f"{b}/hc/{name}"] = arr
                 if dev.uvid in self._sliced:
                     # host time-base constants the slice path gathers
                     # from (bitwise the whole path's t / t_blk values)
@@ -480,6 +511,24 @@ class StreamingRenderer:
             return _upsample(blk, n)
         return float(dev.params.get(name, default))
 
+    # host_ctl entries that are PER-NOTE rows (gathered with the segment's
+    # note index list); the rest (coefficient tables) pass through whole
+    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx")
+
+    def _hc_seg(self, inputs, b: str, idx):
+        """The segment note batch's host-control dict: per-note rows
+        gathered by idx (padded rows read row 0 — masked at the sum),
+        coefficient tables whole."""
+        prefix = f"{b}/hc/"
+        hc = {}
+        for key in inputs:
+            if key.startswith(prefix):
+                name = key[len(prefix):]
+                v = inputs[key]
+                hc[name] = jnp.take(v, idx, axis=0) \
+                    if name in self._CTL_PER_NOTE else v
+        return hc or None
+
     def _render_instrument_seg(self, inputs, dev: DeviceIR, xs, t0, n: int,
                                state=None, new_state=None):
         # state/new_state are unused here; the live subclass
@@ -541,6 +590,7 @@ class StreamingRenderer:
                     inputs[f"{b}/tfull"], inputs[f"{b}/tbfull"],
                     note_ids=ids,
                     fidelity=self._welsh_refine.get(u),
+                    host_ctl=self._hc_seg(inputs, b, idx),
                 )
                 for k, v in fst2.items():
                     new_state[prefix + k] = state[prefix + k].at[slot].set(v)
@@ -561,12 +611,14 @@ class StreamingRenderer:
                     rf = self._welsh_refine.get(u, False)
                     pv = jnp.take(inputs[f"{b}/prev"], idx, axis=0) \
                         if f"{b}/prev" in inputs else None
+                    hc = self._hc_seg(inputs, b, idx)
                     render = (lambda p_, k, v, g, o, s_, sr_, i_=ids,
-                              rf_=rf, pv_=pv:
+                              rf_=rf, pv_=pv, hc_=hc:
                               welsh_model.render_notes(p_, k, v, g, s_, sr_,
                                                        refine_filter=rf_,
                                                        note_ids=i_,
-                                                       prev_keys=pv_))
+                                                       prev_keys=pv_,
+                                                       host_ctl=hc_))
                 mono = place(render(dev.voice, keys, vels, gate, on,
                                     span, sr))
                 out = out + jnp.stack([mono, mono])  # DCA applied after
@@ -763,7 +815,20 @@ class StreamingRenderer:
             cutoff = PB("cutoff", 1000.0)
             if k == "filter-low-pass-24db":
                 q = PB("passband-ripple", 0.707)
-                if jnp.ndim(cutoff) == 0 and jnp.ndim(q) == 0:
+                if f"{u}/fc/secs" in inputs:
+                    # HOST coefficient table (collection): the segment's
+                    # blocks are a dynamic_slice of the same constants
+                    # every segmentation reads — invariant by construction
+                    nb = n // BLOCK
+                    b0 = t0 // BLOCK
+                    gain_b = jax.lax.dynamic_slice(
+                        inputs[f"{u}/fc/gain"], (b0,), (nb,))
+                    fsec = jax.lax.dynamic_slice(
+                        inputs[f"{u}/fc/secs"], (0, 0, b0), (2, 5, nb))
+                    y = x * _upsample(gain_b, n)
+                    secs = [tuple(_upsample(fsec[i, j], n)
+                                  for j in range(5)) for i in range(2)]
+                elif jnp.ndim(cutoff) == 0 and jnp.ndim(q) == 0:
                     gain_s, secs = iir.lp24_sections(
                         cutoff, max(float(q), 1e-3), sr)
                     y = x * gain_s
@@ -808,8 +873,14 @@ class StreamingRenderer:
                         new_state[f"{u}/lp24/{i}/s1"] = s1
                         new_state[f"{u}/lp24/{i}/s2"] = s2
                 return y
+            if f"{u}/fc/coefs" in inputs:
+                # HOST coefficient table (see the lp24 branch above)
+                nb = n // BLOCK
+                co = jax.lax.dynamic_slice(
+                    inputs[f"{u}/fc/coefs"], (0, t0 // BLOCK), (5, nb))
+                coefs_b = tuple(co[j] for j in range(5))
             # identical coefficient construction to render.py:377-398
-            if k == "filter-low-pass-12db":
+            elif k == "filter-low-pass-12db":
                 coefs_b = iir.rbj_low_pass(
                     cutoff, jnp.maximum(PB("q", 0.707), 1e-3), sr)
             elif k == "filter-high-pass-12db":

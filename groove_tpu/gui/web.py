@@ -33,9 +33,29 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
+import struct
+
 from groove_tpu.compiler import params as param_mod
 from groove_tpu.engine import factory
 from groove_tpu.gui.model import TuiModel
+
+
+def wav_header(sample_rate: int, n_frames: int | None) -> bytes:
+    """RIFF/WAVE header for 16-bit stereo PCM. n_frames=None emits the
+    streaming convention (0xFFFFFFFF sizes — players treat the data chunk
+    as unbounded; the reference's audio panel similarly feeds an open-
+    ended stream, src/panels/audio_panel.rs:75-142)."""
+    if n_frames is None:
+        data_len = 0xFFFFFFFF - 36
+        riff_len = 0xFFFFFFFF
+    else:
+        data_len = n_frames * 4
+        riff_len = 36 + data_len
+    return (b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2,
+                                    int(sample_rate),
+                                    int(sample_rate) * 4, 4, 16)
+            + b"data" + struct.pack("<I", data_len))
 
 
 class WebGui:
@@ -44,6 +64,8 @@ class WebGui:
     def __init__(self, use_audio: bool = False):
         self.model = TuiModel(use_audio=use_audio)
         self.lock = threading.RLock()
+        self._live = None          # lazy LiveSongRenderer (piano strip)
+        self._live_lock = threading.RLock()
 
     # -- state ----------------------------------------------------------
 
@@ -172,6 +194,67 @@ class WebGui:
             return {"db": [float(v) for v in out], "f_lo": f_lo,
                     "f_hi": f_hi, "floor": Spectrum.FLOOR}
 
+    # -- audio ----------------------------------------------------------
+
+    def audio_wav(self, device: str | None = None,
+                  loop: int | None = None) -> bytes | None:
+        """Complete 16-bit stereo WAV of the current render — the whole
+        song, one instrument isolated (?device=), or a bounded loop
+        bounce (?loop=N iterations). PCM bytes are the ONE quantization
+        spec (io.wav._chunk_to_i2), so they byte-match the CLI's --wav
+        output / the quantized stream segments for the same samples.
+        This is what makes Play in the browser audible: the reference
+        pumps rendered buffers to the sound card (audio_panel.rs:75-142);
+        the environment-legitimate sound card here is the browser's
+        <audio> element."""
+        from groove_tpu.io.wav import _chunk_to_i2
+
+        with self.lock:
+            svc = self.model.svc
+            if loop:
+                samples = svc._loop_samples(int(loop))
+            else:
+                samples = self._audio(device)
+            sr = svc.sample_rate
+        if samples is None:
+            return None
+        pcm = _chunk_to_i2(samples).tobytes()
+        return wav_header(sr, len(samples)) + pcm
+
+    def live_renderer(self):
+        """The lazy live-voice renderer behind the piano strip (the
+        LiveSongService path: engine/livesong.LiveSongRenderer voice
+        pools + per-block streaming)."""
+        from groove_tpu.engine.livesong import LiveSongRenderer
+
+        with self._live_lock:
+            if self._live is None:
+                svc = self.model.svc
+                svc.sync()
+                if svc.compiled is None:
+                    svc._recompile()
+                self._live = LiveSongRenderer(svc.compiled, n_voices=8)
+            return self._live
+
+    def live_note(self, kind: str, key: int, velocity: int = 96,
+                  channel: int = 0) -> None:
+        lr = self.live_renderer()
+        if kind == "on":
+            lr.note_on(int(channel), int(key), int(velocity))
+        else:
+            lr.note_off(int(channel), int(key))
+
+    def live_chunks(self, blocks_per_chunk: int = 32):
+        """Unbounded generator of [n, 2] float chunks from the live
+        renderer (~46 ms per chunk at 64-frame blocks) — the /api/audio/
+        live chunked-WAV body."""
+        import numpy as np
+
+        lr = self.live_renderer()
+        while True:
+            parts = [lr.render_block() for _ in range(blocks_per_chunk)]
+            yield np.concatenate(parts, axis=0)
+
     # -- commands -------------------------------------------------------
 
     def command(self, cmd: str, a: dict) -> dict:
@@ -244,6 +327,11 @@ class WebGui:
                 svc.set_pattern_step(a["id"], int(a["row"]),
                                      [int(k) for k in a["notes"]])
                 svc.sync()
+            elif cmd in ("note_on", "note_off"):
+                # piano strip: events route through the live-voice path
+                # (engine/livesong) — the GUI's play-along surface
+                self.live_note(cmd[5:], a["key"],
+                               a.get("velocity", 96), a.get("channel", 0))
             else:
                 return {"ok": False, "error": f"unknown command {cmd}"}
             return {"ok": True}
@@ -251,6 +339,8 @@ class WebGui:
 
 def make_server(gui: WebGui, port: int = 0) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked live-audio streaming
+
         def log_message(self, *args):  # quiet
             pass
 
@@ -261,6 +351,31 @@ def make_server(gui: WebGui, port: int = 0) -> ThreadingHTTPServer:
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def _send_live_audio(self):
+            """Chunked-transfer WAV of the live renderer — plays in an
+            <audio> element for as long as the connection stays open."""
+            from groove_tpu.io.wav import _chunk_to_i2
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+
+            def chunk(data: bytes):
+                self.wfile.write(b"%x\r\n" % len(data))
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+                self.wfile.flush()
+
+            sr = gui.model.svc.sample_rate
+            try:
+                chunk(wav_header(sr, None))
+                for part in gui.live_chunks():
+                    chunk(_chunk_to_i2(part).tobytes())
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # listener closed the <audio> element
 
         def do_GET(self):
             try:
@@ -277,6 +392,16 @@ def make_server(gui: WebGui, port: int = 0) -> ThreadingHTTPServer:
                     self._send(200, json.dumps(gui.waveform(device=device)))
                 elif u.path == "/api/spectrum":
                     self._send(200, json.dumps(gui.spectrum(device=device)))
+                elif u.path == "/api/audio/live":
+                    self._send_live_audio()
+                elif u.path == "/api/audio":
+                    loop = (q.get("loop") or [None])[0]
+                    body = gui.audio_wav(device=device,
+                                         loop=int(loop) if loop else None)
+                    if body is None:
+                        self._send(404, '{"error": "nothing rendered"}')
+                    else:
+                        self._send(200, body, "audio/wav")
                 else:
                     self._send(404, '{"error": "not found"}')
             except Exception as e:
@@ -352,6 +477,8 @@ white-space:nowrap;text-overflow:ellipsis}
  .. <input id="le" type="number" step="1" style="width:56px"></span>
  <button id="render">Render</button>
  <button id="save">Save</button>
+ <audio id="player" controls preload="none"
+  style="height:26px;vertical-align:middle"></audio>
  <span id="state" style="color:var(--warm)"></span>
 </div>
 <div id="pal" class="panel"><h3>palette — click to add</h3>
@@ -366,6 +493,10 @@ white-space:nowrap;text-overflow:ellipsis}
  <div class="panel"><h3>tracks</h3><div id="tracks"></div>
   <div id="effects" class="dev"></div></div>
  <div class="panel"><h3>pattern</h3><div id="pattern"></div></div>
+ <div class="panel"><h3>piano — click/hold to play live
+  <span style="color:var(--dim);text-transform:none">(selected track's
+  channel)</span></h3><div id="piano"></div>
+  <audio id="liveaudio" style="display:none"></audio></div>
  <div class="panel"><h3>params</h3><div id="params"></div></div>
 </div>
 <div id="bro" class="panel"><h3>projects — click to open</h3>
@@ -533,8 +664,42 @@ function drawSpec(s){
    (Math.log(s.f_hi)-Math.log(s.f_lo))*c.width;
   g.fillText(t>=1000?(t/1000+'k'):''+t,x,10);}});
 }
-$('play').onclick=()=>cmd('play');
-$('stop').onclick=()=>cmd('stop');
+$('play').onclick=()=>{
+ // audible playback: the <audio> element pulls the rendered WAV
+ // (/api/audio — loop bounces honor the loop range); cmd('play') keeps
+ // the service transport in step (events, is_playing)
+ const p=$('player');
+ p.src='/api/audio?t='+Date.now()+
+  (S&&S.loop_enabled?'&loop=4':'');
+ p.play();
+ cmd('play');};
+$('stop').onclick=()=>{const p=$('player');p.pause();
+ p.removeAttribute('src');cmd('stop');};
+function pianoInit(){
+ const el=$('piano');if(el.childElementCount)return;
+ let html='<div style="display:flex;gap:1px">';
+ for(let k=48;k<=83;k++){
+  const blk=[1,3,6,8,10].includes(k%12);
+  html+=`<div class="pkey" data-k="${k}" style="width:18px;height:${
+   blk?38:56}px;border-radius:0 0 3px 3px;cursor:pointer;background:${
+   blk?'#10131a':'#d6d9de'};border:1px solid #33373f"></div>`;}
+ el.innerHTML=html+'</div>';
+ const ch=()=>{const t=(S&&S.tracks||[]).find(t=>t.selected);
+  return t?t.channel:0;};
+ const post=(c,k)=>fetch('/api/cmd',{method:'POST',
+  body:JSON.stringify({cmd:c,key:k,channel:ch()})});
+ el.querySelectorAll('.pkey').forEach(d=>{
+  const k=+d.dataset.k;let down=false;
+  d.onmousedown=()=>{liveStart();down=true;post('note_on',k);
+   d.style.outline='2px solid var(--acc)';};
+  const up=()=>{if(!down)return;down=false;post('note_off',k);
+   d.style.outline='';};
+  d.onmouseup=up;d.onmouseleave=up;});
+}
+function liveStart(){
+ const a=$('liveaudio');
+ if(!a.src){a.src='/api/audio/live';a.play();}
+}
 $('loop').onclick=()=>cmd('loop_toggle');
 $('save').onclick=()=>cmd('save');
 $('ntrk').onclick=()=>cmd('add_track');
@@ -544,7 +709,7 @@ $('bpm').onblur=()=>bpmFocused=false;
 $('bpm').onchange=e=>cmd('bpm',{value:e.target.value});
 $('ls').onchange=$('le').onchange=()=>cmd('loop_range',
  {start:$('ls').value||0,end:$('le').value||4});
-refresh();setInterval(refresh,2000);
+refresh().then(pianoInit);setInterval(refresh,2000);
 </script></body></html>
 """
 

@@ -7,8 +7,20 @@ import numpy as np
 
 
 
-def note_freqs(keys) -> jnp.ndarray:
-    """MIDI keys [n] -> Hz [n] (A4=440; patches.rs:8 note_to_frequency)."""
+def note_freqs(keys):
+    """MIDI keys [n] -> Hz [n] (A4=440; patches.rs:8 note_to_frequency).
+
+    BACKEND-GENERIC: numpy/python inputs evaluate with numpy (host f32),
+    traced inputs with jnp. The offline engines pass HOST keys so every
+    note's frequency is fixed host-side data — the TPU's exp2 rounds
+    ~1e-6-relative differently between eager and jitted evaluation, which
+    flips saw/pulse EDGE samples (measured -23 dBFS isolated residuals on
+    scale-c4-major vs the f64 reference that shares the eager values).
+    """
+    if isinstance(keys, (np.ndarray, list, tuple, int, float)):
+        keys = np.asarray(keys, np.float32)
+        return np.float32(440.0) * np.exp2((keys - np.float32(69.0))
+                                           / np.float32(12.0))
     keys = jnp.asarray(keys, jnp.float32)
     return 440.0 * jnp.exp2((keys - 69.0) / 12.0)
 

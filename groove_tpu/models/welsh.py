@@ -137,6 +137,108 @@ def _crosses_serial(a1: np.ndarray, a2: np.ndarray) -> bool:
                  & (a2 > iir_ops._CRITICAL_A2)).any())
 
 
+def host_osc_constants(params: WelshVoiceParams, keys,
+                       prev_keys=None) -> dict:
+    """Per-note oscillator frequency constants, HOST numpy f32.
+
+    The offline engines precompute these from the (host) note data and
+    ship the RESULTS into the jitted program, so the bits are
+    backend-independent: the TPU's traced exp2/div round ~1e-6-relative
+    differently from eager evaluation, which flips saw/pulse EDGE samples
+    (full-scale isolated residuals vs the f64 reference, which shares
+    these exact arrays). Keys: f1/f2 [n] post-tune (f2 honors the fixed-Hz
+    override), rsync [n] = f2/f1 (hard-sync ratio, present only when the
+    patch syncs), rgl [n] = 2^((prev-key)/12) glide source ratio (present
+    only when gliding). The LIVE paths keep traced equivalents — their
+    keys are dynamic device state."""
+    keys = np.asarray(keys, np.float32)
+    base = note_freqs(keys)  # numpy path (backend-generic)
+    f1 = np.asarray(base * params.oscillator_1.tune_ratio, np.float32)
+    if params.oscillator_2_fixed_hz is not None:
+        f2 = np.full_like(f1, params.oscillator_2_fixed_hz)
+    else:
+        f2 = np.asarray(base * params.oscillator_2.tune_ratio, np.float32)
+    out = {"f1": f1, "f2": f2}
+    if params.oscillator_2_sync \
+            and params.oscillator_1.waveform.kind != "none":
+        out["rsync"] = np.asarray(f2 / np.maximum(f1, np.float32(1e-6)),
+                                  np.float32)
+    if params.glide > 0.0 and prev_keys is not None:
+        out["rgl"] = np.asarray(
+            np.exp2((np.asarray(prev_keys, np.float32) - keys)
+                    / np.float32(12.0)), np.float32)
+    return out
+
+
+def host_filter_tables(params: WelshVoiceParams, gate_frames, span: int,
+                       sample_rate: float) -> dict | None:
+    """HOST (numpy f32) block-rate cascade coefficient tables for the
+    voice's internal 24 dB filter, deduplicated by gate length (the
+    cutoff envelope is a function of note age and gate only, so notes
+    sharing a gate share a coefficient row — u unique gates << n notes).
+
+    Returns None when the LFO drives the filter (cutoff/resonance
+    routings modulate per block at render time; those voices keep the
+    traced coefficient path), else a dict of numpy arrays:
+      fidx  [n] int32  — per-note row index into the tables
+      fgain [u, nb] f32 — per-block input gain
+      fsecs [2, 5, u, nb] f32 — per-section (b0,b1,b2,a1,a2) coefficients
+
+    Formula-identical to _filter_controls + iir.lp24_sections (both
+    backend-generic — numpy on host inputs); the engines gather rows on
+    device (bit-exact copies), so the whole-window, sliced-stream, and
+    f64-reference paths all consume IDENTICAL coefficient bits. See
+    host_osc_constants for why host bits matter on the TPU: near-critical
+    lp24 poles amplify the traced tan's ~1e-5 eager-vs-jit drift to
+    -70 dBFS song-level."""
+    lfo = params.lfo
+    lfo_active = (lfo.routing != "none" and lfo.frequency > 0.0
+                  and lfo.depth != 0.0)
+    if lfo_active and lfo.routing in ("filter-cutoff", "cutoff-amp",
+                                      "resonance"):
+        return None
+    gate = np.asarray(gate_frames, np.int64)
+    uniq, fidx = np.unique(gate, return_inverse=True)
+    cblock = iir_ops.CONTROL_BLOCK
+    nb = -(-span // cblock)
+    # same construction as render_notes_parts' t_blk / gate_s (numpy ns)
+    t_blk = (np.arange(nb, dtype=np.float32) * cblock)[None, :] \
+        / np.float32(sample_rate)
+    gate_s = (uniq.astype(np.float32) / np.float32(sample_rate))[:, None]
+    fe = params.filter_envelope
+    f_env = env_ops.adsr(t_blk, gate_s, fe.attack, fe.decay, fe.sustain,
+                         fe.release)
+    cutoff_pct = params.filter_cutoff_start + (
+        params.filter_cutoff_end - params.filter_cutoff_start) * f_env
+    cutoff_pct = np.clip(cutoff_pct, 0.0, 1.0)
+    cutoff_hz = np.exp(np.float32(LN_COEF)
+                       + cutoff_pct * np.float32(LN_BASE)).astype(np.float32)
+    q = np.float32(max(params.filter_q, 1e-3))
+    gain, secs = iir_ops.lp24_sections(cutoff_hz, q, sample_rate)
+    u = len(uniq)
+    fsecs = np.empty((2, 5, u, nb), np.float32)
+    for i, sec in enumerate(secs):
+        for j, c in enumerate(sec):
+            fsecs[i, j] = np.broadcast_to(np.asarray(c, np.float32), (u, nb))
+    return {"fidx": fidx.astype(np.int32),
+            "fgain": np.broadcast_to(
+                np.asarray(gain, np.float32), (u, nb)).copy(),
+            "fsecs": fsecs}
+
+
+def gather_filter_rows(host_ctl: dict):
+    """Device-side gather of a note batch's cascade coefficient rows from
+    shipped host tables -> (gain_rows [n, nb], secs_rows 2x5-tuple of
+    [n, nb]). Pure index copies — the table bits pass through exactly."""
+    fidx = jnp.asarray(host_ctl["fidx"], jnp.int32)
+    gain_rows = jnp.take(jnp.asarray(host_ctl["fgain"], jnp.float32),
+                         fidx, axis=0)
+    fs = jnp.asarray(host_ctl["fsecs"], jnp.float32)
+    secs_rows = [tuple(jnp.take(fs[i, j], fidx, axis=0) for j in range(5))
+                 for i in range(2)]
+    return gain_rows, secs_rows
+
+
 def filter_fidelity_mode(params: WelshVoiceParams,
                          sample_rate: float = 44100.0) -> str | None:
     """Host routing for the voice's internal cascade: 'serial' on
@@ -352,9 +454,21 @@ def render_notes_parts(
     noise_seed: int = 0,
     note_ids=None,
     prev_keys=None,
+    host_ctl=None,
 ):
-    """Everything but the cascade: (osc_out [n, span], cutoff_hz [n, nb],
-    q_b [n, nb], amp [n, span]).
+    """Everything but the cascade: (osc_out [n, span], filt, amp [n, span])
+    where filt tags the cascade controls — ("hz", cutoff_b [n, nb],
+    q_b [n, nb]) on the traced-coefficient path, or ("secs",
+    gain_rows [n, nb], secs_rows) when host_ctl ships precomputed
+    coefficient tables (see host_filter_tables; apply with
+    iir.lp24_apply_blockrate_sections).
+
+    host_ctl: optional dict of per-note control constants precomputed
+    HOST-side (host_osc_constants / host_filter_tables) and shipped as
+    engine inputs — f1/f2/rsync/rgl [n] rows replace the in-trace
+    frequency math so the bits are backend-independent (TPU eager-vs-jit
+    transcendental drift flips waveform edge samples), and
+    fidx/fgain/fsecs route the cascade onto host coefficient tables.
 
     Split out so the engine can CONCATENATE several welsh devices' note
     batches on the row axis and run ONE fused cascade per span bucket
@@ -391,15 +505,23 @@ def render_notes_parts(
     lfo_val = lfo_value(t)  # [1, span] (pitch/amp/pw routings, sample rate)
     routing = lfo.routing
 
+    hc = host_ctl or {}
     pitch_modulated = routing in ("pitch", "pitch-osc2")
-    glide_on = params.glide > 0.0 and prev_keys is not None
+    glide_on = params.glide > 0.0 \
+        and (prev_keys is not None or "rgl" in hc)
     if glide_on:
-        # frequency ratio prev/target per note (tune-independent)
-        r_gl = jnp.exp2(
-            (jnp.asarray(prev_keys, jnp.float32) - keys) / 12.0)[:, None]
+        if "rgl" in hc:
+            r_gl = jnp.asarray(hc["rgl"], jnp.float32)[:, None]
+        else:
+            # frequency ratio prev/target per note (tune-independent)
+            r_gl = jnp.exp2(
+                (jnp.asarray(prev_keys, jnp.float32) - keys) / 12.0)[:, None]
 
     def osc_freq(osc, fixed_hz, is_osc2):
-        if fixed_hz is not None:
+        name = "f2" if is_osc2 else "f1"
+        if name in hc:
+            f = jnp.asarray(hc[name], jnp.float32)[:, None]
+        elif fixed_hz is not None:
             f = jnp.full_like(base_freq, fixed_hz)
         else:
             f = base_freq * osc.tune_ratio
@@ -435,7 +557,16 @@ def render_notes_parts(
     phase1 = osc_phase(f1)
     if params.oscillator_2_sync and o1_active:
         # hard sync: osc2 phase resets at each osc1 wrap (closed form)
-        ratio = f2 / jnp.maximum(f1, 1e-6)
+        if "rsync" in hc:
+            # host per-note ratio f2/f1 (pitch LFO scales both, so it
+            # cancels; pitch-osc2 scales the numerator only)
+            ratio = jnp.broadcast_to(
+                jnp.asarray(hc["rsync"], jnp.float32)[:, None],
+                (n_notes, span))
+            if routing == "pitch-osc2":
+                ratio = ratio * jnp.exp2(lfo_val)
+        else:
+            ratio = f2 / jnp.maximum(f1, 1e-6)
         if glide_on and not o2_tracks:
             # osc2 holds its fixed pitch while osc1 glides underneath
             ratio = ratio / _glide_factor(r_gl, params.glide, t)
@@ -446,15 +577,32 @@ def render_notes_parts(
     osc_out = _osc_mix(params, phase1, phase2, routing, lfo_val, noise_fn,
                        (n_notes, span))
 
-    cblock = iir_ops.CONTROL_BLOCK
-    nb = -(-span // cblock)
-    t_blk = (jnp.arange(nb, dtype=jnp.float32) * cblock)[None, :] / sample_rate
-    cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
-    q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n_notes, nb))
-    cutoff_b = jnp.broadcast_to(cutoff_hz, (n_notes, nb))
+    if "fgain" in hc:
+        gain_rows, secs_rows = gather_filter_rows(hc)
+        filt = ("secs", gain_rows, secs_rows)
+    else:
+        cblock = iir_ops.CONTROL_BLOCK
+        nb = -(-span // cblock)
+        t_blk = (jnp.arange(nb, dtype=jnp.float32) * cblock)[None, :] \
+            / sample_rate
+        cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
+        q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n_notes, nb))
+        cutoff_b = jnp.broadcast_to(cutoff_hz, (n_notes, nb))
+        filt = ("hz", cutoff_b, q_b)
 
     amp = _amp_env(params, t, gate_s, vels, routing, lfo_val)
-    return osc_out, cutoff_b, q_b, amp
+    return osc_out, filt, amp
+
+
+def apply_cascade(osc_out, filt, sample_rate: float, fidelity=None):
+    """Run the 24 dB cascade from a render_notes_parts filt value: host
+    coefficient tables ("secs") through iir.lp24_apply_blockrate_sections,
+    traced controls ("hz") through lp24_apply_blockrate."""
+    if filt[0] == "secs":
+        return iir_ops.lp24_apply_blockrate_sections(
+            osc_out, filt[1], filt[2], fidelity=fidelity)
+    return iir_ops.lp24_apply_blockrate(
+        osc_out, filt[1], filt[2], sample_rate, fidelity=fidelity)
 
 
 def render_notes(
@@ -468,6 +616,7 @@ def render_notes(
     refine_filter: bool = False,
     note_ids=None,
     prev_keys=None,
+    host_ctl=None,
 ) -> jnp.ndarray:
     """Render all notes -> mono [n_notes, span]. refine_filter: add the
     defect-correction pass to the cascade (host decision via
@@ -475,17 +624,16 @@ def render_notes(
     in-graph code cannot decide) — may also be a fidelity MODE string
     from filter_fidelity_mode ("serial" routes deep-corner parked
     cascades on non-Pallas backends). See render_notes_parts for the
-    note_ids and prev_keys (glide) contracts."""
-    osc_out, cutoff_b, q_b, amp = render_notes_parts(
+    note_ids, prev_keys (glide), and host_ctl contracts."""
+    osc_out, filt, amp = render_notes_parts(
         params, keys, vels, gate_frames, span, sample_rate,
         noise_seed=noise_seed, note_ids=note_ids, prev_keys=prev_keys,
+        host_ctl=host_ctl,
     )
     # fused 24 dB cascade (one Pallas kernel on TPU; blocked scans on CPU)
     fidelity = refine_filter if isinstance(refine_filter, str) \
         else ("refine" if refine_filter else None)
-    y = iir_ops.lp24_apply_blockrate(
-        osc_out, cutoff_b, q_b, sample_rate, fidelity=fidelity,
-    )
+    y = apply_cascade(osc_out, filt, sample_rate, fidelity)
     return y * amp
 
 
@@ -599,6 +747,7 @@ def render_notes_slice(
     noise_seed: int = 0,
     note_ids=None,
     fidelity=None,
+    host_ctl=None,
 ):
     """Render note-age slice [age0, age0+S) of each note -> (mono [n, S],
     new fstate). age0: [n] int32, multiples of 64 (negative while the
@@ -617,7 +766,8 @@ def render_notes_slice(
     stages separately today."""
     y, secs_b, ctx = render_notes_slice_pre(
         params, keys, vels, gate_frames, age0, S, sample_rate,
-        t_full, tb_full, noise_seed=noise_seed, note_ids=note_ids)
+        t_full, tb_full, noise_seed=noise_seed, note_ids=note_ids,
+        host_ctl=host_ctl)
     y, new_state = cascade_slices(y, secs_b, fstate, fidelity)
     return finish_slice(params, y, ctx), new_state
 
@@ -634,10 +784,16 @@ def render_notes_slice_pre(
     tb_full,
     noise_seed: int = 0,
     note_ids=None,
+    host_ctl=None,
 ):
     """Everything before the cascade: osc mix + noise + window mask +
     filter-envelope sections + input gain. Returns (y [n, S] gained
-    cascade input, secs_b block-rate sections, ctx for finish_slice)."""
+    cascade input, secs_b block-rate sections, ctx for finish_slice).
+    host_ctl: optional host control constants (see render_notes_parts) —
+    frequency rows replace the in-trace math and fgain/fsecs tables (over
+    the FULL window's blocks) are gathered at the slice's block indices,
+    so sliced and whole-window renders consume IDENTICAL coefficient
+    bits."""
     keys = jnp.asarray(keys, jnp.float32)
     n = keys.shape[0]
     if note_ids is None:
@@ -667,8 +823,12 @@ def render_notes_slice_pre(
     routing = lfo.routing
     # pitch modulation is excluded by can_slice (cumsum phases)
 
-    def osc_freq(osc, fixed_hz):
-        if fixed_hz is not None:
+    hc = host_ctl or {}
+
+    def osc_freq(osc, fixed_hz, name):
+        if name in hc:
+            f = jnp.asarray(hc[name], jnp.float32)[:, None]
+        elif fixed_hz is not None:
             f = jnp.full_like(base_freq, fixed_hz)
         else:
             f = base_freq * osc.tune_ratio
@@ -689,11 +849,16 @@ def render_notes_slice_pre(
         return jnp.take_along_axis(nz, jnp.clip(age, 0, span - 1), axis=1)
 
     o1_active = params.oscillator_1.waveform.kind != "none"
-    f1 = osc_freq(params.oscillator_1, None)
-    f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz)
+    f1 = osc_freq(params.oscillator_1, None, "f1")
+    f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz, "f2")
     phase1 = f1 * t
     if params.oscillator_2_sync and o1_active:
-        phase2 = osc_ops.hard_sync_phase(phase1, f2 / jnp.maximum(f1, 1e-6))
+        if "rsync" in hc:
+            ratio = jnp.broadcast_to(
+                jnp.asarray(hc["rsync"], jnp.float32)[:, None], (n, S))
+        else:
+            ratio = f2 / jnp.maximum(f1, 1e-6)
+        phase2 = osc_ops.hard_sync_phase(phase1, ratio)
     else:
         phase2 = f2 * t
 
@@ -705,12 +870,24 @@ def render_notes_slice_pre(
     # there), and junk past the window end must not enter the recurrence
     osc_out = jnp.where(valid, osc_out, 0.0)
 
-    cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
-    q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n, nb_seg))
     del validb  # coefficients outside the window meet zero input/output
-
-    gain_b, secs_b = iir_ops.lp24_sections(
-        jnp.broadcast_to(cutoff_hz, (n, nb_seg)), q_b, sample_rate)
+    if "fgain" in hc:
+        # gather the slice's blocks from the host coefficient tables —
+        # bit-identical to the whole-window path's rows (same table)
+        fidx = jnp.asarray(hc["fidx"], jnp.int32)
+        bkc = jnp.clip(bk, 0, nb_total - 1)
+        gain_b = jnp.take_along_axis(
+            jnp.take(jnp.asarray(hc["fgain"], jnp.float32), fidx, axis=0),
+            bkc, axis=1)                                   # [n, nb_seg]
+        fs = jnp.asarray(hc["fsecs"], jnp.float32)
+        secs_b = [tuple(jnp.take_along_axis(
+            jnp.take(fs[i, j], fidx, axis=0), bkc, axis=1)
+            for j in range(5)) for i in range(2)]
+    else:
+        cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
+        q_b = jnp.broadcast_to(jnp.asarray(q, jnp.float32), (n, nb_seg))
+        gain_b, secs_b = iir_ops.lp24_sections(
+            jnp.broadcast_to(cutoff_hz, (n, nb_seg)), q_b, sample_rate)
     y = osc_out * iir_ops.upsample_hold(
         jnp.broadcast_to(gain_b, (n, nb_seg)), S, cblock)
     return y, secs_b, (t, gate_s, vels, lfo_val, valid, routing)

@@ -18,22 +18,41 @@ envelope is a pure function of the sample index — no scan needed:
 
 Release starts from the envelope's value at note-off (handles note-off
 during attack/decay). Everything is vectorized over [notes, time].
+
+BACKEND-GENERIC: numpy inputs evaluate with numpy (host f32), tracers/jnp
+arrays with jnp — same dispatch rule as ops/iir's coefficient designers.
+Host evaluation makes envelope-derived CONTROL values (the welsh filter
+cutoff tables) backend-independent data: the jitted TPU program, the CPU
+test backend, and the f64 golden reference all consume identical bits
+instead of each backend's own transcendental/fusion rounding (measured
+1e-5-relative eager-vs-jit drift in lp24 a1 on the TPU, amplified to
+-70 dBFS by near-critical poles).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
-def _held(t, attack, decay, sustain):
+def _ns(*vals):
+    """numpy for host (numpy/python) inputs, jnp when anything is traced."""
+    for v in vals:
+        if not isinstance(v, (int, float, np.ndarray, np.floating,
+                              np.integer)):
+            return jnp
+    return np
+
+
+def _held(t, attack, decay, sustain, ns=jnp):
     eps = 1e-9
-    a = jnp.maximum(attack, eps)
-    d = jnp.maximum(decay, eps)
+    a = ns.maximum(attack, eps)
+    d = ns.maximum(decay, eps)
     in_attack = t < attack
     in_decay = t < attack + decay
     v_attack = t / a
     v_decay = 1.0 - (1.0 - sustain) * (t - attack) / d
-    return jnp.where(in_attack, v_attack, jnp.where(in_decay, v_decay, sustain))
+    return ns.where(in_attack, v_attack, ns.where(in_decay, v_decay, sustain))
 
 
 def adsr(t, t_off, attack, decay, sustain, release):
@@ -42,12 +61,13 @@ def adsr(t, t_off, attack, decay, sustain, release):
     All arguments broadcast; typically t is [..., n] and the rest are
     [..., 1] per-note parameters. t_off is the gate length in seconds.
     """
+    ns = _ns(t, t_off, attack, decay, sustain, release)
     eps = 1e-9
-    r = jnp.maximum(release, eps)
-    v_off = _held(t_off, attack, decay, sustain)
+    r = ns.maximum(release, eps)
+    v_off = _held(t_off, attack, decay, sustain, ns)
     rel = v_off * (1.0 - (t - t_off) / r)
-    env = jnp.where(t < t_off, _held(t, attack, decay, sustain), rel)
-    return jnp.clip(env, 0.0, 1.0)
+    env = ns.where(t < t_off, _held(t, attack, decay, sustain, ns), rel)
+    return ns.clip(env, 0.0, 1.0)
 
 
 def release_tail_seconds(release: float) -> float:

@@ -554,7 +554,31 @@ def lp24_apply_blockrate(x, cutoff_b, q_b, sample_rate,
     cshape = x.shape[:-1] + (nb,)
     cutoff_b = jnp.broadcast_to(jnp.asarray(cutoff_b, jnp.float32), cshape)
     gain_b, sections_b = lp24_sections(cutoff_b, q_b, sample_rate)
-    y = x * upsample_hold(jnp.broadcast_to(gain_b, cshape), n, cblock)
+    return lp24_apply_blockrate_sections(x, gain_b, sections_b,
+                                         cblock=cblock, fidelity=fidelity)
+
+
+def lp24_apply_blockrate_sections(x, gain_b, sections_b,
+                                  cblock: int = CONTROL_BLOCK,
+                                  fidelity=None):
+    """24 dB cascade from PRECOMPUTED block-rate coefficients: gain_b and
+    each section coefficient broadcast against x.shape[:-1] + (nb,).
+
+    This is the determinism-critical entry: the engines compute the
+    coefficient tables HOST-side in numpy f32 (welsh.host_filter_tables /
+    the effect collectors) so the bits are backend-independent data —
+    the TPU's traced tan/exp round ~1e-5-relative differently from eager
+    evaluation, and near-critical lp24 poles amplify that to -70 dBFS
+    song-level (the round-4 on-chip fidelity miss). lp24_apply_blockrate
+    delegates here after computing sections from (cutoff, q)."""
+    n = x.shape[-1]
+    nb = -(-n // cblock)
+    cshape = x.shape[:-1] + (nb,)
+    gain_b = jnp.broadcast_to(jnp.asarray(gain_b, jnp.float32), cshape)
+    sections_b = [tuple(jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape)
+                        for c in sec)
+                  for sec in sections_b]
+    y = x * upsample_hold(gain_b, n, cblock)
     if fidelity == "serial" and not _pallas_available():
         # Deep-corner PARKED cascade on the test (non-Pallas) backend:
         # the refined fallback under-converges there (section A's output

@@ -175,3 +175,85 @@ def test_per_device_waveform_and_spectrum(server):
         assert False, "expected HTTP 500"
     except urllib.error.HTTPError as e:
         assert e.code == 500
+
+
+def test_audio_endpoint_wav_bytes(server):
+    """VERDICT r3 item 3: Play must be AUDIBLE in the browser. /api/audio
+    serves a complete 16-bit stereo WAV whose PCM payload is byte-exact
+    the ONE quantization spec (io.wav._chunk_to_i2) applied to the
+    service's rendered samples — the same bytes the CLI's --wav writes.
+    Match: the reference pumps rendered buffers to the sound card
+    (src/panels/audio_panel.rs:75-142)."""
+    import struct
+
+    import numpy as np
+
+    from groove_tpu.io.wav import _chunk_to_i2
+
+    base, gui = server
+    proj = str(REF / "test-data/kitchen-sink.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    with urllib.request.urlopen(base + "/api/audio", timeout=600) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert body[12:16] == b"fmt " and body[36:40] == b"data"
+    fmt, nch, rate, _brate, _align, bits = struct.unpack(
+        "<HHIIHH", body[20:36])
+    assert fmt == 1 and nch == 2 and bits == 16  # PCM, stereo, 16-bit
+    svc = gui.model.svc
+    assert rate == svc.sample_rate
+    svc.sync()
+    samples = np.asarray(svc._ensure_rendered())
+    expected = _chunk_to_i2(samples).tobytes()
+    assert struct.unpack("<I", body[40:44])[0] == len(expected)
+    assert body[44:] == expected
+    assert any(body[44:]), "audio should not be silent"
+
+
+def test_audio_endpoint_loop_bounce(server):
+    """?loop=N serves the loop-window bounce ([0,end) + N x [start,end),
+    state carried across seams — service._loop_samples)."""
+    import numpy as np
+
+    from groove_tpu.io.wav import _chunk_to_i2
+
+    base, gui = server
+    proj = str(REF / "test-data/kitchen-sink.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    assert _cmd(base, "loop_range", start=0, end=1)["ok"]
+    assert _cmd(base, "loop_toggle")["ok"]
+    with urllib.request.urlopen(base + "/api/audio?loop=2",
+                                timeout=600) as r:
+        body = r.read()
+    expected = _chunk_to_i2(
+        np.asarray(gui.model.svc._loop_samples(2))).tobytes()
+    assert body[44:] == expected
+
+
+def test_piano_strip_live_audio(server):
+    """The piano strip posts note events through the live-voice path
+    (engine/livesong) and /api/audio/live streams the result as a
+    chunked WAV: note_on -> the stream carries nonzero samples."""
+    import numpy as np
+
+    base, gui = server
+    proj = str(REF / "projects/scale-c4-major.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    # build the live renderer up front so the stream read is deterministic
+    gui.live_renderer()
+    assert _cmd(base, "note_on", key=60, velocity=110, channel=0)["ok"]
+    req = urllib.request.Request(base + "/api/audio/live")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        head = r.read(44)
+        assert head[:4] == b"RIFF"
+        pcm = b""
+        while len(pcm) < 4 * 2048 * 3:  # ~3 chunks of 32 blocks
+            got = r.read(4096)
+            if not got:
+                break
+            pcm += got
+    assert _cmd(base, "note_off", key=60, channel=0)["ok"]
+    data = np.frombuffer(pcm, "<i2")
+    assert np.abs(data).max() > 0, "live note should be audible"
