@@ -287,8 +287,12 @@ def _render_streamed(compiled, input_filename: str, args) -> None:
     t0 = time.perf_counter()
     cls = StreamingRenderer
     if getattr(args, "sliced", False):
+        # "auto": per-device routing by the _slice_wins work model, so
+        # --sliced never LOSES to the unsliced path (at large segments a
+        # device whose note spans are shorter than the slice renders
+        # mostly-masked rows and routes back to whole windows)
         cls = type("SlicedStreamingRenderer", (StreamingRenderer,),
-                   {"WELSH_SLICED": True})
+                   {"WELSH_SLICED": "auto"})
     r = cls(compiled, segment_frames=args.segment_frames)
     batch = max(1, min(args.stream_batch, r.n_segs))
     if not args.quiet:

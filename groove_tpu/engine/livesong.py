@@ -78,9 +78,19 @@ class LiveSongRenderer(StreamingRenderer):
     """
 
     def __init__(self, compiled: CompiledSong, n_voices: int = 8,
-                 play_song: bool = False, device=None):
+                 play_song: bool = False, device=None,
+                 block_frames: int = BLOCK):
         self.n_voices = int(n_voices)
         self.play_song = play_song
+        # block_frames > 64: LOOKAHEAD play-along mode — the reference's
+        # 64-frame pull (legacy/audio_panel.rs:66-98) is impossible over
+        # this machine's ~24 ms device tunnel (one RTT > the buffer), so
+        # a tunnel-attached TPU runs the same live graph at a bigger
+        # block (e.g. 4096 frames = 93 ms note-to-audio) and the CPU
+        # backend keeps the 64-frame low-latency path. Note events still
+        # pin to the next block boundary (note_on uses self.frame).
+        assert block_frames % BLOCK == 0 and block_frames >= BLOCK
+        self.block_frames = int(block_frames)
         # live-only mode never reads the sequenced-note machinery; skip
         # its startup cost (bucket uploads, caps, whole-plan osc tracks)
         self._seq_notes = bool(play_song)
@@ -93,7 +103,7 @@ class LiveSongRenderer(StreamingRenderer):
         self._abs_frame = 0               # absolute frames, never rebased
         self._device = device or _live_device()
         with jax.default_device(self._device):
-            super().__init__(compiled, segment_frames=BLOCK)
+            super().__init__(compiled, segment_frames=self.block_frames)
         # free-running always-on oscillators (live-only mode): block phase
         # origins are computed HOST-side in f64 (see _seg_xs)
         self._free_osc = [
@@ -334,9 +344,10 @@ class LiveSongRenderer(StreamingRenderer):
     # ---- audio (render thread) ---------------------------------------------
 
     def render_block(self) -> np.ndarray:
-        """Next 64-frame stereo block [BLOCK, 2] through the whole graph.
+        """Next stereo block [block_frames, 2] through the whole graph.
         xs goes to the jit call as raw numpy (the call's own arg transfer
         is cheaper than a per-leaf device_put at this cadence)."""
+        nb = self.block_frames
         with self._lock:
             if self.play_song and self.frame >= self.plan_frames:
                 # the song sequence has finished: switch to the live-only
@@ -346,17 +357,17 @@ class LiveSongRenderer(StreamingRenderer):
                 # samples forever.
                 self.play_song = False
                 self._steps.clear()
-            xs = self._seg_xs(self.frame, BLOCK)
-            self._st, audio = self._step_for(BLOCK)(
+            xs = self._seg_xs(self.frame, nb)
+            self._st, audio = self._step_for(nb)(
                 self._st, xs, self.inputs)
-            self.frame += BLOCK
-            self._abs_frame += BLOCK
+            self.frame += nb
+            self._abs_frame += nb
             if not self.play_song and self.frame >= REBASE_AT:
                 # shift the rebasable clock back, preserving every
                 # voice's age exactly (t and on/off shift together);
                 # FAR sentinels stay FAR. _abs_frame (free-run oscillator
                 # phase) is a Python int and never rebases.
-                shift = (self.frame - REBASE_KEEP) // BLOCK * BLOCK
+                shift = (self.frame - REBASE_KEEP) // nb * nb
                 self.frame -= shift
                 for pool in self._pools.values():
                     for k in ("on", "off"):

@@ -27,7 +27,8 @@ from groove_tpu.models import fm as fm_model
 from groove_tpu.models import sampler as sampler_model
 from groove_tpu.models import simple as simple_model
 from groove_tpu.models import welsh as welsh_model
-from groove_tpu.models.voices import bucket_notes, scatter_notes, span_for
+from groove_tpu.models.voices import (bucket_notes, note_freqs,
+                                      scatter_notes, span_for)
 from groove_tpu.ops import delayfx, dynamics, effects, iir
 from groove_tpu.ops.dca import pan_gains
 from groove_tpu.project.schema import warn
@@ -311,6 +312,11 @@ class Renderer:
                         d.voice, gate[li], int(span), sr)
                     if tabs is not None:
                         hc.update(tabs)
+                    php = welsh_model.host_pitch_phases(
+                        d.voice, k[li], None if pv is None else pv[li],
+                        int(span), sr)
+                    if php is not None:
+                        hc.update(php)
                     for name, arr in hc.items():
                         self.inputs[f"{b}/hc/{name}"] = arr
                     members.append((d.uvid, int(li.size)))
@@ -386,11 +392,27 @@ class Renderer:
                 # global note indices: noise keying must be invariant to
                 # the bucket partition (welsh.render_notes note_ids)
                 self.inputs[f"{u}/b{j}/ids"] = idx.astype(np.int32)
+                # HOST carrier frequencies (numpy note_freqs — backend-
+                # independent bits; a traced exp2's ulp drifts multi-
+                # second FM phases to ~-44 dB; fm._voices_at freqs)
+                self.inputs[f"{u}/b{j}/hc/f1"] = np.asarray(
+                    note_freqs(np.asarray(notes.keys[idx])), np.float32)
+                if "ratio" not in dev.automation:
+                    # mod-1-reduced phase tables (fm.host_phases)
+                    php = fm_model.host_phases(
+                        dev.voice, notes.keys[idx], int(span), float(sr))
+                    if php is not None:
+                        for nm, arr in php.items():
+                            self.inputs[f"{u}/b{j}/hc/{nm}"] = arr
             return
         self.inputs[f"{u}/keys"] = notes.keys
         self.inputs[f"{u}/vels"] = notes.vels
         self.inputs[f"{u}/on"] = notes.on_frames
         self.inputs[f"{u}/gate"] = gate.astype(np.int32)
+        if dev.kind == "envelope":
+            # host tone frequencies (simple.envelope_instrument freqs)
+            self.inputs[f"{u}/hc/f1"] = np.asarray(
+                note_freqs(np.asarray(notes.keys)), np.float32)
         if dev.sample_table is not None:
             self.inputs[f"{u}/table"] = dev.sample_table.data
             self.inputs[f"{u}/lengths"] = dev.sample_table.lengths
@@ -442,7 +464,8 @@ class Renderer:
 
     # host_ctl entries that are PER-NOTE rows (chunk with the note batch);
     # the rest (coefficient tables) pass through whole
-    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx")
+    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx", "ph1", "ph2",
+                     "phm", "phc")
 
     def _chunked_mono(self, render_fn, keys, vels, gate, on, ids, span: int,
                       n: int, prev=None, ctl=None):
@@ -468,8 +491,9 @@ class Renderer:
         padn = n_chunks * per_chunk - count
 
         def chunk(c, fill=0):
-            return jnp.pad(c, (0, padn),
-                           constant_values=fill).reshape(n_chunks, per_chunk)
+            pad = [(0, padn)] + [(0, 0)] * (jnp.ndim(c) - 1)
+            return jnp.pad(c, pad, constant_values=fill).reshape(
+                (n_chunks, per_chunk) + c.shape[1:])
 
         cols = [chunk(c) for c in (keys, vels, gate, on, ids)]
         cols.append(None if prev is None else chunk(prev))
@@ -672,21 +696,26 @@ class Renderer:
                 ac = {nm: inputs[f"{u}/auto/{nm}"]
                       for nm in ("ratio", "depth", "beta")
                       if f"{u}/auto/{nm}" in inputs}
-                render = (lambda p_, k, v, g, o, i_, s_, sr_, ac_=ac:
+                render = (lambda p_, k, v, g, o, i_, s_, sr_, fr_, ph_,
+                          ac_=ac:
                           fm_model.render_notes(
                               p_, k, v, g, s_, sr_, on_frames=o,
                               ratio_b=ac_.get("ratio"),
                               depth_b=ac_.get("depth"),
-                              beta_b=ac_.get("beta")))
+                              beta_b=ac_.get("beta"), freqs=fr_,
+                              phases=ph_))
                 mono = jnp.zeros((n,), jnp.float32)
                 for j, span in enumerate(self._buckets[u]):
                     mono = mono + self._chunked_mono(
                         lambda k, v, g, o, i, pr, hc, s=span:
-                        render(dev.voice, k, v, g, o, i, s, sr),
+                        render(dev.voice, k, v, g, o, i, s, sr,
+                               None if hc is None else hc.get("f1"),
+                               hc if hc and "phm" in hc else None),
                         inputs[f"{u}/b{j}/keys"], inputs[f"{u}/b{j}/vels"],
                         inputs[f"{u}/b{j}/gate"], inputs[f"{u}/b{j}/on"],
                         inputs[f"{u}/b{j}/ids"],
                         span, n,
+                        ctl=self._hc_for(inputs, f"{u}/b{j}"),
                     )
             if dev.kind == "fm-synthesizer":
                 pan = self._param(inputs, dev, "pan", dev.voice.pan, n)
@@ -750,7 +779,8 @@ class Renderer:
                 float(dev.params.get("release", 0.0)),
             )
             mono_notes = simple_model.envelope_instrument(
-                adsr, keys, vels, gate, span, sr
+                adsr, keys, vels, gate, span, sr,
+                freqs=inputs.get(f"{u}/hc/f1")
             )
             mono = scatter_notes(mono_notes, on, n)
             return jnp.stack([mono, mono])

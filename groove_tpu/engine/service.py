@@ -176,6 +176,13 @@ class EngineService:
         self._q.put(Command("pattern-step", (pattern_id, int(row),
                                              list(notes))))
 
+    def set_pattern_note_value(self, pattern_id: str, note_value: str):
+        """Set a pattern's step duration (PatternSettings.note_value,
+        settings/src/lib.rs:48-78 — the per-pattern grid unit; the GUI's
+        note-duration editor)."""
+        self._q.put(Command("pattern-note-value",
+                            (pattern_id, str(note_value))))
+
     def sync(self, timeout: float = 600.0) -> bool:
         """Block until every previously queued command has been processed
         (used by interactive front ends to refresh views after edits)."""
@@ -441,6 +448,20 @@ class EngineService:
                 pat.notes.append([])
             pat.notes[row] = [int(n) for n in notes]
             self.on_event("pattern-step", (pattern_id, row, notes))
+        elif cmd.kind == "pattern-note-value":
+            from groove_tpu.core.time import BeatValue
+
+            pattern_id, name = cmd.arg
+            pat = next((p for p in song.patterns if p.id == pattern_id), None)
+            if pat is None:
+                self.on_event("error", f"no pattern {pattern_id!r}")
+                return False
+            try:
+                pat.note_value = BeatValue.from_name(name)
+            except (KeyError, ValueError):
+                self.on_event("error", f"unknown note value {name!r}")
+                return False
+            self.on_event("pattern-note-value", (pattern_id, name))
         elif cmd.kind == "control-link-add":
             from groove_tpu.compiler.params import resolve
             from groove_tpu.project.schema import (

@@ -98,6 +98,14 @@ class StreamingRenderer:
     # bitwise-pinned default path keeps its round-proven behavior, and
     # the loop/seek drivers (stream_loop) rewind note ages, which a
     # stateful voice cannot follow — they always use the unsliced path.
+    #
+    # Values: False | True (FORCE every sliceable device — the bitwise
+    # test configuration; same mode at every segment size) | "auto"
+    # (route per device by the work model in _slice_wins, so the mode
+    # never loses to unsliced — the CLI --sliced configuration; the
+    # routing depends on the construction-time segment size, so cross-
+    # SIZE comparisons are float-close rather than bitwise. Within one
+    # renderer the bitwise segmentation invariance is unaffected).
     WELSH_SLICED = False
 
     def __init__(self, compiled: CompiledSong, segment_frames: int = 65536):
@@ -137,6 +145,7 @@ class StreamingRenderer:
             and dev.voice is not None
             and dev.notes is not None and dev.notes.count
             and welsh_model.can_slice(dev.voice)
+            and (self.WELSH_SLICED != "auto" or self._slice_wins(dev))
         }
         self._collect_inputs()
         self.inputs = jax.device_put(self.inputs)
@@ -144,6 +153,30 @@ class StreamingRenderer:
         self._steps: dict[int, callable] = {}
 
     # ---- host-side collection ---------------------------------------------
+
+    def _slice_wins(self, dev: DeviceIR) -> bool:
+        """Per-device ROUTING for the sliced mode (VERDICT r3 item 4):
+        slicing renders [active_notes, S] per segment and wins only when
+        the segment is SHORT relative to the device's note windows — at
+        S >> span it renders mostly-masked zero rows and measured 4.5x
+        vs the unsliced path's 22.5x on-chip (DECISIONS.md 'Sliced welsh
+        on TPU'). Compare per-segment work: sliced ~ cap * S vs unsliced
+        ~ sum over overlapping notes of their full spans; route to the
+        cheaper one so `--sliced` is never a loss. Both estimates count
+        the same cascade samples, so the constant factors cancel except
+        the sliced kernel's ~2x phase-2 roll overhead — weighted in."""
+        on = np.asarray(dev.notes.on_frames, np.int64)
+        off = np.asarray(dev.notes.off_frames, np.int64)
+        tail = int(np.ceil(self._note_tail(dev) * self.c.sample_rate))
+        span = np.minimum((off - on) + tail + 1, self.c.n_frames)
+        # expected overlapping-note work per segment (window recompute):
+        # each note is re-rendered in ceil((span + S) / S) segments
+        unsliced = float(np.sum(span * np.ceil((span + self.S) / self.S)))
+        # sliced work: sum over segments of active-note count x S
+        # ~= sum over notes of (span + S)  (each note active that long),
+        # x2 for the 64-pinned stream kernel's doubled serial rolls
+        sliced = 2.0 * float(np.sum(span + self.S))
+        return sliced < unsliced
 
     def _note_tail(self, dev: DeviceIR) -> float:
         sr = self.c.sample_rate
@@ -301,8 +334,28 @@ class StreamingRenderer:
                         float(c.sample_rate))
                     if tabs is not None:
                         hc.update(tabs)
+                    php = welsh_model.host_pitch_phases(
+                        dev.voice, keys_a[idx],
+                        None if prev_a is None else prev_a[idx],
+                        int(span), float(c.sample_rate))
+                    if php is not None:
+                        hc.update(php)
                     for name, arr in hc.items():
                         self.inputs[f"{b}/hc/{name}"] = arr
+                elif dev.kind in ("fm-synthesizer", "envelope"):
+                    # HOST carrier/tone frequencies (fm._voices_at /
+                    # simple.envelope_instrument freqs)
+                    from groove_tpu.models.voices import note_freqs
+                    self.inputs[f"{b}/hc/f1"] = np.asarray(
+                        note_freqs(np.asarray(keys_a[idx])), np.float32)
+                    if dev.kind == "fm-synthesizer" \
+                            and "ratio" not in dev.automation:
+                        php = fm_model.host_phases(
+                            dev.voice, keys_a[idx], int(span),
+                            float(c.sample_rate))
+                        if php is not None:
+                            for nm, arr in php.items():
+                                self.inputs[f"{b}/hc/{nm}"] = arr
                 if dev.uvid in self._sliced:
                     # host time-base constants the slice path gathers
                     # from (bitwise the whole path's t / t_blk values)
@@ -513,7 +566,8 @@ class StreamingRenderer:
 
     # host_ctl entries that are PER-NOTE rows (gathered with the segment's
     # note index list); the rest (coefficient tables) pass through whole
-    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx")
+    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx", "ph1", "ph2",
+                     "phm", "phc")
 
     def _hc_seg(self, inputs, b: str, idx):
         """The segment note batch's host-control dict: per-note rows
@@ -601,12 +655,18 @@ class StreamingRenderer:
                     ac = {nm: inputs[f"{u}/auto/{nm}"]
                           for nm in ("ratio", "depth", "beta")
                           if f"{u}/auto/{nm}" in inputs}
-                    render = (lambda p_, k, v, g, o, s_, sr_, ac_=ac:
+                    fr = jnp.take(inputs[f"{b}/hc/f1"], idx, axis=0) \
+                        if f"{b}/hc/f1" in inputs else None
+                    hcf = self._hc_seg(inputs, b, idx)
+                    ph = hcf if hcf and "phm" in hcf else None
+                    render = (lambda p_, k, v, g, o, s_, sr_, ac_=ac,
+                              fr_=fr, ph_=ph:
                               fm_model.render_notes(
                                   p_, k, v, g, s_, sr_, on_frames=o,
                                   ratio_b=ac_.get("ratio"),
                                   depth_b=ac_.get("depth"),
-                                  beta_b=ac_.get("beta")))
+                                  beta_b=ac_.get("beta"), freqs=fr_,
+                                  phases=ph_))
                 else:
                     rf = self._welsh_refine.get(u, False)
                     pv = jnp.take(inputs[f"{b}/prev"], idx, axis=0) \
@@ -655,8 +715,10 @@ class StreamingRenderer:
                     float(dev.params.get("sustain", 1.0)),
                     float(dev.params.get("release", 0.0)),
                 )
+                fr = jnp.take(inputs[f"{b}/hc/f1"], idx, axis=0) \
+                    if f"{b}/hc/f1" in inputs else None
                 mono = place(simple_model.envelope_instrument(
-                    adsr, keys, vels, gate, span, sr
+                    adsr, keys, vels, gate, span, sr, freqs=fr
                 ))
                 out = out + jnp.stack([mono, mono])
             else:

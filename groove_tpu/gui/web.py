@@ -66,6 +66,8 @@ class WebGui:
         self.lock = threading.RLock()
         self._live = None          # lazy LiveSongRenderer (piano strip)
         self._live_lock = threading.RLock()
+        self._midi_svc = None      # MidiInputService (MIDI ports panel)
+        self._midi_port = None
 
     # -- state ----------------------------------------------------------
 
@@ -94,7 +96,12 @@ class WebGui:
                                "value": value, "cv": cv,
                                "curve": self._curve_cv(uvid, p)})
             pat = m._sel_pattern()
+            from groove_tpu.core.time import BeatValue
+            from groove_tpu.io.midi_input import list_ports
             return {
+                "note_values": [bv.serde_name for bv in BeatValue],
+                "midi_ports": list_ports(),
+                "midi_connected": self._midi_port,
                 "title": song.title if song else None,
                 "bpm": song.clock.bpm if song else None,
                 "playing": m.svc.is_playing(),
@@ -109,6 +116,8 @@ class WebGui:
                 "pattern": None if pat is None else {
                     "id": pat.id,
                     "rows": [list(r) for r in pat.notes],
+                    "note_value": (pat.note_value.serde_name
+                                   if pat.note_value else None),
                 },
                 "events": [[k, str(d) if d is not None else ""]
                            for k, d in m.events[-10:]],
@@ -244,6 +253,34 @@ class WebGui:
         else:
             lr.note_off(int(channel), int(key))
 
+    def midi_connect(self, port: str) -> None:
+        """Connect a FIFO MIDI port (io.midi_input.list_ports — the midir
+        port-listing analog, src/panels/midi_panel.rs:94-120) to the
+        live-voice renderer: hardware/external events play the song's
+        instruments exactly like the piano strip."""
+        import os
+
+        from groove_tpu.io.midi_input import MidiInputService
+
+        self.midi_disconnect()
+        lr = self.live_renderer()
+        fd = os.open(port, os.O_RDONLY | os.O_NONBLOCK)
+        src = os.fdopen(fd, "rb", buffering=0)
+        self._midi_svc = MidiInputService(
+            src, lambda ch, kind, data: lr.handle_midi(ch, kind, data))
+        self._midi_port = port
+        self.model._on_event("midi-connect", port)
+
+    def midi_disconnect(self) -> None:
+        if self._midi_svc is not None:
+            try:
+                self._midi_svc.stop()
+            except Exception:
+                pass
+            self.model._on_event("midi-disconnect", self._midi_port)
+        self._midi_svc = None
+        self._midi_port = None
+
     def live_chunks(self, blocks_per_chunk: int = 32):
         """Unbounded generator of [n, 2] float chunks from the live
         renderer (~46 ms per chunk at 64-frame blocks) — the /api/audio/
@@ -291,9 +328,12 @@ class WebGui:
             elif cmd == "select_track":
                 m.selected_track = a["id"]
             elif cmd == "add_device":
-                t = m._sel_track()
-                svc.add_device(a["kind"],
-                               midi_channel=t.midi_channel if t else 0)
+                if "channel" in a:  # drag-and-drop onto a specific track
+                    ch = int(a["channel"])
+                else:
+                    t = m._sel_track()
+                    ch = t.midi_channel if t else 0
+                svc.add_device(a["kind"], midi_channel=ch)
                 svc.sync()
             elif cmd == "remove_device":
                 svc.remove_device(a["uvid"])
@@ -332,6 +372,13 @@ class WebGui:
                 # (engine/livesong) — the GUI's play-along surface
                 self.live_note(cmd[5:], a["key"],
                                a.get("velocity", 96), a.get("channel", 0))
+            elif cmd == "pattern_note_value":
+                svc.set_pattern_note_value(a["id"], a["value"])
+                svc.sync()
+            elif cmd == "midi_connect":
+                self.midi_connect(a["port"])
+            elif cmd == "midi_disconnect":
+                self.midi_disconnect()
             else:
                 return {"ok": False, "error": f"unknown command {cmd}"}
             return {"ok": True}
@@ -500,7 +547,11 @@ white-space:nowrap;text-overflow:ellipsis}
  <div class="panel"><h3>params</h3><div id="params"></div></div>
 </div>
 <div id="bro" class="panel"><h3>projects — click to open</h3>
- <div id="browser"></div></div>
+ <div id="browser"></div>
+ <h3 style="margin-top:10px">midi ports
+  <span style="cursor:pointer;color:var(--acc)" title="refresh"
+   onclick="refresh()">⟳</span></h3>
+ <div id="midi"></div></div>
 <div id="log" class="panel"></div>
 <script>
 const $=id=>document.getElementById(id);
@@ -518,14 +569,27 @@ async function refresh(){
   $('le').value=S.loop_range[1];}
  $('state').textContent=S.playing?'PLAYING':'';
  $('palette').innerHTML=S.palette.map(k=>
-  `<div class="item" onclick="cmd('add_device',{kind:'${k}'})">${k}</div>`
+  `<div class="item" draggable="true" `+
+  `ondragstart="event.dataTransfer.setData('text/plain','${k}')" `+
+  `onclick="cmd('add_device',{kind:'${k}'})">${k}</div>`
  ).join('');
+ $('midi').innerHTML=(S.midi_ports||[]).map(p=>{
+  const nm=p.split('/').pop(), on=(S.midi_connected===p);
+  return `<div class="item${on?' sel':''}" title="${p}" `+
+   `onclick="cmd(${on?`'midi_disconnect',{}`:
+    `'midi_connect',{port:'${p}'}`})">${on?'● ':''}${nm}</div>`;
+ }).join('')||'<div style="color:var(--dim)">(none — set '+
+  'GROOVE_MIDI_DIR)</div>';
  $('browser').innerHTML=S.browser.map(p=>{
   const nm=p.split('/').pop();
   return `<div class="item" title="${p}" `+
    `onclick="cmd('open',{path:'${p}'})">${nm}</div>`;}).join('');
  $('tracks').innerHTML=S.tracks.map(t=>
   `<div class="track${t.selected?' sel':''}" `+
+  `ondragover="event.preventDefault()" `+
+  `ondrop="event.preventDefault();cmd('add_device',`+
+  `{kind:event.dataTransfer.getData('text/plain'),`+
+  `channel:${t.channel}})" `+
   `onclick="cmd('select_track',{id:'${t.id}'})">`+
   `<b>${t.id}</b> ch${t.channel} [${t.patterns.join(',')||'-'}] `+
   `<button onclick="event.stopPropagation();`+
@@ -549,7 +613,13 @@ async function refresh(){
 function renderPattern(){
  const el=$('pattern');
  if(!S.pattern){el.textContent='(select a track with a pattern)';return;}
- let html=`<div style="color:var(--dim)">${S.pattern.id} — click: `+
+ const nv=S.pattern.note_value||'';
+ let html=`<div style="color:var(--dim)">${S.pattern.id} — step `+
+  `<select onchange="cmd('pattern_note_value',`+
+  `{id:'${S.pattern.id}',value:this.value})">`+
+  (S.note_values||[]).map(v=>
+   `<option${v===nv?' selected':''}>${v}</option>`).join('')+
+  `</select> — click: `+
   `rest/note · shift-click: +1 semitone · alt-click: −1</div><table>`;
  S.pattern.rows.forEach((row,i)=>{
   const keys=row.filter(k=>k);

@@ -16,6 +16,7 @@ normalization are reconstruction decisions.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from groove_tpu.ops import envelope as env_ops
 from groove_tpu.project.patches import FmSynthParams
@@ -26,16 +27,27 @@ TWO_PI = 2.0 * jnp.pi
 
 def _voices_at(params: FmSynthParams, keys, vels, gate_s, t,
                ratio=None, depth=None, beta=None,
-               sample_rate: float | None = None) -> jnp.ndarray:
+               sample_rate: float | None = None, freqs=None,
+               phases=None) -> jnp.ndarray:
     """FM voice value at note-relative times t [n, m] (seconds; t < 0 is
     silence — the note hasn't started). Shared by the offline span render
     and the live window render. ratio/depth/beta may be per-sample [n, m]
     arrays (block-held automation, VERDICT r2 item 10): a time-varying
     ratio integrates the modulator phase (cumsum) instead of the static
-    closed form."""
-    f_c = note_freqs(jnp.asarray(keys, jnp.float32))[:, None]
+    closed form. freqs: optional HOST-precomputed carrier Hz [n] (the
+    offline engines ship numpy-f32 note_freqs so phases are backend-
+    independent — a traced exp2's ~1e-6-relative rounding drifts a
+    multi-second note's carrier phase to ~-44 dB); live callers omit it."""
+    if freqs is not None:
+        f_c = jnp.asarray(freqs, jnp.float32)[:, None]
+    else:
+        f_c = note_freqs(jnp.asarray(keys, jnp.float32))[:, None]
 
-    if ratio is None:
+    if phases is not None:
+        # host mod-1-reduced tables (host_phases): uniform phase
+        # resolution for any note length
+        mod_phase = jnp.asarray(phases["phm"], jnp.float32)
+    elif ratio is None:
         mod_phase = (params.ratio * f_c) * t
     else:
         f_m = ratio * f_c                                  # [n, m]
@@ -65,9 +77,40 @@ def _voices_at(params: FmSynthParams, keys, vels, gate_s, t,
     depth_v = params.depth if depth is None else depth
     beta_v = params.beta if beta is None else beta
     mod = jnp.sin(TWO_PI * mod_phase) * mod_env * depth_v
-    carrier = jnp.sin(TWO_PI * f_c * t + beta_v * mod)
+    if phases is not None:
+        carrier = jnp.sin(
+            TWO_PI * jnp.asarray(phases["phc"], jnp.float32) + beta_v * mod)
+    else:
+        carrier = jnp.sin(TWO_PI * f_c * t + beta_v * mod)
     amp = car_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
     return carrier * amp * (t >= 0.0)
+
+
+#: element cap for shipping host FM phase tables (see welsh's cap)
+HOST_PHASE_MAX_ELEMS = 8_000_000
+
+
+def host_phases(params: FmSynthParams, keys, span: int, sample_rate: float,
+                max_elems: int = HOST_PHASE_MAX_ELEMS) -> dict | None:
+    """HOST (numpy) modulator/carrier phase tables, REDUCED mod 1 in f64
+    then cast to f32 -> {"phm", "phc": [n, span]} or None (too big, or
+    ratio automation varies the modulator per sample).
+
+    A raw f32 phase f*t loses resolution as it grows (2^-15 cycles at
+    phase ~440), and FM's beta multiplies the modulator's error into the
+    carrier: beta=100 measured -42.9 dBFS vs the f64 reference. sin is
+    exactly 1-periodic, so host f64 reduction keeps uniform 6e-8-cycle
+    resolution for any note length; the engines ship these bits and the
+    f64 reference shares them (beta-100 pins at -90 after this)."""
+    keys = np.asarray(keys, np.float32)
+    n = len(keys)
+    if n == 0 or n * span > max_elems:
+        return None
+    f_c = note_freqs(keys).astype(np.float64)[:, None]       # host f32 bits
+    k = np.arange(span, dtype=np.float64)[None, :]
+    phc = np.mod(f_c * k / float(sample_rate), 1.0)
+    phm = np.mod((float(params.ratio) * f_c) * k / float(sample_rate), 1.0)
+    return {"phm": phm.astype(np.float32), "phc": phc.astype(np.float32)}
 
 
 def _note_curve(curve_b, on_frames, span: int, cblock: int = 64):
@@ -90,11 +133,20 @@ def render_notes(
     ratio_b=None,
     depth_b=None,
     beta_b=None,
+    freqs=None,
+    phases=None,
 ) -> jnp.ndarray:
     """ratio_b/depth_b/beta_b: optional song-level block-rate automation
     curves (domain units); on_frames anchors each note's window on the
-    absolute timeline for the slicing."""
-    t = jnp.arange(span, dtype=jnp.float32)[None, :] / sample_rate
+    absolute timeline for the slicing. freqs: optional host carrier Hz
+    [n]; phases: optional host mod-1-reduced phase tables (host_phases)
+    — ignored when a ratio curve varies the modulator (see _voices_at)."""
+    # HOST time-base literal: an in-graph arange/sample_rate lets XLA
+    # rewrite the divide into a reciprocal multiply, shifting phases by
+    # ulps between programs (see welsh.render_notes_parts' t) — measured
+    # -63 dB carrier drift on 2 s FM notes vs the f64 reference
+    t = jnp.asarray(np.arange(span, dtype=np.float32)[None, :]
+                    / np.float32(sample_rate))
     gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
     cur = {}
     if on_frames is not None:
@@ -104,7 +156,10 @@ def render_notes(
                 cur[name] = _note_curve(c, on_frames, span)
     return _voices_at(params, keys, vels, gate_s, t,
                       ratio=cur.get("ratio"), depth=cur.get("depth"),
-                      beta=cur.get("beta"), sample_rate=sample_rate)
+                      beta=cur.get("beta"), sample_rate=sample_rate,
+                      freqs=freqs,
+                      phases=None if cur.get("ratio") is not None
+                      else phases)
 
 
 def render_window(

@@ -72,14 +72,21 @@ def oscillator_phase_automated(freq_b, n_frames: int, sample_rate: float,
 
 
 def envelope_instrument(adsr_seconds, keys, vels, gate_frames, span: int,
-                        sample_rate: float) -> jnp.ndarray:
-    """Sine at note pitch shaped by the configured ADSR -> [n_notes, span]."""
+                        sample_rate: float, freqs=None) -> jnp.ndarray:
+    """Sine at note pitch shaped by the configured ADSR -> [n_notes, span].
+    freqs: optional HOST-precomputed Hz [n] (backend-independent bits —
+    see welsh.host_osc_constants); defaults to traced note_freqs."""
     a, d, s, r = adsr_seconds
     keys = jnp.asarray(keys, jnp.float32)
-    t = jnp.arange(span, dtype=jnp.float32)[None, :] / sample_rate
+    f = jnp.asarray(freqs, jnp.float32) if freqs is not None \
+        else note_freqs(keys)
+    # HOST time-base literal (see welsh.render_notes_parts' t): keeps the
+    # tone phase bits identical across programs/backends
+    t = jnp.asarray(np.arange(span, dtype=np.float32)[None, :]
+                    / np.float32(sample_rate))
     gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
     env = env_ops.adsr(t, gate_s, a, d, s, r)
-    tone = jnp.sin(2.0 * jnp.pi * note_freqs(keys)[:, None] * t)
+    tone = jnp.sin(2.0 * jnp.pi * (f[:, None] * t))
     return tone * env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
 
 

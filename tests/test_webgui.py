@@ -257,3 +257,82 @@ def test_piano_strip_live_audio(server):
     assert _cmd(base, "note_off", key=60, channel=0)["ok"]
     data = np.frombuffer(pcm, "<i2")
     assert np.abs(data).max() > 0, "live note should be audible"
+
+
+def test_drag_drop_add_device_to_channel(server):
+    """Palette drag-and-drop (VERDICT r3 item 8; palette_panel.rs:30-46):
+    dropping onto a track adds the device on THAT track's channel,
+    independent of the selection."""
+    base, gui = server
+    proj = str(REF / "test-data/kitchen-sink.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    s = _get(base, "/api/state")
+    target = s["tracks"][-1]  # not the selected track
+    n_before = len(target["devices"])
+    assert _cmd(base, "add_device", kind="welsh",
+                channel=target["channel"])["ok"]
+    s2 = _get(base, "/api/state")
+    t2 = next(t for t in s2["tracks"] if t["id"] == target["id"])
+    assert len(t2["devices"]) == n_before + 1
+    assert any("welsh" in d for d in t2["devices"])
+
+
+def test_pattern_note_value_editing(server):
+    """Step-duration editing in the pattern grid (VERDICT r3 item 8):
+    the note-value selector rewrites PatternSettings.note_value and the
+    render length follows (eighth -> quarter doubles the pattern)."""
+    base, gui = server
+    proj = str(REF / "projects/scale-c4-major.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    s = _get(base, "/api/state")
+    assert s["pattern"]["note_value"] == "eighth"
+    assert "quarter" in s["note_values"]
+    svc = gui.model.svc
+    svc.sync()
+    if svc.compiled is None:
+        svc._recompile()
+    frames_before = svc.compiled.n_frames
+    assert _cmd(base, "pattern_note_value", id=s["pattern"]["id"],
+                value="quarter")["ok"]
+    s2 = _get(base, "/api/state")
+    assert s2["pattern"]["note_value"] == "quarter"
+    svc.sync()
+    svc._recompile()
+    assert svc.compiled.n_frames > frames_before
+    # unknown value -> error event, state unchanged
+    assert _cmd(base, "pattern_note_value", id=s["pattern"]["id"],
+                value="nope")["ok"]
+    assert _get(base, "/api/state")["pattern"]["note_value"] == "quarter"
+
+
+def test_midi_port_panel_lists_and_connects(server, tmp_path,
+                                            monkeypatch):
+    """MIDI-port panel (VERDICT r3 item 8; midi_panel.rs:94-120): the
+    state lists FIFO ports from GROOVE_MIDI_DIR, midi_connect routes the
+    port's bytes into the live-voice renderer, midi_disconnect stops."""
+    import os
+    import time
+
+    base, gui = server
+    proj = str(REF / "projects/scale-c4-major.json")
+    assert _cmd(base, "open", path=proj)["ok"]
+    port = tmp_path / "port-0"
+    os.mkfifo(port)
+    monkeypatch.setenv("GROOVE_MIDI_DIR", str(tmp_path))
+    s = _get(base, "/api/state")
+    assert str(port) in s["midi_ports"]
+    gui.live_renderer()  # build before the byte arrives (deterministic)
+    assert _cmd(base, "midi_connect", port=str(port))["ok"]
+    assert _get(base, "/api/state")["midi_connected"] == str(port)
+    with open(port, "wb", buffering=0) as w:
+        w.write(bytes([0x90, 64, 100]))  # note-on ch0 key 64
+        # poll the live pool until the service thread lands the event
+        pool = next(iter(gui._live._pools.values()))
+        for _ in range(200):
+            if (pool["keys"] == 64).any() and (pool["vels"] > 0).any():
+                break
+            time.sleep(0.01)
+        else:
+            raise AssertionError("MIDI note never reached the live pool")
+    assert _cmd(base, "midi_disconnect")["ok"]
+    assert _get(base, "/api/state")["midi_connected"] is None

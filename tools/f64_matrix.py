@@ -1,0 +1,150 @@
+"""Corpus-wide f64 residual matrix (VERDICT r3 item 2).
+
+Renders a diverse slice of the reference corpus through the shipped
+engine AND tools/f64_reference.py (the strictly serial float64
+evaluation of the reference's per-sample loop, sharing the engine's
+host f32 control constants), and records the song-level residual per
+file in F64_MATRIX.md. Covers what the four BASELINE configs don't:
+every welsh LFO routing in the shipped patch set, noise mix-ins, hard
+sync, glide, the resampled sampler, FM, delays/reverb/chorus/
+compressor, sends/sidechain, an SMF import, and dev-loop.json5 (whose
+peak 17,849.77 the f64 reference REPRODUCES — the blow-up is the song's
+own parked-25-Hz automated-filter semantics, not an engine defect).
+
+Usage: python tools/f64_matrix.py [--configs a,b,...] [--out F64_MATRIX.md]
+(tests/test_f64_matrix.py pins a fast subset in CI.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+
+REF = Path("/root/reference")
+
+DEFAULT_CONFIGS = [
+    # welsh patch diversity (LFO routings, sync, noise, filter corners)
+    "projects/demos/instruments/welsh-piano.json",
+    "projects/demos/instruments/welsh-angels.json",
+    "projects/demos/instruments/welsh-cello.json",
+    "projects/demos/instruments/welsh-didgeridoo.json",
+    "projects/demos/instruments/welsh-harmonica.json",
+    "projects/demos/instruments/welsh-octave-switch.json",
+    "projects/demos/instruments/welsh-test-lfo-pitch.json",
+    # other instruments
+    "projects/demos/instruments/sampler.json",
+    "projects/demos/instruments/drums.json",
+    "projects/demos/instruments/fm-synthesizer.json",
+    "projects/demos/instruments/envelope-adsr-linear.json",
+    "projects/calculator.json",
+    # effects + automation
+    "projects/demos/effects/drums-reverb.json",
+    "projects/demos/effects/drums-chorus.json",
+    "projects/demos/effects/delay.json",
+    "projects/demos/effects/compressor.json",
+    "projects/demos/effects/bitcrusher_sawtooth_bits-to-crush-13.json",
+    "projects/demos/effects/filter-lpf-12db-noise-sweep-down.json",
+    ("projects/demos/effects/"
+     "filter-low-pass-24db_noise_cutoff-1000_passband-ripple-sweep.json"),
+    # controllers / routing
+    "projects/demos/controllers/sidechain.json",
+    "projects/demos/controllers/stereo-automation.json",
+    "projects/demos/controllers/arpeggiator.json",
+    # whole songs
+    "projects/dev-loop.json5",
+    "projects/default.json5",
+    "projects/automation-work.json",
+    # SMF import
+    "test-data/midi/major-scale-overlapping.mid",
+]
+
+
+def measure(rel: str) -> dict:
+    from groove_tpu.compiler.song import compile_midi_file, compile_song
+    from groove_tpu.engine.render import Renderer
+    from groove_tpu.project.schema import SongSettings
+    from tools.f64_reference import render_f64
+
+    p = REF / rel
+    if p.suffix == ".mid":
+        c = compile_midi_file(p)
+    else:
+        c = compile_song(SongSettings.from_project_file(p))
+    t0 = time.time()
+    got = np.asarray(Renderer(c).render()).astype(np.float64)
+    t_render = time.time() - t0
+    t0 = time.time()
+    ref = render_f64(c)
+    t_ref = time.time() - t0
+    assert got.shape == ref.shape
+    peak = max(1.0, float(np.abs(ref).max()))
+    err = np.abs(got - ref)
+    max_db = 20.0 * np.log10(float(err.max()) / peak + 1e-30)
+    rms_db = 20.0 * np.log10(float(np.sqrt(np.mean(err**2))) / peak + 1e-30)
+    return {
+        "config": rel,
+        "frames": int(c.n_frames),
+        "ref_peak": round(float(np.abs(ref).max()), 6),
+        "max_abs_dbfs": round(max_db, 1),
+        "rms_dbfs": round(rms_db, 1),
+        "t_render_s": round(t_render, 1),
+        "t_f64_s": round(t_ref, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    import jax
+    platform = jax.devices()[0].platform
+    configs = args.configs.split(",") if args.configs else DEFAULT_CONFIGS
+    rows = []
+    for rel in configs:
+        print(f"== {rel}", file=sys.stderr, flush=True)
+        try:
+            row = measure(rel)
+        except NotImplementedError as e:
+            row = {"config": rel, "error": f"f64 scope: {e}"}
+        except Exception as e:  # keep the matrix going
+            row = {"config": rel, "error": f"{type(e).__name__}: {e}"}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    md = [
+        "# F64_MATRIX — corpus song-level residuals vs the f64 reference",
+        "",
+        f"Backend: `{platform}`. Engine render vs tools/f64_reference.py",
+        "(serial float64 evaluation of the reference per-sample loop,",
+        "sharing the engine's host f32 control constants). dB relative to",
+        "the f64 reference's own peak (max(1, peak)).",
+        "",
+        "| Config | frames | f64 peak | max-abs dBFS | rms dBFS |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            md.append(f"| {r['config']} | — | — | — | {r['error']} |")
+        else:
+            md.append(f"| {r['config']} | {r['frames']} | {r['ref_peak']} "
+                      f"| **{r['max_abs_dbfs']}** | {r['rms_dbfs']} |")
+    md.append("")
+    out = Path(args.out) if args.out else Path(_REPO) / "F64_MATRIX.md"
+    out.write_text("\n".join(md))
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

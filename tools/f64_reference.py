@@ -199,6 +199,16 @@ def _render_welsh(dev: DeviceIR, span: int, sr: float) -> np.ndarray:
     o1 = p.oscillator_1.waveform.kind != "none"
     o2 = p.oscillator_2.waveform.kind != "none"
     o2_tracks = p.oscillator_2_fixed_hz is None
+    php = welsh_model.host_pitch_phases(p, keys, prev, span, sr)
+    if php is not None:
+        # pitch-LFO phases are the engine's HOST tables — exact shares
+        ph1_32 = php["ph1"]
+        ph2_32 = php["ph2"]
+        ph1 = ph1_32.astype(np.float64)
+        ph2 = ph2_32.astype(np.float64)
+        return _welsh_tail(dev, p, span, sr, shape, ph1, ph2, routing,
+                           lfo_active, lfo_val, lfo_value, gate_i, gate,
+                           vels, on_a)
     f1_32 = freq32("f1", False)
     f2_32 = freq32("f2", True)
     ph1_32 = phase32(f1_32)
@@ -220,8 +230,25 @@ def _render_welsh(dev: DeviceIR, span: int, sr: float) -> np.ndarray:
         ph2_32 = phase32(f2_32, glides=o2_tracks)
     ph1 = np.broadcast_to(ph1_32, shape).astype(np.float64)
     ph2 = np.broadcast_to(ph2_32, shape).astype(np.float64)
+    return _welsh_tail(dev, p, span, sr, shape, ph1, ph2, routing,
+                       lfo_active, lfo_val, lfo_value, gate_i, gate,
+                       vels, on_a)
 
+
+def _welsh_tail(dev, p, span, sr, shape, ph1, ph2, routing, lfo_active,
+                lfo_val, lfo_value, gate_i, gate, vels, on_a):
+    """Oscillator-signal -> filter -> amp stage of _render_welsh (shared
+    by the host-phase-table and mirrored-phase paths)."""
+    import jax.numpy as jnp
+
+    from groove_tpu.models import welsh as welsh_model
+    from groove_tpu.ops import iir as iir_ops
+    from groove_tpu.ops import oscillator as osc_ops
+
+    n_notes = shape[0]
     note_ids = np.arange(n_notes, dtype=np.int32)
+    o1 = p.oscillator_1.waveform.kind != "none"
+    o2 = p.oscillator_2.waveform.kind != "none"
 
     def noise64(which):
         # the engine's exact noise rows (threefry is integer math —
@@ -406,6 +433,59 @@ def _render_sampler(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
     return _scatter_stereo(rows, notes.on_frames, n)
 
 
+def _render_fm(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
+    """Single-operator FM, f64 over the engine's f32 phase arguments
+    (host note_freqs carrier rows — fm._voices_at freqs); envelopes and
+    the modulation sum evaluate in f64."""
+    from groove_tpu.models import fm as fm_model
+    from groove_tpu.models.voices import note_freqs, span_for
+
+    p = dev.voice
+    notes = dev.notes
+    if any(nm in dev.automation for nm in ("ratio", "depth", "beta")):
+        raise NotImplementedError("f64 reference: automated FM params")
+    gate = (notes.off_frames - notes.on_frames).astype(np.float64)
+    span = min(span_for(int(gate.max()), fm_model.tail_seconds(p),
+                        int(sr)), -(-n // 128) * 128)
+    php = fm_model.host_phases(p, notes.keys, span, sr)
+    if php is not None:
+        # the engine's host mod-1-reduced phase tables — exact shares
+        mod_ph32 = php["phm"]
+        car_ph32 = php["phc"]
+    else:
+        f_c = note_freqs(np.asarray(notes.keys))[:, None]   # [n, 1] f32
+        t32 = np.arange(span, dtype=np.float32)[None, :] / np.float32(sr)
+        # engine op order (fm._voices_at): (ratio * f_c) * t, f32
+        mod_ph32 = (np.float32(p.ratio) * f_c) * t32
+        car_ph32 = f_c * t32
+
+    t = np.arange(span, dtype=np.float64)[None, :] / sr
+    gate_s = gate[:, None] / sr
+    me, ce = p.modulator_envelope, p.carrier_envelope
+    mod_env = _adsr(t, gate_s, me.attack, me.decay, me.sustain, me.release)
+    car_env = _adsr(t, gate_s, ce.attack, ce.decay, ce.sustain, ce.release)
+    mod = np.sin(2.0 * np.pi * mod_ph32.astype(np.float64)) \
+        * mod_env * p.depth
+    carrier = np.sin(2.0 * np.pi * car_ph32.astype(np.float64)
+                     + p.beta * mod)
+    vels = np.asarray(notes.vels, np.float64)
+    rows = carrier * car_env * (vels[:, None] / 127.0)
+    mono = np.zeros(n + span)
+    for i in range(notes.count):
+        on = int(notes.on_frames[i])
+        mono[on:on + span] += rows[i]
+    mono = mono[:n]
+
+    def PP(name, default):
+        if name in dev.automation:
+            return _upsample(dev.automation[name], n)
+        return float(dev.params.get(name, default))
+
+    left, right = _pan_gains(PP("pan", p.pan))
+    g = PP("gain", p.gain)
+    return np.stack([mono * left * g, mono * right * g])
+
+
 def _render_oscillator(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
     """Always-on oscillator instrument, f64 over the engine's f32 phase
     (host time base — render.py's oscillator branch)."""
@@ -431,11 +511,14 @@ def _render_oscillator(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
 
 
 def _render_envelope(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
-    """Envelope 'instrument' (emits its own ADSR curve per note)."""
+    """Envelope demo instrument: a sine at note pitch shaped by the
+    configured ADSR (models/simple.envelope_instrument) — phase over the
+    engine's host f32 frequency bits, tone/envelope in f64."""
+    from groove_tpu.models.voices import note_freqs, span_for
+
     notes = dev.notes
     gate = (notes.off_frames - notes.on_frames).astype(np.float64)
     release = float(dev.params.get("release", 0.0))
-    from groove_tpu.models.voices import span_for
     span = min(span_for(int(gate.max()) if notes.count else 0, release,
                         int(sr)), -(-n // 128) * 128)
     t = np.arange(span, dtype=np.float64)[None, :] / sr
@@ -443,11 +526,14 @@ def _render_envelope(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
                 float(dev.params.get("attack", 0.0)),
                 float(dev.params.get("decay", 0.0)),
                 float(dev.params.get("sustain", 1.0)), release)
-    env = env * (np.asarray(notes.vels, np.float64)[:, None] / 127.0)
+    t32 = np.arange(span, dtype=np.float32)[None, :] / np.float32(sr)
+    ph32 = note_freqs(np.asarray(notes.keys))[:, None] * t32
+    tone = np.sin(2.0 * np.pi * ph32.astype(np.float64))
+    rows = tone * env * (np.asarray(notes.vels, np.float64)[:, None] / 127.0)
     mono = np.zeros(n + span)
     for i in range(notes.count):
         on = int(notes.on_frames[i])
-        mono[on:on + span] += env[i]
+        mono[on:on + span] += rows[i]
     mono = mono[:n]
     return np.stack([mono, mono])
 
@@ -714,6 +800,8 @@ def _render_instrument(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
         ls, rs = _pan_gains(PP("pan", 0.0))
         g = PP("gain", 1.0)
         return np.stack([mono * lv * ls * g, mono * rv * rs * g])
+    if dev.kind == "fm-synthesizer":
+        return _render_fm(dev, n, sr)
     if dev.kind in ("drumkit", "calculator"):
         return _render_drumkit(dev, n, sr)
     if dev.kind == "sampler":

@@ -9,11 +9,17 @@ of the reference's per-sample loop semantics
 (orchestration/src/orchestrator.rs:367-470).
 
 Methodology note (same as tools/f64_reference.py): the f64 reference
-shares the ENGINE'S OWN f32 oscillator phases and filter coefficients.
-Because this script runs in ONE process on the axon platform, those
-eager jnp f32 formulas execute on the SAME TPU backend the jitted render
-uses — so the comparison isolates the engine's parallel/blocked/Pallas
-evaluation, not cross-backend transcendental ulps.
+shares the ENGINE'S OWN f32 control constants — per-note oscillator
+frequencies, pitch-LFO phase tables, and filter coefficient tables,
+all designed HOST-side in numpy f32 and shipped into the jitted
+programs as data (welsh.host_osc_constants/host_filter_tables/
+host_pitch_phases, render.host_effect_filter_coefs) — so the
+comparison isolates the engine's parallel/blocked/Pallas evaluation,
+not backend transcendental ulps. Controls the engine still derives in
+the trace (oversize pitch-LFO batches, LFO-driven filter coefficients)
+are shared via eager evaluation, which on the TPU rounds ~1e-5 away
+from the traced values — rows dominated by those are flagged in the
+table notes.
 
 Writes FIDELITY_TPU.md (human table) and fidelity_tpu.json (machine
 row per config: max-abs and rms residual in dBFS relative to the f64
@@ -130,8 +136,9 @@ def main() -> int:
         "sample-for-sample against tools/f64_reference.py — the strictly",
         "serial float64 evaluation of the reference's per-sample loop",
         "(orchestration/src/orchestrator.rs:367-470) sharing the engine's",
-        "f32 controls (computed on the SAME backend: one process, one",
-        "platform). BASELINE.md fidelity bar: max-abs residual <= -80 dBFS.",
+        "HOST-designed f32 control constants (numpy bits shipped into the",
+        "jitted programs as data — identical on every backend).",
+        "BASELINE.md fidelity bar: max-abs residual <= -80 dBFS.",
         "",
         "| Config | Audio s | f64 peak | max-abs dBFS | rms dBFS | <=-80? |",
         "|---|---|---|---|---|---|",
