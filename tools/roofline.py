@@ -41,27 +41,32 @@ def _sync_scalar(x):
     return float(jnp.sum(x[..., :1]))
 
 
-def measure_link(sizes_mb=(1, 4, 16, 64), reps: int = 3) -> list[dict]:
+def measure_link(sizes_mb=(1, 4, 16, 32), reps: int = 2) -> list[dict]:
     import jax
     import jax.numpy as jnp
 
+    # fetch a FRESH device-computed array each rep: np.asarray of a
+    # device_put'd host array returns the cached host copy (no transfer),
+    # and repeated device_put of identical content can dedupe — both
+    # measured absurd THE first time this tool ran (740 GB/s "fetch")
+    bump = jax.jit(lambda x, i: x + i)
     rows = []
     for mb in sizes_mb:
         n = mb * (1 << 20) // 4
-        host = np.random.default_rng(0).standard_normal(n).astype(np.float32)
-        # push
+        rng = np.random.default_rng(0)
+        # push: distinct content per rep
+        hosts = [rng.standard_normal(n).astype(np.float32)
+                 for _ in range(reps)]
         t0 = time.perf_counter()
-        for _ in range(reps):
-            dev = jax.device_put(host)
-            _sync_scalar(dev)
+        for h in hosts:
+            _sync_scalar(jax.device_put(h))
         push = reps * mb / (time.perf_counter() - t0)
-        # fetch
-        dev = jax.device_put(host)
-        _sync_scalar(dev)
-        np.asarray(dev)  # warm
+        dev = jax.device_put(hosts[0])
+        _sync_scalar(bump(dev, 0.0))  # compile
+        np.asarray(bump(dev, 1.0))    # warm path
         t0 = time.perf_counter()
-        for _ in range(reps):
-            np.asarray(dev)
+        for i in range(reps):
+            np.asarray(bump(dev, float(i + 2)))
         fetch = reps * mb / (time.perf_counter() - t0)
         rows.append({"mb": mb, "push_mb_s": round(push, 1),
                      "fetch_mb_s": round(fetch, 1)})
@@ -93,19 +98,27 @@ def measure_stream(path: pathlib.Path, seg: int, batch: int) -> list[dict]:
             "bytes_per_audio_s": out.nbytes / audio_s,
         })
         print(rows[-1], flush=True)
-    # compute-only: consume the stream WITHOUT fetching (device-resident)
-    t0 = time.perf_counter()
+    # compute-only: consume the stream WITHOUT fetching the audio
+    # (device-resident; sync a SCALAR per batch — unbounded async
+    # dispatch was observed to wedge the tunnel's flow control)
     state = r._state0
     fn = r._scan_for(r.S, batch)
     import jax
     n_batches = -(-r.n_segs // batch)
-    audio = None
+    rows_all = []
     for b in range(n_batches):
         xs_rows = [r._seg_xs((b * batch + j) * r.S, r.S)
                    for j in range(batch)]
-        xs = {k: np.stack([row[k] for row in xs_rows]) for k in xs_rows[0]}
-        state, audio = fn(state, jax.device_put(xs), r.inputs)
+        rows_all.append(
+            {k: np.stack([row[k] for row in xs_rows]) for k in xs_rows[0]})
+    # warm pass (compile)
+    st, audio = fn(state, jax.device_put(rows_all[0]), r.inputs)
     _sync_scalar(audio)
+    t0 = time.perf_counter()
+    st = state
+    for xs in rows_all:
+        st, audio = fn(st, jax.device_put(xs), r.inputs)
+        _sync_scalar(audio)
     dt = time.perf_counter() - t0
     rows.append({"mode": "compute-only (no fetch)",
                  "xrt": round(audio_s / dt, 1), "audio_mb_s": None,

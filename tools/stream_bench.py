@@ -48,9 +48,17 @@ def main() -> None:
           f"seg={args.seg} batch={args.batch}", flush=True)
 
     for mode in args.modes.split(","):
-        sliced = mode.startswith("sliced")
+        # "sliced" = the CLI --sliced configuration (per-device "auto"
+        # routing by stream._slice_wins); "sliced-forced" = every
+        # sliceable device slices (the bitwise-test configuration)
+        if mode.startswith("sliced-forced"):
+            welsh_sliced = True
+        elif mode.startswith("sliced"):
+            welsh_sliced = "auto"
+        else:
+            welsh_sliced = False
         quant = mode.endswith("-i16")
-        cls = type("R", (StreamingRenderer,), {"WELSH_SLICED": sliced})
+        cls = type("R", (StreamingRenderer,), {"WELSH_SLICED": welsh_sliced})
         t0 = time.perf_counter()
         r = cls(c, segment_frames=args.seg)
         t1 = time.perf_counter()
