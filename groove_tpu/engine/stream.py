@@ -154,6 +154,27 @@ class StreamingRenderer:
 
     # ---- host-side collection ---------------------------------------------
 
+    # Per-sample cost of the sliced stateful kernel RELATIVE to the
+    # unsliced whole-window cascade, calibrated per backend (the two
+    # estimates in _slice_wins count the same cascade samples, so all
+    # other constants cancel). CPU: ~2x (the doubled phase-2 serial
+    # rolls; measured win 3-5x at 16384-frame segments matches the
+    # model — DECISIONS 'Sliced welsh on TPU'). TPU: ~24x — measured
+    # on-chip (jingle_bells): forced-sliced at S=16384 ran 10.2x
+    # realtime vs unsliced 34.9x while the c=2 model predicted a ~3x
+    # WIN, i.e. the real constant is ~2*3*3.9 ≈ 24. The gap is the
+    # 64-grid serial scan: its depth S/64 is serial regardless of how
+    # few rows are live, and the VPU batches the unsliced path's
+    # adaptive whole-window rows far more densely than the sliced
+    # kernel's carried-state grids.
+    SLICE_COST_TPU = 24.0
+    SLICE_COST_CPU = 2.0
+
+    def _slice_cost(self) -> float:
+        backend = jax.default_backend()
+        return (self.SLICE_COST_TPU if backend not in ("cpu",)
+                else self.SLICE_COST_CPU)
+
     def _slice_wins(self, dev: DeviceIR) -> bool:
         """Per-device ROUTING for the sliced mode (VERDICT r3 item 4):
         slicing renders [active_notes, S] per segment and wins only when
@@ -164,7 +185,8 @@ class StreamingRenderer:
         ~ sum over overlapping notes of their full spans; route to the
         cheaper one so `--sliced` is never a loss. Both estimates count
         the same cascade samples, so the constant factors cancel except
-        the sliced kernel's ~2x phase-2 roll overhead — weighted in."""
+        the sliced kernel's relative per-sample cost — calibrated per
+        backend in SLICE_COST_* (measured, see the class comment)."""
         on = np.asarray(dev.notes.on_frames, np.int64)
         off = np.asarray(dev.notes.off_frames, np.int64)
         tail = int(np.ceil(self._note_tail(dev) * self.c.sample_rate))
@@ -174,8 +196,8 @@ class StreamingRenderer:
         unsliced = float(np.sum(span * np.ceil((span + self.S) / self.S)))
         # sliced work: sum over segments of active-note count x S
         # ~= sum over notes of (span + S)  (each note active that long),
-        # x2 for the 64-pinned stream kernel's doubled serial rolls
-        sliced = 2.0 * float(np.sum(span + self.S))
+        # weighted by the kernel's calibrated relative cost
+        sliced = self._slice_cost() * float(np.sum(span + self.S))
         return sliced < unsliced
 
     def _note_tail(self, dev: DeviceIR) -> float:
@@ -1126,10 +1148,15 @@ class StreamingRenderer:
         (their audio is discarded) so only ONE scan program ever compiles
         — a fresh XLA compile costs ~2 min over this machine's tunnel.
         Fetches are started ASYNCHRONOUSLY right after dispatch
-        (copy_to_host_async) so tunnel transfer of batch b overlaps the
-        compute of b+1..b+prefetch: on this machine the ~30 MB/s fetch,
-        not the compute, bounds streamed throughput."""
+        (copy_to_host_async) and COMPLETED on a dedicated fetch thread,
+        so the dispatch loop never blocks inside np.asarray and the
+        device stays fed while a transfer drains the tunnel (the
+        blocking completion in the dispatch thread was worth ~25% of
+        the link-implied ceiling on this machine — ROOFLINE.md).
+        The single worker executes fetches in submission order, which
+        keeps the `emitted` tail-trim accounting sequential."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         state = self._state0
         pending: deque = deque()
@@ -1143,22 +1170,27 @@ class StreamingRenderer:
             return out[:take]
 
         n_batches = -(-self.n_segs // k)
-        for b in range(n_batches):
-            rows = [self._seg_xs((b * k + j) * self.S, self.S)
-                    for j in range(k)]
-            xs = {key: np.stack([r[key] for r in rows]) for key in rows[0]}
-            state, audio = self._scan_for(self.S, k)(
-                state, jax.device_put(xs), self.inputs)
-            if quantize:
-                audio = _quantize_device(audio)
-            _copy_to_host_async(audio)
-            pending.append(audio)
-            if len(pending) > prefetch_batches:
-                yield fetch(pending.popleft())
-        while pending:
-            chunk = fetch(pending.popleft())
-            if chunk.shape[0]:
-                yield chunk
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            for b in range(n_batches):
+                rows = [self._seg_xs((b * k + j) * self.S, self.S)
+                        for j in range(k)]
+                xs = {key: np.stack([r[key] for r in rows])
+                      for key in rows[0]}
+                state, audio = self._scan_for(self.S, k)(
+                    state, jax.device_put(xs), self.inputs)
+                if quantize:
+                    audio = _quantize_device(audio)
+                _copy_to_host_async(audio)
+                pending.append(ex.submit(fetch, audio))
+                if len(pending) > prefetch_batches:
+                    yield pending.popleft().result()
+            while pending:
+                chunk = pending.popleft().result()
+                if chunk.shape[0]:
+                    yield chunk
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def render(self, batch_segments: int = 1,
                quantize: bool = False) -> np.ndarray:

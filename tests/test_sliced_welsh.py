@@ -187,3 +187,70 @@ def test_auto_routing_by_segment_size():
     for r in (small, big):
         out = r.render()
         assert float(np.abs(out - whole).max()) < 1e-4 * peak
+
+
+def test_tpu_calibrated_slice_cost_routing():
+    """The TPU kernel-cost calibration (SLICE_COST_TPU): measured
+    on-chip at S=16384 on jingle_bells, forced-sliced ran 10.2x
+    realtime vs unsliced 34.9x while the old c=2 model predicted a
+    ~3x WIN — the sliced stateful kernel's real per-sample constant
+    on TPU is ~24x the unsliced cascade's (serial 64-grid depth S/64
+    regardless of live rows). With that constant the router must keep
+    the north-star segment size (65536) AND the measured-loss size
+    (16384) on whole windows for ordinary note spans, and still slice
+    a long drone at live-pull segment sizes (span >> cost*S)."""
+    Auto = type("AutoTpu", (StreamingRenderer,), {"WELSH_SLICED": "auto"})
+
+    c = compile_song(_noise_song())
+    r = Auto(c, segment_frames=4096)
+    r._slice_cost = lambda: StreamingRenderer.SLICE_COST_TPU
+    welsh_devs = [d for d in c.devices.values()
+                  if d.kind == "welsh-raw" and d.notes is not None]
+    assert welsh_devs
+    for S in (65536, 16384, 4096):
+        r.S = S
+        for d in welsh_devs:
+            assert not r._slice_wins(d), \
+                f"S={S}: ~1s spans must not slice at TPU cost"
+
+    # one whole note held at bpm 30 = 8s gate (~370k-frame span):
+    # span/S ~ 90 >> 24 at S=4096 -> slices; at S=65536 the window
+    # recompute factor is only ~7 -> stays unsliced
+    # build the drone from JSON (the schema's parsed BeatValue types
+    # are not assignable as strings)
+    cd = compile_song(SongSettings.from_json5_str(json.dumps({
+        "clock": {"bpm": 30},
+        "devices": [{"instrument": ["i1", {"welsh-raw": [
+            {"midi-in": 0},
+            {
+                "oscillator-1": {"waveform": "sawtooth",
+                                 "tune": {"float": 1}, "mix-pct": 1},
+                "oscillator-2": {"waveform": "square",
+                                 "tune": {"float": 1.5}, "mix-pct": 0.5},
+                "oscillator-2-track": True, "oscillator-2-sync": False,
+                "noise": 0.25,
+                "lfo": {"routing": "none", "waveform": "none",
+                        "frequency": 0, "depth": "none"},
+                "glide": 0, "unison": False, "polyphony": "multi",
+                "filter-type-24db": {"cutoff-hz": 3000, "cutoff-pct": 0.6},
+                "filter-type-12db": {"cutoff-hz": 3000, "cutoff-pct": 0.6},
+                "filter-resonance": 0.3,
+                "filter-envelope-weight": 0.8,
+                "filter-envelope": {"attack": 0.05, "decay": 0.3,
+                                    "sustain": 0.4, "release": 0.5},
+                "amp-envelope": {"attack": 0.01, "decay": 0.1,
+                                 "sustain": 0.8, "release": 0.4},
+            },
+        ]}]}],
+        "patch-cables": [["i1", "main-mixer"]],
+        "patterns": [{"id": "p", "note-value": "whole", "notes": [[60]]}],
+        "tracks": [{"id": "t", "midi-channel": 0, "patterns": ["p"]}],
+    })))
+    rd = Auto(cd, segment_frames=4096)
+    rd._slice_cost = lambda: StreamingRenderer.SLICE_COST_TPU
+    dev = [d for d in cd.devices.values()
+           if d.kind == "welsh-raw" and d.notes is not None][0]
+    rd.S = 4096
+    assert rd._slice_wins(dev), "long drone at live-pull S must slice"
+    rd.S = 65536
+    assert not rd._slice_wins(dev)
