@@ -92,7 +92,25 @@ def host_effect_filter_coefs(dev, nb: int, sr: float):
     filters — the render itself (shipped as inputs; see
     iir.lp24_apply_blockrate_sections for why host bits matter on TPU).
     Sidechain-overridden filters never reach this (their cutoffs are
-    runtime signals); the caller excludes them."""
+    runtime signals); the caller excludes them.
+
+    Memoized per (DeviceIR instance, nb, sr): the fidelity planner and
+    the input collectors of BOTH engines design the same tables at
+    startup, and each design evaluates lp24_sections/rbj over [nb]-long
+    arrays (tens of thousands of blocks on long songs). Safe because a
+    DeviceIR's params/automation are only written during compile_song —
+    runtime edits recompile into fresh DeviceIRs."""
+    cache = getattr(dev, "_host_coef_cache", None)
+    if cache is None:
+        cache = {}
+        dev._host_coef_cache = cache
+    key = (int(nb), float(sr))
+    if key not in cache:
+        cache[key] = _design_effect_filter_coefs(dev, nb, sr)
+    return cache[key]
+
+
+def _design_effect_filter_coefs(dev, nb: int, sr: float):
     k = dev.kind
 
     def pb(name, default, d=dev):
@@ -384,7 +402,7 @@ class Renderer:
             buckets = bucket_notes(need, self.c.n_frames,
                                    launch_rows=self.WELSH_LAUNCH_ROWS)
             self._buckets[u] = [s for s, _ in buckets]
-            for j, (_, idx) in enumerate(buckets):
+            for j, (bspan, idx) in enumerate(buckets):
                 self.inputs[f"{u}/b{j}/keys"] = notes.keys[idx]
                 self.inputs[f"{u}/b{j}/vels"] = notes.vels[idx]
                 self.inputs[f"{u}/b{j}/on"] = notes.on_frames[idx]
@@ -399,8 +417,14 @@ class Renderer:
                     note_freqs(np.asarray(notes.keys[idx])), np.float32)
                 if "ratio" not in dev.automation:
                     # mod-1-reduced phase tables (fm.host_phases)
+                    # per-BUCKET span: render time evaluates bucket j at
+                    # self._buckets[u][j], so the phase tables must match
+                    # that length, not the device-global span (a drone +
+                    # short-note FM song otherwise ships [n, global_span]
+                    # tables into a short-bucket render and the traced
+                    # mul fails shape checking)
                     php = fm_model.host_phases(
-                        dev.voice, notes.keys[idx], int(span), float(sr))
+                        dev.voice, notes.keys[idx], int(bspan), float(sr))
                     if php is not None:
                         for nm, arr in php.items():
                             self.inputs[f"{u}/b{j}/hc/{nm}"] = arr
@@ -463,9 +487,9 @@ class Renderer:
                 else 12 * self.NOTE_CHUNK_ELEMS)
 
     # host_ctl entries that are PER-NOTE rows (chunk with the note batch);
-    # the rest (coefficient tables) pass through whole
-    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx", "ph1", "ph2",
-                     "phm", "phc")
+    # the rest (coefficient tables) pass through whole. Single source of
+    # truth lives with the producers (models/welsh.py).
+    _CTL_PER_NOTE = welsh_model.HOST_CTL_PER_NOTE
 
     def _chunked_mono(self, render_fn, keys, vels, gate, on, ids, span: int,
                       n: int, prev=None, ctl=None):

@@ -190,6 +190,31 @@ class EngineService:
         self._q.put(Command("sync", done))
         return done.wait(timeout)
 
+    def ensure_compiled(self, timeout: float = 600.0):
+        """Recompile (if dirty) on the WORKER thread and return the
+        CompiledSong — the front-end handshake for building live
+        renderers against the current song without racing queued edits."""
+        done = threading.Event()
+        self._q.put(Command("ensure-compiled", done))
+        done.wait(timeout)
+        return self.compiled
+
+    def rendered_samples(self, loop_iterations: Optional[int] = None,
+                         timeout: float = 600.0):
+        """Render on the WORKER thread and return the [n, 2] samples (or
+        None on timeout/empty). Front-end threads (GUI audio endpoints)
+        must come through here rather than calling _ensure_rendered
+        directly: the worker owns self.renderer/_samples, and a direct
+        call races any queued edit/playback command mid-recompile. Also
+        keeps GUI locks out of the (potentially minutes-long cold-
+        compile) render — state polls stay responsive while this waits."""
+        box: dict = {}
+        done = threading.Event()
+        self._q.put(Command("render-out", (box, done, loop_iterations)))
+        if not done.wait(timeout):
+            return None
+        return box.get("samples")
+
     def shutdown(self, timeout: float = 600.0):
         """Stops playback, drains pending commands, joins the worker.
 
@@ -266,6 +291,20 @@ class EngineService:
                     self.loop_range = None
                     self.is_loop_enabled = False
                     self.on_event("loop-cleared", None)
+                elif cmd.kind == "ensure-compiled":
+                    try:
+                        if self._dirty or self.renderer is None:
+                            self._recompile()
+                    finally:
+                        cmd.arg.set()
+                elif cmd.kind == "render-out":
+                    box, done, iterations = cmd.arg
+                    try:
+                        box["samples"] = (self._loop_samples(int(iterations))
+                                          if iterations
+                                          else self._ensure_rendered())
+                    finally:
+                        done.set()
                 elif cmd.kind == "render-loop-wav":
                     path, iterations = cmd.arg
                     samples = self._loop_samples(iterations)

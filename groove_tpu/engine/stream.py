@@ -587,9 +587,9 @@ class StreamingRenderer:
         return float(dev.params.get(name, default))
 
     # host_ctl entries that are PER-NOTE rows (gathered with the segment's
-    # note index list); the rest (coefficient tables) pass through whole
-    _CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx", "ph1", "ph2",
-                     "phm", "phc")
+    # note index list); the rest (coefficient tables) pass through whole.
+    # Single source of truth lives with the producers (models/welsh.py).
+    _CTL_PER_NOTE = welsh_model.HOST_CTL_PER_NOTE
 
     def _hc_seg(self, inputs, b: str, idx):
         """The segment note batch's host-control dict: per-note rows

@@ -66,6 +66,7 @@ class WebGui:
         self.lock = threading.RLock()
         self._live = None          # lazy LiveSongRenderer (piano strip)
         self._live_lock = threading.RLock()
+        self._live_token = 0       # /api/audio/live single-listener token
         self._midi_svc = None      # MidiInputService (MIDI ports panel)
         self._midi_port = None
 
@@ -101,7 +102,10 @@ class WebGui:
             return {
                 "note_values": [bv.serde_name for bv in BeatValue],
                 "midi_ports": list_ports(),
-                "midi_connected": self._midi_port,
+                "midi_connected": (
+                    self._midi_port
+                    if self._midi_svc is not None and self._midi_svc.alive
+                    else None),
                 "title": song.title if song else None,
                 "bpm": song.clock.bpm if song else None,
                 "playing": m.svc.is_playing(),
@@ -153,11 +157,13 @@ class WebGui:
 
     def _audio(self, device: str | None):
         """[n(, 2)] float audio of the master, or one instrument isolated
-        (the spectrum tool's --device path, utils/spectrum.py)."""
+        (the spectrum tool's --device path, utils/spectrum.py). Renders on
+        the service WORKER thread (svc.rendered_samples) — callers must
+        NOT hold self.lock around this: a cold compile takes ~2 min on
+        this machine and would freeze every /api/state poll."""
         import numpy as np
         svc = self.model.svc
-        svc.sync()
-        samples = svc._ensure_rendered()
+        samples = svc.rendered_samples()
         if samples is None or not len(samples):
             return None
         if device is None:
@@ -174,9 +180,9 @@ class WebGui:
         """Per-bin |peak| of the rendered master — or of one instrument's
         isolated output (the per-track waveform lane)."""
         import numpy as np
+        svc = self.model.svc
+        audio = self._audio(device)  # worker-thread render, lock-free
         with self.lock:
-            svc = self.model.svc
-            audio = self._audio(device)
             if audio is None:
                 return {"peaks": [], "frames": 0, "rate": svc.sample_rate}
             mono = np.abs(audio).max(axis=1)
@@ -192,9 +198,9 @@ class WebGui:
         The reference carries a spectrum-analyzer dependency + plotters
         `visualization` feature (Cargo.toml:38,42)."""
         from groove_tpu.utils.spectrum import Spectrum, analyze
+        svc = self.model.svc
+        audio = self._audio(device)  # worker-thread render, lock-free
         with self.lock:
-            svc = self.model.svc
-            audio = self._audio(device)
             if audio is None:
                 return {"db": [], "f_lo": 20.0, "f_hi": 20000.0,
                         "floor": Spectrum.FLOOR}
@@ -218,13 +224,16 @@ class WebGui:
         <audio> element."""
         from groove_tpu.io.wav import _chunk_to_i2
 
-        with self.lock:
-            svc = self.model.svc
-            if loop:
-                samples = svc._loop_samples(int(loop))
-            else:
-                samples = self._audio(device)
-            sr = svc.sample_rate
+        # No GUI lock here: the render runs on the service worker thread
+        # (rendered_samples posts a command and waits), so /api/state and
+        # Stop stay responsive during a cold compile instead of blocking
+        # behind a minutes-long render inside self.lock.
+        svc = self.model.svc
+        if loop:
+            samples = svc.rendered_samples(loop_iterations=int(loop))
+        else:
+            samples = self._audio(device)
+        sr = svc.sample_rate
         if samples is None:
             return None
         pcm = _chunk_to_i2(samples).tobytes()
@@ -238,12 +247,23 @@ class WebGui:
 
         with self._live_lock:
             if self._live is None:
-                svc = self.model.svc
-                svc.sync()
-                if svc.compiled is None:
-                    svc._recompile()
-                self._live = LiveSongRenderer(svc.compiled, n_voices=8)
+                compiled = self.model.svc.ensure_compiled()
+                self._live = LiveSongRenderer(compiled, n_voices=8)
             return self._live
+
+    def _invalidate_live(self) -> None:
+        """Drop the lazily-built live renderer so the next live event
+        compiles against the CURRENT song: an open/new/device edit
+        otherwise leaves the piano strip and any connected MIDI port
+        playing the PREVIOUS project's instruments. A connected port is
+        re-wired onto the fresh renderer immediately (midi_connect's
+        callback closure pins whatever renderer existed at connect
+        time)."""
+        with self._live_lock:
+            stale = self._live is not None
+            self._live = None
+        if stale and self._midi_port is not None:
+            self.midi_connect(self._midi_port)
 
     def live_note(self, kind: str, key: int, velocity: int = 96,
                   channel: int = 0) -> None:
@@ -284,11 +304,25 @@ class WebGui:
     def live_chunks(self, blocks_per_chunk: int = 32):
         """Unbounded generator of [n, 2] float chunks from the live
         renderer (~46 ms per chunk at 64-frame blocks) — the /api/audio/
-        live chunked-WAV body."""
+        live chunked-WAV body.
+
+        Single listener: each new generator takes the live token; the
+        previous one stops at its next chunk boundary. ThreadingHTTPServer
+        otherwise leaves a browser reload's ZOMBIE connection alternately
+        stealing blocks from the shared renderer (each listener hears
+        every other chunk and the live clock runs double-speed). The
+        renderer is re-fetched per chunk so a project edit's
+        _invalidate_live takes effect mid-stream."""
         import numpy as np
 
-        lr = self.live_renderer()
+        with self._live_lock:
+            self._live_token += 1
+            token = self._live_token
         while True:
+            with self._live_lock:
+                if token != self._live_token:
+                    return  # superseded by a newer listener
+            lr = self.live_renderer()
             parts = [lr.render_block() for _ in range(blocks_per_chunk)]
             yield np.concatenate(parts, axis=0)
 
@@ -381,7 +415,17 @@ class WebGui:
                 self.midi_disconnect()
             else:
                 return {"ok": False, "error": f"unknown command {cmd}"}
+            if cmd in self._SONG_MUTATORS:
+                self._invalidate_live()
             return {"ok": True}
+
+    # commands after which the live renderer's compiled song is stale
+    # (anything that edits the project the piano strip / MIDI port plays)
+    _SONG_MUTATORS = frozenset({
+        "open", "new", "bpm", "add_track", "remove_track", "dup_track",
+        "add_device", "remove_device", "set_param", "set_automation",
+        "pattern_step", "pattern_note_value",
+    })
 
 
 def make_server(gui: WebGui, port: int = 0) -> ThreadingHTTPServer:

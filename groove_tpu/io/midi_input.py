@@ -91,7 +91,13 @@ class MidiInputService:
             fd = None
         if fd is not None:
             import select
+            import stat
+            import time
 
+            try:
+                is_fifo = stat.S_ISFIFO(os.fstat(fd).st_mode)
+            except (OSError, ValueError):
+                is_fifo = False
             while self._running.is_set():
                 try:
                     ready, _, _ = select.select([fd], [], [], 0.1)
@@ -104,6 +110,17 @@ class MidiInputService:
                 except (OSError, ValueError):
                     break
                 if not chunk:
+                    if is_fifo:
+                        # FIFO EOF only means the last WRITER closed —
+                        # external MIDI programs open/write/close per
+                        # session, and the read end stays valid for the
+                        # NEXT writer's bytes. Breaking here killed the
+                        # port after the first sender disconnected while
+                        # the GUI still reported it connected. select()
+                        # keeps reporting an EOF'd FIFO readable, so
+                        # sleep to avoid a tight spin between writers.
+                        time.sleep(0.05)
+                        continue
                     break
                 self._parser.feed(chunk)
         else:
@@ -118,6 +135,13 @@ class MidiInputService:
                 if not chunk:
                     break
                 self._parser.feed(chunk)
+
+    @property
+    def alive(self) -> bool:
+        """True while the reader thread is still pumping — the GUI's
+        midi_connected indicator reads this so a dead port can never be
+        reported as connected."""
+        return self._thread.is_alive()
 
     def stop(self):
         self._running.clear()

@@ -137,6 +137,19 @@ def _crosses_serial(a1: np.ndarray, a2: np.ndarray) -> bool:
                  & (a2 > iir_ops._CRITICAL_A2)).any())
 
 
+# host_ctl entries that are PER-NOTE rows (axis 0 is the note batch; the
+# engines chunk them with note chunks / gather them by segment note index).
+# Everything else in a host-ctl dict (coefficient tables) passes through
+# whole. ONE definition for both engines (render._chunked_mono and
+# stream._hc_seg import this) so a new per-note constant added to
+# host_osc_constants/host_filter_tables/host_pitch_phases/fm.host_phases
+# cannot be chunked on one path and passed whole on the other. Keys:
+# f1/f2/rsync/rgl (host_osc_constants), fidx (host_filter_tables),
+# ph1/ph2 (host_pitch_phases), phm/phc (fm.host_phases).
+HOST_CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx", "ph1", "ph2",
+                     "phm", "phc")
+
+
 def host_osc_constants(params: WelshVoiceParams, keys,
                        prev_keys=None) -> dict:
     """Per-note oscillator frequency constants, HOST numpy f32.

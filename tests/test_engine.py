@@ -170,3 +170,38 @@ def test_load_only_test_entities_corpus_loads():
         song = SongSettings.from_project_file(Path("/root/reference") / rel)
         c = compile_song(song, load_only_test_entities=True)
         assert c.n_frames > 0
+
+
+def test_fm_span_buckets_mixed_drone_and_short_notes():
+    """An FM song whose notes split into multiple span buckets must ship
+    per-BUCKET host phase tables (render.py _collect_instrument): the
+    round-4 host-phase migration initially built every bucket's phm/phc
+    at the device-global span, which fails XLA shape checking at trace
+    time as soon as a drone and short notes land in different buckets.
+    Streamed path pinned too (stream.py passes per-bucket spans)."""
+    from groove_tpu.engine.stream import StreamingRenderer
+
+    song = _song(
+        [{"instrument": ["f", {"fm-synthesizer": [
+            {"midi-in": 0},
+            {"ratio": 2.0, "depth": 1.0, "beta": 2.0}]}]}],
+        [["f", "main-mixer"]],
+        patterns=[
+            {"id": "drone", "note-value": "whole", "notes": [[36]]},
+            {"id": "riff", "note-value": "sixteenth",
+             "notes": [[60], [62], [64], [65]] * 4},
+        ],
+        tracks=[
+            {"id": "t1", "midi-channel": 0, "patterns": ["drone"]},
+            {"id": "t2", "midi-channel": 0, "patterns": ["riff"]},
+        ],
+    )
+    c = compile_song(song)
+    r = Renderer(c)
+    assert len(r._buckets.get("f", [])) >= 2, \
+        "fixture no longer splits FM notes into multiple span buckets"
+    out = np.asarray(r.render())
+    assert np.abs(out).max() > 1e-4
+    streamed = np.asarray(StreamingRenderer(c, segment_frames=8192).render())
+    peak = max(1.0, float(np.abs(out).max()))
+    assert float(np.abs(streamed - out).max()) < 5e-4 * peak

@@ -115,3 +115,35 @@ def test_stop_unblocks_idle_fd_source():
         assert not svc._thread.is_alive()
     finally:
         os.close(w_fd)
+
+
+def test_fifo_survives_writer_close_and_reconnect(tmp_path):
+    """A FIFO 'port' must keep delivering after a writer disconnects:
+    external MIDI programs open/write/close per session, and FIFO EOF
+    only means 'no writer right now' — the read end stays valid for the
+    next sender (the web GUI keeps ports mounted across senders and
+    reports midi_connected from svc.alive)."""
+    import os
+    import time
+
+    port = str(tmp_path / "port0")
+    os.mkfifo(port)
+    fd = os.open(port, os.O_RDONLY | os.O_NONBLOCK)
+    reader = os.fdopen(fd, "rb", buffering=0)
+    events = []
+    svc = MidiInputService(
+        reader, lambda ch, kind, d: events.append((ch, kind, d)))
+    try:
+        for i in range(2):  # two separate writer sessions
+            w = os.open(port, os.O_WRONLY)
+            os.write(w, bytes([0x90, 60 + i, 100]))
+            os.close(w)  # EOF between sessions used to kill the thread
+            deadline = time.time() + 5.0
+            while time.time() < deadline and len(events) < i + 1:
+                time.sleep(0.01)
+        assert events == [(0, "note-on", (60, 100)),
+                          (0, "note-on", (61, 100))]
+        assert svc.alive, "service thread died at writer EOF"
+    finally:
+        svc.stop()
+    assert not svc._thread.is_alive()

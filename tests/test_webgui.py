@@ -336,3 +336,42 @@ def test_midi_port_panel_lists_and_connects(server, tmp_path,
             raise AssertionError("MIDI note never reached the live pool")
     assert _cmd(base, "midi_disconnect")["ok"]
     assert _get(base, "/api/state")["midi_connected"] is None
+
+
+def test_live_renderer_invalidated_on_project_change(server):
+    """Opening another project (or editing the song) must rebuild the
+    live renderer: the lazily-built one otherwise keeps playing the
+    PREVIOUS project's instruments through the piano strip and any
+    connected MIDI port."""
+    base, gui = server
+    assert _cmd(base, "open",
+                path=str(REF / "projects/scale-c4-major.json"))["ok"]
+    first = gui.live_renderer()
+    assert _cmd(base, "open",
+                path=str(REF / "test-data/kitchen-sink.json"))["ok"]
+    assert gui._live is None, "project open left a stale live renderer"
+    second = gui.live_renderer()
+    assert second is not first
+    # param edits invalidate too (the live voices read compiled params)
+    s = _get(base, "/api/state")
+    p = next(p for p in s["params"] if p["cv"] is not None)
+    assert _cmd(base, "set_param", uvid=p["uvid"], kind=p["kind"],
+                name=p["name"], cv=0.25)["ok"]
+    assert gui._live is None, "set_param left a stale live renderer"
+
+
+def test_live_chunks_single_listener(server):
+    """A new /api/audio/live listener supersedes the previous generator
+    (a browser reload's zombie connection must stop stealing blocks —
+    two pullers made the live clock run double-speed)."""
+    base, gui = server
+    assert _cmd(base, "open",
+                path=str(REF / "projects/scale-c4-major.json"))["ok"]
+    g1 = gui.live_chunks(blocks_per_chunk=1)
+    next(g1)  # g1 active
+    g2 = gui.live_chunks(blocks_per_chunk=1)
+    next(g2)  # g2 takes the token
+    with pytest.raises(StopIteration):
+        next(g1)  # g1 stops at its next chunk boundary
+    next(g2)  # g2 keeps streaming
+    g2.close()
