@@ -390,17 +390,50 @@ class SongSettings:
             raise ProjectError("project root must be an object")
         if "clock" not in d:
             raise ProjectError('missing field "clock"')
+
+        def section(name, parse):
+            """Parse one top-level array, converting opaque crashes on
+            malformed entries (wrong-typed values, missing keys) into
+            ProjectError with the entry repr — the loader's failure
+            policy is typed errors or warn-and-skip, never a KeyError/
+            TypeError escaping to the caller (test_fuzzed_projects_
+            fail_closed). Existing ProjectErrors pass through so their
+            specific messages stay pinned."""
+            items = d.get(name, [])
+            if not isinstance(items, list):
+                raise ProjectError(f"{name!r} must be an array, "
+                                   f"got {type(items).__name__}")
+            out = []
+            for x in items:
+                try:
+                    out.append(parse(x))
+                except ProjectError:
+                    raise
+                except (TypeError, KeyError, IndexError, AttributeError,
+                        ValueError) as e:
+                    raise ProjectError(
+                        f"malformed {name} entry {x!r}: {e}") from e
+            return out
+
+        try:
+            clock = ClockSettings.from_json(d["clock"])
+        except ProjectError:
+            raise
+        except (TypeError, KeyError, IndexError, AttributeError,
+                ValueError) as e:
+            raise ProjectError(f"malformed clock {d['clock']!r}: {e}") from e
         return cls(
             title=d.get("title"),
-            clock=ClockSettings.from_json(d["clock"]),
-            devices=[_parse_device(x) for x in d.get("devices", [])],
-            patch_cables=[[str(s) for s in c] for c in d.get("patch-cables", [])],
-            controls=[ControlSettings.from_json(x) for x in d.get("controls", [])],
-            patterns=[PatternSettings.from_json(x) for x in d.get("patterns", [])],
-            tracks=[TrackSettings.from_json(x) for x in d.get("tracks", [])],
-            paths=[ControlPathSettings.from_json(x) for x in d.get("paths", [])],
-            trips=[ControlTripSettings.from_json(x) for x in d.get("trips", [])],
-            sends=[SendSettings.from_json(x) for x in d.get("sends", [])],
+            clock=clock,
+            devices=section("devices", _parse_device),
+            patch_cables=section("patch-cables",
+                                 lambda c: [str(s) for s in c]),
+            controls=section("controls", ControlSettings.from_json),
+            patterns=section("patterns", PatternSettings.from_json),
+            tracks=section("tracks", TrackSettings.from_json),
+            paths=section("paths", ControlPathSettings.from_json),
+            trips=section("trips", ControlTripSettings.from_json),
+            sends=section("sends", SendSettings.from_json),
         )
 
     @classmethod

@@ -213,3 +213,73 @@ def test_json5_eof_mid_value_is_json5_error():
     for text in ("{bpm:", "[1,", "{"):
         with pytest.raises(json5.Json5Error):
             json5.loads(text)
+
+
+def test_fuzzed_projects_fail_closed():
+    """Failure-policy fuzz (SURVEY §5): systematic mutations of the widest
+    schema user (kitchen-sink.json) — deleted keys, wrong-typed values,
+    truncated text — must each either load (the warn-and-skip policy) or
+    raise the typed loader errors (ProjectError / Json5Error). Opaque
+    KeyError/IndexError/AttributeError escapes are the defect class this
+    pins against."""
+    import json
+    import random
+
+    from groove_tpu.project import json5
+    from groove_tpu.project.schema import ProjectError
+
+    src = Path("/root/reference/test-data/kitchen-sink.json").read_text()
+    base = json5.loads(src)
+    rng = random.Random(0xC0FFEE)
+
+    def mutate(obj, action):
+        """One random structural mutation; returns a deep-copied mutant."""
+        mutant = json.loads(json.dumps(obj))
+        # collect every (container, key) site
+        sites = []
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k in node:
+                    sites.append((node, k))
+                    walk(node[k])
+            elif isinstance(node, list):
+                for i in range(len(node)):
+                    sites.append((node, i))
+                    walk(node[i])
+
+        walk(mutant)
+        node, key = sites[rng.randrange(len(sites))]
+        if action == "delete":
+            del node[key]
+        elif action == "retype":
+            node[key] = rng.choice([None, True, "bogus", -1, 1e9,
+                                    [], {}, [[]], {"x": None}])
+        elif action == "negate":
+            if isinstance(node[key], (int, float)) and not isinstance(
+                    node[key], bool):
+                node[key] = -abs(node[key]) - 1
+            else:
+                node[key] = {"unexpected": [1, 2, 3]}
+        return mutant
+
+    outcomes = {"loaded": 0, "typed-error": 0}
+    for trial in range(150):
+        action = ("delete", "retype", "negate")[trial % 3]
+        mutant = mutate(base, action)
+        try:
+            SongSettings.from_json(mutant)
+            outcomes["loaded"] += 1
+        except (ProjectError, json5.Json5Error):
+            outcomes["typed-error"] += 1
+        # anything else propagates and fails the test with its traceback
+    # truncations exercise the json5 lexer's EOF paths
+    for cut in range(1, 40):
+        text = src[: len(src) * cut // 40]
+        try:
+            SongSettings.from_json5_str(text)
+            outcomes["loaded"] += 1
+        except (ProjectError, json5.Json5Error):
+            outcomes["typed-error"] += 1
+    # the fuzz is only meaningful if both outcomes occur
+    assert outcomes["loaded"] > 0 and outcomes["typed-error"] > 0, outcomes

@@ -270,3 +270,35 @@ def test_set_automation_preserves_shared_path():
         assert len(ids) == len(set(ids)), f"duplicate path ids: {ids}"
     finally:
         svc.shutdown()
+
+
+def test_rendered_samples_and_ensure_compiled_worker_handshakes():
+    """GUI front-end handshakes (gui/web.py): ensure_compiled recompiles
+    a dirty song ON the worker thread and returns the CompiledSong;
+    rendered_samples renders there and returns the same [n, 2] array a
+    direct Renderer produces; loop_iterations bounces the loop range."""
+    svc = EngineService(use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        compiled = svc.ensure_compiled()
+        assert compiled is not None and compiled.n_frames > 0
+        assert compiled is svc.compiled
+        got = svc.rendered_samples()
+        direct = np.asarray(Renderer(compiled).render())
+        assert got is not None and got.shape == direct.shape
+        assert np.array_equal(np.asarray(got), direct)
+        # an edit marks dirty; ensure_compiled must hand back a FRESH song
+        svc.set_tempo(96.0)
+        recompiled = svc.ensure_compiled()
+        assert recompiled is not compiled
+        assert recompiled.n_frames != compiled.n_frames
+        # loop bounce through the worker: [0, end) + 2 x [start, end)
+        # (_loop_samples), so a (0, 1)-beat range plays 3 one-beat passes
+        svc.set_loop(0.0, 1.0)
+        looped = svc.rendered_samples(loop_iterations=2)
+        assert looped is not None
+        spb = recompiled.sample_rate * 60.0 / 96.0
+        grid = 64  # loop bounds quantize to the stream grid
+        assert abs(len(looped) - 3 * spb) <= 3 * grid
+    finally:
+        svc.shutdown()

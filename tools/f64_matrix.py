@@ -64,8 +64,10 @@ DEFAULT_CONFIGS = [
     "projects/dev-loop.json5",
     "projects/default.json5",
     "projects/automation-work.json",
-    # SMF import
+    # SMF import (single-channel overlap + a multi-channel file: 4
+    # channels -> 4 GM-mapped welsh instruments through the mix bus)
     "test-data/midi/major-scale-overlapping.mid",
+    "test-data/midi/multi-channel.mid",
 ]
 
 
