@@ -56,6 +56,17 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 def parse_smf(path) -> SmfFile:
     data = Path(path).read_bytes()
+    try:
+        return _parse_smf_bytes(path, data)
+    except (IndexError, struct.error) as e:
+        # reads past the end of a truncated/corrupt file surface as
+        # IndexError (byte indexing, _read_varint) or struct.error
+        # (short header/track-length fields) — the loader policy is
+        # TYPED errors (test_midi fuzz), same as the JSON5 side
+        raise ValueError(f"{path}: truncated or corrupt SMF ({e})") from e
+
+
+def _parse_smf_bytes(path, data: bytes) -> SmfFile:
     if data[:4] != b"MThd":
         raise ValueError(f"{path}: not an SMF file")
     hlen = struct.unpack(">I", data[4:8])[0]

@@ -200,3 +200,42 @@ def test_base_tempo_is_earliest_tick_across_tracks(tmp_path):
     smf = parse_smf(p)
     assert smf.tempo_us_per_qn == 500000, \
         f"base tempo {smf.tempo_us_per_qn} picked by track order, not tick"
+
+
+def test_fuzzed_smf_fails_closed(tmp_path):
+    """Corrupted SMF bytes (truncations, flipped bytes, spliced garbage)
+    must parse, or raise ValueError — never IndexError/struct.error
+    (reads past a truncated buffer). Same fail-closed policy as the
+    JSON5 loader fuzz (test_project.py)."""
+    import random
+    import warnings
+
+    from groove_tpu.io.midi_smf import parse_smf, smf_to_note_events
+
+    data = Path(
+        "/root/reference/test-data/midi/multi-channel.mid").read_bytes()
+    rng = random.Random(7)
+    outcomes = {"ok": 0, "typed": 0}
+    for trial in range(150):
+        b = bytearray(data)
+        mode = trial % 3
+        if mode == 0:  # truncate
+            b = b[: rng.randrange(1, len(b))]
+        elif mode == 1:  # flip bytes
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:  # splice garbage
+            i = rng.randrange(len(b))
+            b[i:i] = bytes(rng.randrange(256)
+                           for _ in range(rng.randrange(1, 32)))
+        p = tmp_path / "fuzz.mid"
+        p.write_bytes(bytes(b))
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                smf_to_note_events(parse_smf(p))
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["typed"] += 1
+        # anything else propagates and fails with its traceback
+    assert outcomes["ok"] > 0 and outcomes["typed"] > 0, outcomes
