@@ -35,7 +35,7 @@ from groove_tpu.project.patches import (
     WelshPatchSettings,
     WelshVoiceParams,
 )
-from groove_tpu.project.schema import SongSettings, warn
+from groove_tpu.project.schema import ProjectError, SongSettings, warn
 
 MAIN_MIXER_UVID = "main-mixer"  # reserved (orchestrator.rs:104-107)
 
@@ -270,6 +270,10 @@ def compile_song(
         off = np.asarray([n.off_frame for n in mine], np.int32)
 
         if dev.kind == "welsh":
+            if "name" not in dev.params:
+                raise ProjectError(
+                    f"welsh instrument {dev.uvid!r} has no 'name' (a named "
+                    "patch is required; use welsh-raw for inline params)")
             patch = WelshPatchSettings.by_name(paths, dev.params["name"])
             dev.voice = patch.derive_welsh_voice_params()
         elif dev.kind == "welsh-raw":
@@ -334,9 +338,18 @@ def compile_song(
         key = (trip.target.id, trip.target.param)
         resolved[key] = p
         configured = param_mod.configured_value(tgt.kind, tgt.params, p)
-        initial_values[key] = (
-            float(p.from_domain(float(configured))) if configured is not None else 0.0
-        )
+        try:
+            initial_values[key] = (
+                float(p.from_domain(float(configured)))
+                if configured is not None else 0.0
+            )
+        except (TypeError, ValueError) as e:
+            # the reference's typed serde fields reject non-numeric
+            # param values at deserialization; our kind-agnostic dict
+            # loader defers that check to here
+            raise ProjectError(
+                f"device {trip.target.id!r} param {trip.target.param!r} "
+                f"has a non-numeric value {configured!r}") from e
 
     # Trigger controllers may target a TRIP (not a device): the trip's
     # `triggered` steps latch the fired value (automation.py docstrings;

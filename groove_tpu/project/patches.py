@@ -225,7 +225,14 @@ class WelshPatchSettings:
 
     @classmethod
     def from_json_str(cls, text: str, name: str = "") -> "WelshPatchSettings":
-        d = json.loads(text)
+        from groove_tpu.project.schema import ProjectError
+        try:
+            d = json.loads(text)
+        except ValueError as e:
+            raise ProjectError(f"patch {name!r}: invalid JSON: {e}") from e
+        if not isinstance(d, dict):
+            raise ProjectError(f"patch {name!r}: root must be an object, "
+                               f"got {type(d).__name__}")
         return cls(name=d.get("name", name), raw=d)
 
     @classmethod
@@ -237,6 +244,24 @@ class WelshPatchSettings:
         return cls.from_json_str(found.read_text(), name)
 
     def derive_welsh_voice_params(self) -> WelshVoiceParams:
+        """Typed-error boundary: a malformed patch (wrong-typed fields,
+        missing subobjects) reports ProjectError naming the patch — the
+        module-doc contract ('the reference panics on bad patch JSON; we
+        raise a clean error instead'), pinned by the loader fuzz tests."""
+        from groove_tpu.project.schema import ProjectError
+        try:
+            return self._derive_welsh_voice_params()
+        except ProjectError:
+            raise
+        except (TypeError, KeyError, IndexError, AttributeError,
+                ValueError, StopIteration, OverflowError,
+                ZeroDivisionError) as e:
+            # Overflow/ZeroDivision: arithmetic consequences of absurd
+            # numeric fields (e.g. a 1e9-octave tune) — same class
+            raise ProjectError(
+                f"malformed welsh patch {self.name!r}: {e}") from e
+
+    def _derive_welsh_voice_params(self) -> WelshVoiceParams:
         d = self.raw
 
         def osc(key: str) -> OscSettings:

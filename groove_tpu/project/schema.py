@@ -62,6 +62,17 @@ class ClockSettings:
         else:
             raise ProjectError(f"malformed time-signature {ts!r} "
                                "(expected [top, bottom] or an object)")
+        if sig.top <= 0:
+            raise ProjectError(f"time-signature top must be positive, "
+                               f"got {sig.top}")
+        try:
+            # the bottom must name a BeatValue (the reference's
+            # TimeSignature bottoms are the BeatValueSettings divisors);
+            # validating HERE keeps the ValueError out of compile time
+            BeatValue.from_divisor(sig.bottom)
+        except ValueError as e:
+            raise ProjectError(f"malformed time-signature {ts!r}: {e}") \
+                from e
         return cls(
             bpm=float(d.get("bpm", 128.0)),
             midi_ticks_per_second=int(d.get("midi-ticks-per-second", 960)),

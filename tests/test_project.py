@@ -263,14 +263,35 @@ def test_fuzzed_projects_fail_closed():
                 node[key] = {"unexpected": [1, 2, 3]}
         return mutant
 
-    outcomes = {"loaded": 0, "typed-error": 0}
+    import contextlib
+    import io
+
+    from groove_tpu.compiler.song import compile_song
+
+    outcomes = {"loaded": 0, "typed-error": 0, "compiled": 0}
     for trial in range(150):
         action = ("delete", "retype", "negate")[trial % 3]
         mutant = mutate(base, action)
         try:
-            SongSettings.from_json(mutant)
+            song = SongSettings.from_json(mutant)
             outcomes["loaded"] += 1
         except (ProjectError, json5.Json5Error):
+            outcomes["typed-error"] += 1
+            continue
+        # loaded mutants must also COMPILE fail-closed (warn-and-skip
+        # or ProjectError — e.g. a welsh device whose 'name' was
+        # deleted, a negated time-signature bottom)
+        try:
+            with contextlib.redirect_stdout(io.StringIO()), \
+                    contextlib.redirect_stderr(io.StringIO()):
+                compile_song(song)
+            outcomes["compiled"] += 1
+        except ProjectError:
+            outcomes["typed-error"] += 1
+        except FileNotFoundError:
+            # asset resolution (a mutated patch/drumkit/sample name) is
+            # a descriptive typed error too — distinct from structural
+            # ProjectErrors but equally fail-closed
             outcomes["typed-error"] += 1
         # anything else propagates and fails the test with its traceback
     # truncations exercise the json5 lexer's EOF paths
@@ -281,5 +302,54 @@ def test_fuzzed_projects_fail_closed():
             outcomes["loaded"] += 1
         except (ProjectError, json5.Json5Error):
             outcomes["typed-error"] += 1
-    # the fuzz is only meaningful if both outcomes occur
-    assert outcomes["loaded"] > 0 and outcomes["typed-error"] > 0, outcomes
+    # the fuzz is only meaningful if every outcome occurs
+    assert outcomes["compiled"] > 0 and outcomes["typed-error"] > 0, outcomes
+
+
+def test_fuzzed_welsh_patches_fail_closed():
+    """Mutated welsh patch JSON must derive, or raise ProjectError naming
+    the patch (the module-doc contract: 'the reference panics on bad
+    patch JSON; we raise a clean error instead')."""
+    import json
+    import random
+
+    from groove_tpu.project.patches import WelshPatchSettings
+    from groove_tpu.project.schema import ProjectError
+
+    src = json.load(
+        open("/root/reference/assets/patches/welsh/piano.json"))
+    rng = random.Random(3)
+    outcomes = {"ok": 0, "typed": 0}
+    for trial in range(200):
+        m = json.loads(json.dumps(src))
+        sites = []
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k in node:
+                    sites.append((node, k))
+                    walk(node[k])
+            elif isinstance(node, list):
+                for i in range(len(node)):
+                    sites.append((node, i))
+                    walk(node[i])
+
+        walk(m)
+        node, key = sites[rng.randrange(len(sites))]
+        a = trial % 3
+        if a == 0:
+            del node[key]
+        elif a == 1:
+            node[key] = rng.choice([None, True, "bogus", -1, [], {}])
+        else:
+            node[key] = {"unexpected": 1}
+        try:
+            WelshPatchSettings(name="x", raw=m).derive_welsh_voice_params()
+            outcomes["ok"] += 1
+        except ProjectError:
+            outcomes["typed"] += 1
+        # anything else propagates and fails with its traceback
+    assert outcomes["ok"] > 0 and outcomes["typed"] > 0, outcomes
+    # invalid patch file text is typed too
+    with pytest.raises(ProjectError, match="invalid JSON"):
+        WelshPatchSettings.from_json_str("{{{", "broken")
