@@ -83,6 +83,78 @@ def _quantize_device(audio):
     return quantize_16bit_jit(audio)
 
 
+def channel_symmetric(c: "CompiledSong") -> bool:
+    """Conservative static proof that a compiled song renders L == R
+    BITWISE, enabling the streamed mono-fold (half the fetch bytes on
+    the link-bound tunnel path — ROOFLINE.md).
+
+    Every op in the engine applies identical per-channel math, so the
+    only asymmetry sources are (checked per device):
+      - a nonzero pan (device param, or the welsh/FM voice's DCA pan
+        derived from the patch — all 106 shipped patches are centered);
+      - pan under automation (trips/LFO curves land in dev.automation)
+        or driven by a sidechain link (compiled.sidechain);
+      - a sample table whose stereo WAV data differs between channels
+        (mono sources are duplicated at load, SampleTable.from_files).
+    Anything not provably centered returns False (stereo fetch). The
+    fold additionally ships a device-computed tripwire flag with every
+    fetch, so a wrong True here raises instead of corrupting audio."""
+    import numpy as np
+
+    for dev in c.devices.values():
+        if "pan" in dev.automation:
+            return False
+        default_pan = getattr(dev.voice, "pan", 0.0) \
+            if dev.voice is not None else 0.0
+        try:
+            if float(dev.params.get("pan", default_pan)) != 0.0:
+                return False
+        except (TypeError, ValueError):
+            return False
+        st = getattr(dev, "sample_table", None)
+        if st is not None and not np.array_equal(st.data[:, 0],
+                                                 st.data[:, 1]):
+            return False
+    if any(p == "pan" for _, _, p in c.sidechain):
+        return False
+    return True
+
+
+@jax.jit
+def _fold_mono_f32(audio):
+    """[.., 2] f32 -> flat [N+1] mono with a trailing tripwire element
+    (1.0 iff any sample pair differed — must be 0 whenever
+    channel_symmetric proved the graph)."""
+    a = audio.reshape(-1, 2)
+    flag = jnp.any(a[:, 0] != a[:, 1]).astype(a.dtype)
+    return jnp.concatenate([a[:, 0], flag[None]])
+
+
+@jax.jit
+def _fold_mono_i16(audio):
+    """[.., 2] f32 -> device-quantized flat [N+1] int16 mono + tripwire.
+    The tripwire compares the QUANTIZED channels: flag==0 certifies the
+    emitted int16 bytes equal the stereo fetch's bytes exactly."""
+    from groove_tpu.io.wav import quantize_16bit_jit
+
+    q = quantize_16bit_jit(audio.reshape(-1, 2))
+    flag = jnp.any(q[:, 0] != q[:, 1]).astype(jnp.int16)
+    return jnp.concatenate([q[:, 0], flag[None]])
+
+
+def _unfold_mono(arr):
+    """Host side of the fold: verify the tripwire, duplicate to [N, 2]."""
+    import numpy as np
+
+    if arr[-1]:
+        raise RuntimeError(
+            "mono-fold tripwire: the device reports channel asymmetry in "
+            "a graph channel_symmetric() proved symmetric — analysis bug, "
+            "please report (disable with mono_fold=False)")
+    mono = arr[:-1]
+    return np.repeat(mono[:, None], 2, axis=1)
+
+
 class StreamingRenderer:
     """Segment-streamed render of one compiled song.
 
@@ -147,6 +219,10 @@ class StreamingRenderer:
             and welsh_model.can_slice(dev.voice)
             and (self.WELSH_SLICED != "auto" or self._slice_wins(dev))
         }
+        # static L==R proof -> the stream drivers fetch MONO (+1 tripwire
+        # element) and duplicate host-side: half the bytes over the
+        # link-bound tunnel, bitwise-identical output (channel_symmetric)
+        self.mono_foldable = channel_symmetric(compiled)
         self._collect_inputs()
         self.inputs = jax.device_put(self.inputs)
         self._state0 = self._init_state()
@@ -1074,7 +1150,8 @@ class StreamingRenderer:
     # ---- drivers -----------------------------------------------------------
 
     def stream(self, prefetch_segments: int = 4,
-               batch_segments: int = 1, quantize: bool = False):
+               batch_segments: int = 1, quantize: bool = False,
+               mono_fold: bool | None = None):
         """Python-loop driver: yields host [seg, 2] arrays covering exactly
         n_frames. Device memory is bounded by one segment + carried state
         regardless of song length.
@@ -1093,11 +1170,18 @@ class StreamingRenderer:
         same step function, but XLA may fuse a scan body differently from
         a standalone program (~3e-5 observed on welsh transcendentals), so
         the bitwise-segmentation guarantee is stated for batch_segments=1;
-        batched streams agree to float tolerance."""
+        batched streams agree to float tolerance.
+
+        mono_fold (None = auto by channel_symmetric): fetch each segment
+        as flat MONO + a device-computed tripwire element and duplicate
+        to [seg, 2] host-side — same bytes the stereo fetch would emit
+        (bitwise; the tripwire raises otherwise), at HALF the transfer
+        size on the link-bound tunnel."""
+        fold = self.mono_foldable if mono_fold is None else bool(mono_fold)
         if batch_segments > 1:
             yield from self._stream_batched(batch_segments,
                                             max(1, prefetch_segments),
-                                            quantize)
+                                            quantize, fold)
             return
         from collections import deque
 
@@ -1109,13 +1193,19 @@ class StreamingRenderer:
             nonlocal emitted
             take = min(self.S, self.c.n_frames - emitted)
             emitted += take
-            return np.asarray(audio)[:take]
+            out = np.asarray(audio)
+            if fold:
+                out = _unfold_mono(out)
+            return out[:take]
 
         for k in range(self.n_segs):
             t0 = k * self.S
             xs = jax.device_put(self._seg_xs(t0, self.S))
             state, audio = self._step_for(self.S)(state, xs, self.inputs)
-            if quantize:
+            if fold:
+                audio = (_fold_mono_i16 if quantize
+                         else _fold_mono_f32)(audio)
+            elif quantize:
                 audio = _quantize_device(audio)
             _copy_to_host_async(audio)
             pending.append(audio)
@@ -1142,7 +1232,7 @@ class StreamingRenderer:
         return fn
 
     def _stream_batched(self, k: int, prefetch_batches: int,
-                        quantize: bool = False):
+                        quantize: bool = False, fold: bool = False):
         """Batched driver: one dispatch + one readback per k segments.
         The final partial batch is PADDED to k with past-the-end segments
         (their audio is discarded) so only ONE scan program ever compiles
@@ -1164,7 +1254,10 @@ class StreamingRenderer:
 
         def fetch(audio):
             nonlocal emitted
-            out = np.asarray(audio).reshape(k * self.S, 2)
+            if fold:
+                out = _unfold_mono(np.asarray(audio))
+            else:
+                out = np.asarray(audio).reshape(k * self.S, 2)
             take = min(k * self.S, self.c.n_frames - emitted)
             emitted += take
             return out[:take]
@@ -1179,7 +1272,10 @@ class StreamingRenderer:
                       for key in rows[0]}
                 state, audio = self._scan_for(self.S, k)(
                     state, jax.device_put(xs), self.inputs)
-                if quantize:
+                if fold:
+                    audio = (_fold_mono_i16 if quantize
+                             else _fold_mono_f32)(audio)
+                elif quantize:
                     audio = _quantize_device(audio)
                 _copy_to_host_async(audio)
                 pending.append(ex.submit(fetch, audio))

@@ -333,3 +333,48 @@ def test_empty_loop_range_raises():
     r = StreamingRenderer(c)
     with pytest.raises(ValueError, match="empty window"):
         r.loop_frames(0.0, 0.0)
+
+
+# --------------------------------------------------------------------------
+# Streamed mono-fold (half the fetch bytes when the graph proves L == R)
+
+
+def test_channel_symmetric_classification():
+    from groove_tpu.engine.stream import channel_symmetric
+
+    sym = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/effects/drums-filtered-24db.json"))
+    assert channel_symmetric(sym)
+    # stereo-automation pans a DCA with an LFO -> must classify stereo
+    asym = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/controllers/stereo-automation.json"))
+    assert not channel_symmetric(asym)
+    assert not StreamingRenderer(asym, segment_frames=4096).mono_foldable
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("batch", [1, 2])
+def test_mono_fold_bitwise_equals_stereo_fetch(quantize, batch):
+    """Folded fetches must emit BITWISE the stereo fetch's arrays (the
+    device computes mono + a tripwire; the host duplicates) in both
+    drivers, f32 and int16."""
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/effects/drums-filtered-24db.json"))
+    sr_ = StreamingRenderer(c, segment_frames=16384)
+    assert sr_.mono_foldable
+    folded = np.concatenate(list(sr_.stream(
+        batch_segments=batch, quantize=quantize)), axis=0)
+    plain = np.concatenate(list(sr_.stream(
+        batch_segments=batch, quantize=quantize, mono_fold=False)), axis=0)
+    assert folded.dtype == plain.dtype
+    assert np.array_equal(folded, plain)
+
+
+def test_mono_fold_tripwire_raises_on_asymmetric_audio():
+    """Forcing the fold onto a stereo song must raise the tripwire (the
+    device-side flag travels with every fetch), not corrupt audio."""
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/controllers/stereo-automation.json"))
+    sr_ = StreamingRenderer(c, segment_frames=16384)
+    with pytest.raises(RuntimeError, match="tripwire"):
+        list(sr_.stream(mono_fold=True))

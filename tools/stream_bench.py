@@ -57,14 +57,26 @@ def main() -> None:
             welsh_sliced = "auto"
         else:
             welsh_sliced = False
-        quant = mode.endswith("-i16")
+        # "-st" forces STEREO fetches (mono_fold=False) to measure the
+        # fold's link-byte saving against; default is auto (fold when
+        # channel_symmetric proves L == R)
+        fold = False if mode.endswith("-st") else None
+        mode_core = mode[:-3] if mode.endswith("-st") else mode
+        quant = mode_core.endswith("-i16")
         cls = type("R", (StreamingRenderer,), {"WELSH_SLICED": welsh_sliced})
         t0 = time.perf_counter()
         r = cls(c, segment_frames=args.seg)
         t1 = time.perf_counter()
-        out = r.render(batch_segments=args.batch, quantize=quant)
+
+        def run():
+            import numpy as _np
+            return _np.concatenate(list(r.stream(
+                batch_segments=args.batch, quantize=quant,
+                mono_fold=fold)), axis=0)
+
+        out = run()
         t2 = time.perf_counter()
-        out = r.render(batch_segments=args.batch, quantize=quant)
+        out = run()
         t3 = time.perf_counter()
         wide = out.astype("int32") if quant else out  # |int16 -32768| wraps
         peak = float(abs(wide).max()) / (32767.0 if quant else 1.0)
