@@ -193,13 +193,21 @@ class EngineService:
     def ensure_compiled(self, timeout: float = 600.0):
         """Recompile (if dirty) on the WORKER thread and return the
         CompiledSong — the front-end handshake for building live
-        renderers against the current song without racing queued edits."""
+        renderers against the current song without racing queued edits.
+
+        Returns None when there is nothing VALID to hand out: no song,
+        a compile failure (the error surfaced as an 'error' event —
+        returning the previous project's CompiledSong here would
+        silently resurrect the stale-live-renderer bug), or timeout."""
+        box: dict = {}
         done = threading.Event()
-        self._q.put(Command("ensure-compiled", done))
-        done.wait(timeout)
+        self._q.put(Command("ensure-compiled", (box, done)))
+        if not done.wait(timeout) or not box.get("ok"):
+            return None
         return self.compiled
 
     def rendered_samples(self, loop_iterations: Optional[int] = None,
+                         device: Optional[str] = None,
                          timeout: float = 600.0):
         """Render on the WORKER thread and return the [n, 2] samples (or
         None on timeout/empty). Front-end threads (GUI audio endpoints)
@@ -207,12 +215,22 @@ class EngineService:
         directly: the worker owns self.renderer/_samples, and a direct
         call races any queued edit/playback command mid-recompile. Also
         keeps GUI locks out of the (potentially minutes-long cold-
-        compile) render — state polls stay responsive while this waits."""
+        compile) render — state polls stay responsive while this waits.
+
+        device isolates ONE instrument's output (the spectrum tool's
+        --device path) — also on the worker, because the isolated render
+        reads self.renderer/compiled as a pair (a front-end read can see
+        one fresh and one stale mid-recompile). A render error (e.g. an
+        unknown/non-instrument device) re-raises HERE on the caller's
+        thread."""
         box: dict = {}
         done = threading.Event()
-        self._q.put(Command("render-out", (box, done, loop_iterations)))
+        self._q.put(Command("render-out", (box, done, loop_iterations,
+                                           device)))
         if not done.wait(timeout):
             return None
+        if "error" in box:
+            raise box["error"]
         return box.get("samples")
 
     def shutdown(self, timeout: float = 600.0):
@@ -243,6 +261,21 @@ class EngineService:
         if self._samples is None:
             self._samples = self.renderer.render()
         return self._samples
+
+    def _isolated_samples(self, device: str):
+        """One instrument's isolated [n, 2] output (utils/spectrum's
+        --device path) — worker-only, like everything touching
+        self.renderer."""
+        import numpy as np
+
+        if self._ensure_rendered() is None:
+            return None
+        dev = self.compiled.devices.get(device)
+        if dev is None or dev.role != "instrument":
+            raise ValueError(f"{device!r} is not an instrument")
+        r = self.renderer
+        audio = r._render_instrument(r.inputs, dev, self.compiled.n_frames)
+        return np.asarray(audio).T  # [n, 2]
 
     def _loop(self):
         while True:
@@ -292,17 +325,28 @@ class EngineService:
                     self.is_loop_enabled = False
                     self.on_event("loop-cleared", None)
                 elif cmd.kind == "ensure-compiled":
+                    box, done = cmd.arg
                     try:
                         if self._dirty or self.renderer is None:
                             self._recompile()
+                        # "ok" only when a VALID current compile exists —
+                        # a raise above leaves it unset and the caller
+                        # gets None instead of a stale CompiledSong
+                        box["ok"] = self.compiled is not None
                     finally:
-                        cmd.arg.set()
+                        done.set()
                 elif cmd.kind == "render-out":
-                    box, done, iterations = cmd.arg
+                    box, done, iterations, device = cmd.arg
                     try:
-                        box["samples"] = (self._loop_samples(int(iterations))
-                                          if iterations
-                                          else self._ensure_rendered())
+                        if iterations:
+                            box["samples"] = self._loop_samples(
+                                int(iterations))
+                        elif device:
+                            box["samples"] = self._isolated_samples(device)
+                        else:
+                            box["samples"] = self._ensure_rendered()
+                    except Exception as e:
+                        box["error"] = e  # re-raised on the caller thread
                     finally:
                         done.set()
                 elif cmd.kind == "render-loop-wav":

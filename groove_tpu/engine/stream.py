@@ -124,9 +124,14 @@ def channel_symmetric(c: "CompiledSong") -> bool:
 def _fold_mono_f32(audio):
     """[.., 2] f32 -> flat [N+1] mono with a trailing tripwire element
     (1.0 iff any sample pair differed — must be 0 whenever
-    channel_symmetric proved the graph)."""
+    channel_symmetric proved the graph). The comparison is on BIT
+    patterns, not float equality: identical NaNs on both channels are
+    'bitwise symmetric' (the fold emits exactly what the stereo fetch
+    would), while `NaN != NaN` would false-trip on a degenerate song
+    the stereo path streams fine."""
     a = audio.reshape(-1, 2)
-    flag = jnp.any(a[:, 0] != a[:, 1]).astype(a.dtype)
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    flag = jnp.any(bits[:, 0] != bits[:, 1]).astype(a.dtype)
     return jnp.concatenate([a[:, 0], flag[None]])
 
 

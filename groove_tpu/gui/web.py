@@ -163,18 +163,13 @@ class WebGui:
         this machine and would freeze every /api/state poll."""
         import numpy as np
         svc = self.model.svc
-        samples = svc.rendered_samples()
+        # device-isolated renders also go through the worker: the
+        # isolated path reads (renderer, compiled) as a PAIR, which a
+        # front-end read can see half-updated mid-recompile
+        samples = svc.rendered_samples(device=device)
         if samples is None or not len(samples):
             return None
-        if device is None:
-            return np.asarray(samples)
-        compiled = svc.compiled
-        dev = compiled.devices.get(device) if compiled else None
-        if dev is None or dev.role != "instrument":
-            raise ValueError(f"{device!r} is not an instrument")
-        r = svc.renderer
-        audio = r._render_instrument(r.inputs, dev, compiled.n_frames)
-        return np.asarray(audio).T  # [n, 2]
+        return np.asarray(samples)
 
     def waveform(self, bins: int = 600, device: str | None = None) -> dict:
         """Per-bin |peak| of the rendered master — or of one instrument's
@@ -245,9 +240,19 @@ class WebGui:
         pools + per-block streaming)."""
         from groove_tpu.engine.livesong import LiveSongRenderer
 
+        # double-checked: the (up to minutes-long, cold-cache) compile
+        # runs OUTSIDE _live_lock so _invalidate_live — and through it
+        # command() holding self.lock — never blocks behind a live
+        # listener's rebuild
+        with self._live_lock:
+            if self._live is not None:
+                return self._live
+        compiled = self.model.svc.ensure_compiled()
+        if compiled is None:
+            raise RuntimeError("no compiled song — open a project, or see "
+                               "the event log for the compile error")
         with self._live_lock:
             if self._live is None:
-                compiled = self.model.svc.ensure_compiled()
                 self._live = LiveSongRenderer(compiled, n_voices=8)
             return self._live
 
@@ -255,15 +260,13 @@ class WebGui:
         """Drop the lazily-built live renderer so the next live event
         compiles against the CURRENT song: an open/new/device edit
         otherwise leaves the piano strip and any connected MIDI port
-        playing the PREVIOUS project's instruments. A connected port is
-        re-wired onto the fresh renderer immediately (midi_connect's
-        callback closure pins whatever renderer existed at connect
-        time)."""
+        playing the PREVIOUS project's instruments. Purely a drop —
+        NO eager rebuild (callers hold self.lock; a rebuild means a
+        compile): the MIDI callback and live_chunks both resolve the
+        renderer lazily per event/chunk, so the next note or chunk
+        rebuilds against the current song on its own thread."""
         with self._live_lock:
-            stale = self._live is not None
             self._live = None
-        if stale and self._midi_port is not None:
-            self.midi_connect(self._midi_port)
 
     def live_note(self, kind: str, key: int, velocity: int = 96,
                   channel: int = 0) -> None:
@@ -283,11 +286,21 @@ class WebGui:
         from groove_tpu.io.midi_input import MidiInputService
 
         self.midi_disconnect()
-        lr = self.live_renderer()
         fd = os.open(port, os.O_RDONLY | os.O_NONBLOCK)
         src = os.fdopen(fd, "rb", buffering=0)
-        self._midi_svc = MidiInputService(
-            src, lambda ch, kind, data: lr.handle_midi(ch, kind, data))
+
+        def on_midi(ch, kind, data):
+            # resolve the renderer PER EVENT (not pinned at connect
+            # time) so project edits take effect without reconnecting;
+            # the first event after an invalidation pays the rebuild on
+            # the reader thread. Exceptions stay on this thread as
+            # error events — they must not kill the reader.
+            try:
+                self.live_renderer().handle_midi(ch, kind, data)
+            except Exception as e:
+                self.model._on_event("error", f"midi: {e}")
+
+        self._midi_svc = MidiInputService(src, on_midi)
         self._midi_port = port
         self.model._on_event("midi-connect", port)
 

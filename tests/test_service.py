@@ -302,3 +302,54 @@ def test_rendered_samples_and_ensure_compiled_worker_handshakes():
         assert abs(len(looped) - 3 * spb) <= 3 * grid
     finally:
         svc.shutdown()
+
+
+def test_ensure_compiled_returns_none_on_compile_failure(tmp_path):
+    """A project that LOADS but fails to compile must not hand the
+    previous project's CompiledSong to live-renderer builders (the
+    stale-piano bug): ensure_compiled returns None and the error
+    surfaces as an event."""
+    import json
+
+    events = []
+    svc = EngineService(on_event=lambda k, d: events.append((k, d)),
+                        use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        good = svc.ensure_compiled()
+        assert good is not None
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({
+            "clock": {"bpm": 120},
+            "devices": [{"instrument": ["w", {"welsh": {"midi-in": 0}}]}],
+            "patch-cables": [["w", "main-mixer"]],
+        }))
+        svc.open_project(bad)
+        assert svc.ensure_compiled() is None
+        assert any(k == "error" and "welsh" in str(d) for k, d in events), \
+            events
+    finally:
+        svc.shutdown()
+
+
+def test_rendered_samples_device_isolation_on_worker():
+    """rendered_samples(device=...) isolates one instrument via the
+    worker thread; unknown/non-instrument devices re-raise the worker's
+    ValueError on the caller thread."""
+    svc = EngineService(use_audio=False)
+    try:
+        svc.open_project(PROJECT)
+        compiled = svc.ensure_compiled()
+        (uvid, dev), = [(u, d) for u, d in compiled.devices.items()
+                        if d.role == "instrument"]
+        iso = svc.rendered_samples(device=uvid)
+        assert iso is not None and iso.shape[1] == 2
+        full = svc.rendered_samples()
+        # single-instrument project: isolated == master pre-effects…
+        # at least nonzero and same length
+        assert len(iso) == len(full)
+        assert np.abs(iso).max() > 0
+        with pytest.raises(ValueError, match="not an instrument"):
+            svc.rendered_samples(device="nope")
+    finally:
+        svc.shutdown()
