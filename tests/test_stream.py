@@ -378,3 +378,25 @@ def test_mono_fold_tripwire_raises_on_asymmetric_audio():
     sr_ = StreamingRenderer(c, segment_frames=16384)
     with pytest.raises(RuntimeError, match="tripwire"):
         list(sr_.stream(mono_fold=True))
+
+
+def test_channel_symmetric_rejects_stereo_samples_and_pan():
+    """The conservative analysis must reject a sample table whose stereo
+    channels differ and any nonzero pan param (the two asymmetry sources
+    not exercised by stereo-automation's pan LFO)."""
+    from groove_tpu.engine.stream import channel_symmetric
+
+    c = compile_song(SongSettings.from_project_file(
+        REF / "projects/demos/effects/drums-filtered-24db.json"))
+    assert channel_symmetric(c)
+    dev = next(d for d in c.devices.values()
+               if getattr(d, "sample_table", None) is not None)
+    dev.sample_table.data[0, 1, 0] += 0.25  # channel 1 differs by one sample
+    assert not channel_symmetric(c)
+    dev.sample_table.data[0, 1, 0] -= 0.25
+    assert channel_symmetric(c)
+    other = next(d for d in c.devices.values())
+    other.params["pan"] = 0.5
+    assert not channel_symmetric(c)
+    other.params["pan"] = 0.0
+    assert channel_symmetric(c)
