@@ -57,8 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment-frames", type=int, default=262144,
                    help="streamed segment length (multiple of 64); larger "
                         "segments amortize note-window recompute across "
-                        "fewer overlaps (jingle_bells measured 20.2x "
-                        "realtime at 262144 vs 7.3x at 65536 on-chip)")
+                        "fewer overlaps (jingle_bells measured 157x "
+                        "realtime at the 262144 default vs 269x at 524288 "
+                        "on-chip — each new size costs one fresh XLA "
+                        "compile, cached after; ROOFLINE.md)")
     p.add_argument("--stream-batch", type=int, default=8,
                    help="segments folded into one device program per "
                         "--stream dispatch (amortizes the host<->device "
