@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from groove_tpu.ops import envelope as env_ops
+from groove_tpu.ops import oscillator as osc_ops
 from groove_tpu.project.patches import FmSynthParams
 from groove_tpu.models.voices import note_freqs
 
@@ -47,27 +48,8 @@ def _voices_at(params: FmSynthParams, keys, vels, gate_s, t,
         # host mod-1-reduced tables (host_phases): uniform phase
         # resolution for any note length
         mod_phase = jnp.asarray(phases["phm"], jnp.float32)
-    elif ratio is None:
-        mod_phase = (params.ratio * f_c) * t
     else:
-        f_m = ratio * f_c                                  # [n, m]
-        inc = f_m / sample_rate * (t >= 0.0)
-        m = inc.shape[-1]
-        if m % 64 == 0:
-            # exclusive prefix regrouped per 64-sample block: a flat
-            # per-sample f32 cumsum accumulates rounding against the
-            # growing sum (the oscillator measured ~0.3 cycles drift
-            # over 2 s before its host-f64 fix); block-level
-            # accumulation cuts the serial term count 64x, putting a
-            # 5 s automated-ratio note's phase error below audibility
-            nb = m // 64
-            inc3 = inc.reshape(inc.shape[0], nb, 64)
-            blk = inc3.sum(-1)                              # [n, nb]
-            blk_prefix = jnp.cumsum(blk, axis=-1) - blk     # exclusive
-            within = jnp.cumsum(inc3, axis=-1) - inc3
-            mod_phase = (blk_prefix[..., None] + within).reshape(inc.shape)
-        else:
-            mod_phase = jnp.cumsum(inc, axis=-1) - inc      # exclusive
+        mod_phase = modulator_phase(params, f_c, t, ratio, sample_rate)
 
     me = params.modulator_envelope
     mod_env = env_ops.adsr(t, gate_s, me.attack, me.decay, me.sustain, me.release)
@@ -76,14 +58,46 @@ def _voices_at(params: FmSynthParams, keys, vels, gate_s, t,
 
     depth_v = params.depth if depth is None else depth
     beta_v = params.beta if beta is None else beta
-    mod = jnp.sin(TWO_PI * mod_phase) * mod_env * depth_v
+    # range-reduce phases mod 1 before the f32 sin (exact; sin is
+    # 1-periodic — see osc_ops.sine): the TPU's f32 sin loses precision
+    # with argument magnitude, and traced-fallback phases (oversize
+    # batches / automated ratio) reach thousands of cycles. Host tables
+    # are already reduced (host_phases), so frac is a numeric no-op there.
+    mod = jnp.sin(TWO_PI * osc_ops.frac(mod_phase)) * mod_env * depth_v
     if phases is not None:
         carrier = jnp.sin(
             TWO_PI * jnp.asarray(phases["phc"], jnp.float32) + beta_v * mod)
     else:
-        carrier = jnp.sin(TWO_PI * f_c * t + beta_v * mod)
+        carrier = jnp.sin(TWO_PI * osc_ops.frac(f_c * t) + beta_v * mod)
     amp = car_env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
     return carrier * amp * (t >= 0.0)
+
+
+def modulator_phase(params: FmSynthParams, f_c, t, ratio,
+                    sample_rate: float | None):
+    """Modulator phase [n, m] in cycles — the static closed form, or (for
+    a per-sample `ratio` curve) the 64-block regrouped exclusive cumsum.
+    Split out of _voices_at so tools/f64_reference.py can evaluate the
+    SAME formula eagerly and share its f32 bits (automated-FM audit)."""
+    if ratio is None:
+        return (params.ratio * f_c) * t
+    f_m = ratio * f_c                                  # [n, m]
+    inc = f_m / sample_rate * (t >= 0.0)
+    m = inc.shape[-1]
+    if m % 64 == 0:
+        # exclusive prefix regrouped per 64-sample block: a flat
+        # per-sample f32 cumsum accumulates rounding against the
+        # growing sum (the oscillator measured ~0.3 cycles drift
+        # over 2 s before its host-f64 fix); block-level
+        # accumulation cuts the serial term count 64x, putting a
+        # 5 s automated-ratio note's phase error below audibility
+        nb = m // 64
+        inc3 = inc.reshape(inc.shape[0], nb, 64)
+        blk = inc3.sum(-1)                              # [n, nb]
+        blk_prefix = jnp.cumsum(blk, axis=-1) - blk     # exclusive
+        within = jnp.cumsum(inc3, axis=-1) - inc3
+        return (blk_prefix[..., None] + within).reshape(inc.shape)
+    return jnp.cumsum(inc, axis=-1) - inc               # exclusive
 
 
 #: element cap for shipping host FM phase tables (see welsh's cap)

@@ -86,7 +86,10 @@ def envelope_instrument(adsr_seconds, keys, vels, gate_frames, span: int,
                     / np.float32(sample_rate))
     gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
     env = env_ops.adsr(t, gate_s, a, d, s, r)
-    tone = jnp.sin(2.0 * jnp.pi * (f[:, None] * t))
+    # osc_ops.sine range-reduces mod 1: note phases reach ~1000 cycles
+    # and the TPU's f32 sin loses precision with argument magnitude
+    # (the round-4 envelope-adsr-linear -79.8 dBFS residual)
+    tone = osc_ops.sine(f[:, None] * t)
     return tone * env * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
 
 
@@ -105,7 +108,7 @@ def envelope_window(adsr_seconds, keys, vels, on_abs, off_abs, t0, n: int,
     t = (tj - on).astype(jnp.float32) / sample_rate
     gate_s = (off - on).astype(jnp.float32) / sample_rate
     env = env_ops.adsr(t, gate_s, a, d, s, r) * (t >= 0.0)
-    tone = jnp.sin(2.0 * jnp.pi * note_freqs(keys)[:, None] * t)
+    tone = osc_ops.sine(note_freqs(keys)[:, None] * t)
     active = (jnp.asarray(vels, jnp.float32) > 0.0)[:, None]
     return tone * env * active * (jnp.asarray(vels, jnp.float32)[:, None] / 127.0)
 

@@ -189,7 +189,8 @@ def _host_wave(kind: str, phase: np.ndarray, width: float) -> np.ndarray:
     by the caller (threefry bank)."""
     fr = phase - np.floor(phase)
     if kind in ("sine", "triangle-sine"):
-        return np.sin(np.float32(2.0 * np.pi) * phase)
+        # mod-1-reduced like osc_ops.sine (exact; keeps formula identity)
+        return np.sin(np.float32(2.0 * np.pi) * fr)
     if kind == "square":
         return np.where(fr < 0.5, np.float32(1.0), np.float32(-1.0))
     if kind == "pulse-width":
@@ -199,12 +200,40 @@ def _host_wave(kind: str, phase: np.ndarray, width: float) -> np.ndarray:
     if kind == "triangle":
         return np.where(fr < 0.5, np.float32(4.0) * fr - np.float32(1.0),
                         np.float32(3.0) - np.float32(4.0) * fr)
+    # full osc_ops table mirror (ADVICE r4): debug-max/-min are constants,
+    # so a pitch-LFO voice renders identically whether or not the host
+    # phase table shipped
+    if kind == "debug-max":
+        return np.ones_like(phase)
+    if kind == "debug-min":
+        return -np.ones_like(phase)
     return np.zeros_like(phase)
 
 
+def _host_lfo_values(lfo, t, span: int, sample_rate: float,
+                     noise_seed: int = 0) -> np.ndarray:
+    """HOST numpy-f32 mirror of _make_lfo_value (offline, non-wrapping
+    S&H bank) at note-age times t (any shape): the LFO's bipolar value *
+    depth. Shared by host_pitch_phases (per-sample t) and
+    host_filter_tables (block-rate t) so the two host consumers can never
+    drift from each other."""
+    lphase = np.float32(lfo.frequency) * t
+    if lfo.waveform.kind == "noise":
+        n_cycles = _sh_cycles(lfo, span, sample_rate)
+        vals = np.asarray(jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
+            (n_cycles,), jnp.float32, -1.0, 1.0))
+        cyc = np.clip(np.floor(lphase).astype(np.int64), 0, n_cycles - 1)
+        return (vals[cyc] * np.float32(lfo.depth)).astype(np.float32)
+    return (_host_wave(lfo.waveform.kind, lphase, lfo.waveform.pulse_width)
+            * np.float32(lfo.depth)).astype(np.float32)
+
+
 #: element cap for shipping host pitch-LFO phase tables ([n, span] f32 —
-#: 32 MB at the cap); bigger batches keep the traced cumsum phases
-HOST_PHASE_MAX_ELEMS = 8_000_000
+#: 128 MB at the cap); bigger batches are COMPUTED IN ROW CHUNKS host-side
+#: (bounded peak memory), so only truly enormous batches keep the traced
+#: cumsum phases
+HOST_PHASE_MAX_ELEMS = 32_000_000
 
 
 def host_pitch_phases(params: WelshVoiceParams, keys, prev_keys,
@@ -223,7 +252,12 @@ def host_pitch_phases(params: WelshVoiceParams, keys, prev_keys,
     or None (not pitch-routed, or the batch exceeds max_elems — such
     batches keep the traced phases and the f64 tool falls back to eager
     shares). The S&H (noise) LFO bank comes from jax.random — threefry
-    is integer math, identical bits on every backend."""
+    is integer math, identical bits on every backend.
+
+    Rows are COMPUTED IN CHUNKS (round-5, VERDICT r4 item 1): every row's
+    cumsum is independent, so chunking bounds peak intermediate memory
+    (~4 row-chunk-sized arrays) without changing a single bit — the cap
+    now only guards the SHIPPED table size."""
     lfo = params.lfo
     routing = lfo.routing
     if not (routing in ("pitch", "pitch-osc2") and lfo.frequency > 0.0
@@ -236,68 +270,77 @@ def host_pitch_phases(params: WelshVoiceParams, keys, prev_keys,
     hc = host_osc_constants(params, keys, prev_keys)
     sr = np.float32(sample_rate)
     t = (np.arange(span, dtype=np.float32) / sr)[None, :]
-    lphase = np.float32(lfo.frequency) * t
-    if lfo.waveform.kind == "noise":
-        n_cycles = _sh_cycles(lfo, span, sample_rate)
-        vals = np.asarray(jax.random.uniform(
-            jax.random.fold_in(jax.random.PRNGKey(noise_seed), 7),
-            (n_cycles,), jnp.float32, -1.0, 1.0))
-        cyc = np.clip(np.floor(lphase).astype(np.int64), 0, n_cycles - 1)
-        lfo_val = (vals[cyc] * np.float32(lfo.depth)).astype(np.float32)
-    else:
-        lfo_val = (_host_wave(lfo.waveform.kind, lphase,
-                              lfo.waveform.pulse_width)
-                   * np.float32(lfo.depth)).astype(np.float32)
+    lfo_val = _host_lfo_values(lfo, t, span, sample_rate, noise_seed)
     glide_on = params.glide > 0.0 and prev_keys is not None
     rgl = hc.get("rgl")
-
-    def gl_factor():
-        u = np.maximum(np.float32(1.0) - t / np.float32(params.glide),
-                       np.float32(0.0))
-        return np.exp(u * np.log(rgl[:, None])).astype(np.float32)
-
-    def freq(name, is_osc2):
-        f = hc[name][:, None]
-        if routing == "pitch" or (routing == "pitch-osc2" and is_osc2):
-            f = (f * np.exp2(lfo_val)).astype(np.float32)
-        return np.broadcast_to(f, (n, span)).astype(np.float32)
-
-    def phase(f, glides=True):
-        if glide_on and glides:
-            f = (f * gl_factor()).astype(np.float32)
-        inc = f / sr
-        ph = np.cumsum(inc, axis=-1, dtype=np.float32)
-        return np.concatenate(
-            [np.zeros_like(ph[:, :1]), ph[:, :-1]], axis=-1)
-
     o1_active = params.oscillator_1.waveform.kind != "none"
     o2_tracks = params.oscillator_2_fixed_hz is None
-    f1 = freq("f1", False)
-    f2 = freq("f2", True)
-    ph1 = phase(f1)
-    if params.oscillator_2_sync and o1_active:
-        ratio = np.broadcast_to(hc["rsync"][:, None],
-                                (n, span)).astype(np.float32)
-        if routing == "pitch-osc2":
-            ratio = (ratio * np.exp2(lfo_val)).astype(np.float32)
-        if glide_on and not o2_tracks:
-            ratio = (ratio / gl_factor()).astype(np.float32)
-        ph2 = ((ph1 - np.floor(ph1)) * ratio).astype(np.float32)
-    else:
-        ph2 = phase(f2, glides=o2_tracks)
-    return {"ph1": ph1.astype(np.float32), "ph2": ph2.astype(np.float32)}
+
+    def rows(lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        m = hi - lo
+        rglc = None if rgl is None else rgl[lo:hi]
+
+        def gl_factor():
+            u = np.maximum(np.float32(1.0) - t / np.float32(params.glide),
+                           np.float32(0.0))
+            return np.exp(u * np.log(rglc[:, None])).astype(np.float32)
+
+        def freq(name, is_osc2):
+            f = hc[name][lo:hi, None]
+            if routing == "pitch" or (routing == "pitch-osc2" and is_osc2):
+                f = (f * np.exp2(lfo_val)).astype(np.float32)
+            return np.broadcast_to(f, (m, span)).astype(np.float32)
+
+        def phase(f, glides=True):
+            if glide_on and glides:
+                f = (f * gl_factor()).astype(np.float32)
+            inc = f / sr
+            ph = np.cumsum(inc, axis=-1, dtype=np.float32)
+            return np.concatenate(
+                [np.zeros_like(ph[:, :1]), ph[:, :-1]], axis=-1)
+
+        f1 = freq("f1", False)
+        ph1 = phase(f1)
+        if params.oscillator_2_sync and o1_active:
+            ratio = np.broadcast_to(hc["rsync"][lo:hi, None],
+                                    (m, span)).astype(np.float32)
+            if routing == "pitch-osc2":
+                ratio = (ratio * np.exp2(lfo_val)).astype(np.float32)
+            if glide_on and not o2_tracks:
+                ratio = (ratio / gl_factor()).astype(np.float32)
+            ph2 = ((ph1 - np.floor(ph1)) * ratio).astype(np.float32)
+        else:
+            f2 = freq("f2", True)
+            ph2 = phase(f2, glides=o2_tracks)
+        return ph1.astype(np.float32), ph2.astype(np.float32)
+
+    rows_per = max(1, 2_000_000 // max(span, 1))
+    if rows_per >= n:
+        ph1, ph2 = rows(0, n)
+        return {"ph1": ph1, "ph2": ph2}
+    out1 = np.empty((n, span), np.float32)
+    out2 = np.empty((n, span), np.float32)
+    for lo in range(0, n, rows_per):
+        hi = min(n, lo + rows_per)
+        out1[lo:hi], out2[lo:hi] = rows(lo, hi)
+    return {"ph1": out1, "ph2": out2}
 
 
 def host_filter_tables(params: WelshVoiceParams, gate_frames, span: int,
-                       sample_rate: float) -> dict | None:
+                       sample_rate: float, noise_seed: int = 0) -> dict | None:
     """HOST (numpy f32) block-rate cascade coefficient tables for the
     voice's internal 24 dB filter, deduplicated by gate length (the
     cutoff envelope is a function of note age and gate only, so notes
     sharing a gate share a coefficient row — u unique gates << n notes).
 
-    Returns None when the LFO drives the filter (cutoff/resonance
-    routings modulate per block at render time; those voices keep the
-    traced coefficient path), else a dict of numpy arrays:
+    LFO-driven routings (filter-cutoff / cutoff-amp / resonance) are ALSO
+    designed host-side (round-5, VERDICT r4 item 1): the LFO restarts at
+    note-on, so its block-rate value is a function of note age alone
+    (_host_lfo_values) and the gate dedup still holds — previously these
+    kept the traced coefficient path, whose tan/exp rounded ~1e-5 away
+    from eager on the TPU (welsh-didgeridoo −79.2 dBFS, F64_MATRIX r4).
+
+    Returns a dict of numpy arrays:
       fidx  [n] int32  — per-note row index into the tables
       fgain [u, nb] f32 — per-block input gain
       fsecs [2, 5, u, nb] f32 — per-section (b0,b1,b2,a1,a2) coefficients
@@ -312,9 +355,8 @@ def host_filter_tables(params: WelshVoiceParams, gate_frames, span: int,
     lfo = params.lfo
     lfo_active = (lfo.routing != "none" and lfo.frequency > 0.0
                   and lfo.depth != 0.0)
-    if lfo_active and lfo.routing in ("filter-cutoff", "cutoff-amp",
-                                      "resonance"):
-        return None
+    lfo_filter = lfo_active and lfo.routing in ("filter-cutoff",
+                                                "cutoff-amp", "resonance")
     gate = np.asarray(gate_frames, np.int64)
     uniq, fidx = np.unique(gate, return_inverse=True)
     cblock = iir_ops.CONTROL_BLOCK
@@ -328,10 +370,24 @@ def host_filter_tables(params: WelshVoiceParams, gate_frames, span: int,
                          fe.release)
     cutoff_pct = params.filter_cutoff_start + (
         params.filter_cutoff_end - params.filter_cutoff_start) * f_env
+    lfo_blk = None
+    if lfo_filter:
+        # block-rate LFO term, host mirror of _filter_controls' formulas
+        lfo_blk = _host_lfo_values(lfo, t_blk, span, sample_rate,
+                                   noise_seed)                   # [1, nb]
+        if lfo.routing in ("filter-cutoff", "cutoff-amp"):
+            cutoff_pct = cutoff_pct + lfo_blk
     cutoff_pct = np.clip(cutoff_pct, 0.0, 1.0)
     cutoff_hz = np.exp(np.float32(LN_COEF)
                        + cutoff_pct * np.float32(LN_BASE)).astype(np.float32)
-    q = np.float32(max(params.filter_q, 1e-3))
+    if lfo_filter and lfo.routing == "resonance":
+        # q = max(q * (1 + lfo*depth), 0.1) — _filter_controls' rule
+        q = np.maximum(np.float32(params.filter_q)
+                       * (np.float32(1.0) + lfo_blk),
+                       np.float32(0.1)).astype(np.float32)       # [1, nb]
+        q = np.broadcast_to(q, cutoff_hz.shape)
+    else:
+        q = np.float32(max(params.filter_q, 1e-3))
     gain, secs = iir_ops.lp24_sections(cutoff_hz, q, sample_rate)
     u = len(uniq)
     fsecs = np.empty((2, 5, u, nb), np.float32)

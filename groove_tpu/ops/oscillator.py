@@ -40,7 +40,17 @@ def frac(phase):
 
 
 def sine(phase, pulse_width=None):
-    return jnp.sin(TWO_PI * phase)
+    # Range-reduce mod 1 BEFORE the f32 sin: frac() is exact in f32
+    # (Sterbenz — floor and subtract are single correctly-rounded ops, and
+    # p - floor(p) is representable), and sin is exactly 1-periodic, so
+    # this never changes the mathematical angle. It changes everything for
+    # accuracy: the TPU's f32 sin range reduction loses precision with
+    # argument magnitude (measured on-chip at phase ~1040 cycles:
+    # -67.5 dB vs the f64 value unreduced, -127.6 dB reduced) — note
+    # phases reach thousands of cycles on multi-second notes, which is
+    # exactly where the round-4 -77.9/-79.8 dBFS corpus residuals came
+    # from (F64_MATRIX.md welsh-test-lfo-pitch / envelope-adsr-linear).
+    return jnp.sin(TWO_PI * frac(phase))
 
 
 def square(phase, pulse_width=None):

@@ -64,9 +64,17 @@ BLK_MAX_R = 24
 REFINED_MAX_R = 16
 
 # Tests set True (with ops.iir.USE_PALLAS = True) to route graph-level
-# callers (welsh.render_notes_slice) through these kernels on the CPU
-# backend via the Pallas interpreter.
+# callers (welsh.render_notes_slice, the ops/iir dispatchers — every
+# public wrapper below defaults interpret=None -> this flag) through
+# these kernels on the CPU backend via the Pallas interpreter: the CI
+# suite then asserts the SHIPPED kernel algorithm's numerics, not the
+# XLA fallback's (tests/test_pallas_golden.py).
 FORCE_INTERPRET = False
+
+
+def _interp(interpret) -> bool:
+    """Resolve a wrapper's interpret arg: None -> FORCE_INTERPRET."""
+    return FORCE_INTERPRET if interpret is None else bool(interpret)
 
 
 def _pick_l(n: int) -> int:
@@ -459,7 +467,7 @@ def _lp24_blk_state_2d(x, na1a, na2a, na1b, na2b, state, cblock: int,
 
 
 def lp24_blockrate_stream_pallas(x, sections_b, state, cblock: int = 64,
-                                 interpret: bool = False):
+                                 interpret: bool | None = None):
     """Fused lp24 cascade with block-rate denominators AND carried TDF2
     state — the kernel form of applying ops/stream.biquad_stream twice.
     x: [..., n]; state: [..., 4] as (s1a, s2a, s1b, s2b).
@@ -468,6 +476,7 @@ def lp24_blockrate_stream_pallas(x, sections_b, state, cblock: int = 64,
     the padded zero samples — breaking the chain-bitwise contract
     silently (ops/stream.biquad_stream documents the same requirement).
     Returns (y, state')."""
+    interpret = _interp(interpret)
     shape = x.shape
     if shape[-1] % cblock:
         raise ValueError(
@@ -669,10 +678,11 @@ def _lp24_blk_2d(x, na1a, na2a, na1b, na2b, cblock: int,
 
 
 def biquad_blockrate_pallas(x, coefs_b, cblock: int = 64,
-                            interpret: bool = False):
+                            interpret: bool | None = None):
     """Biquad over [..., n] with block-rate coefficients [..., ceil(n/cblock)]
     (held constant within each cblock-sample control block, the reference's
     handle_work cadence)."""
+    interpret = _interp(interpret)
     shape = x.shape
     flat = _flat(x)
     nb64 = -(-shape[-1] // cblock)
@@ -686,8 +696,9 @@ def biquad_blockrate_pallas(x, coefs_b, cblock: int = 64,
 
 
 def lp24_blockrate_pallas(x, sections_b, cblock: int = 64,
-                          interpret: bool = False):
+                          interpret: bool | None = None):
     """Fused lp24 cascade with block-rate denominators."""
+    interpret = _interp(interpret)
     shape = x.shape
     flat = _flat(x)
     nb64 = -(-shape[-1] // cblock)
@@ -704,9 +715,10 @@ def _flat(x):
     return (x.reshape(1, -1) if x.ndim == 1 else x.reshape(-1, shape[-1]))
 
 
-def biquad_pallas(x, coefs, interpret: bool = False):
+def biquad_pallas(x, coefs, interpret: bool | None = None):
     """Pallas biquad over [..., n] with scalar or broadcastable per-sample
     coefficients (b0, b1, b2, a1, a2), a0 == 1."""
+    interpret = _interp(interpret)
     shape = x.shape
     flat = _flat(x)
     if all(jnp.ndim(c) == 0 for c in coefs):
@@ -720,11 +732,12 @@ def biquad_pallas(x, coefs, interpret: bool = False):
     return out.reshape(shape)
 
 
-def lp24_cascade_pallas(x, sections, interpret: bool = False):
+def lp24_cascade_pallas(x, sections, interpret: bool | None = None):
     """Fused filters004 24 dB cascade. sections: two (b0, b1, b2, a1, a2)
     tuples from ops/iir.lp24_sections — numerators are the constant
     (1, 2, 1) by construction; only the denominators are shipped. The
     denominators here are PER-SAMPLE (cshape = the full signal shape)."""
+    interpret = _interp(interpret)
     shape = x.shape
     flat = _flat(x)
     na1a, na2a = _denoms_blk(sections[0], shape, flat.shape[0], shape[-1])
@@ -733,8 +746,9 @@ def lp24_cascade_pallas(x, sections, interpret: bool = False):
     return out.reshape(shape)
 
 
-def cascade2_pallas(x, coefs_a, coefs_b, interpret: bool = False):
+def cascade2_pallas(x, coefs_a, coefs_b, interpret: bool | None = None):
     """Generic two-section cascade (two chained kernel calls)."""
+    interpret = _interp(interpret)
     return biquad_pallas(
         biquad_pallas(x, coefs_a, interpret=interpret), coefs_b,
         interpret=interpret,
@@ -1027,10 +1041,11 @@ def _lp24_refined_blk_2d(x, na1a, na2a, na1b, na2b, cblock: int,
 
 
 def lp24_refined_blockrate_pallas(x, sections_b, cblock: int = 64,
-                                  interpret: bool = False):
+                                  interpret: bool | None = None):
     """Fused lp24 cascade WITH the defect-correction refinement pass
     (cf. ops/iir.biquad_blockrate_refined): one kernel, intermediates in
     VMEM, correction reusing the solve prefix rows."""
+    interpret = _interp(interpret)
     shape = x.shape
     flat = _flat(x)
     nb64 = -(-shape[-1] // cblock)
@@ -1090,13 +1105,14 @@ def _lp24_refined_blk_state_2d(x, na1a, na2a, na1b, na2b, state,
 
 def lp24_refined_blockrate_stream_pallas(x, sections_b, state,
                                          cblock: int = 64,
-                                         interpret: bool = False):
+                                         interpret: bool | None = None):
     """Fused refined lp24 cascade with carried state — the kernel form
     of segment-streaming the refinement. x: [..., n]; state: [..., 20]
     (zeros to start). Chaining calls through the state is bitwise one
     long call. n must be a multiple of cblock (see
     lp24_blockrate_stream_pallas: unaligned calls would export state
     contaminated by padded zero samples). Returns (y, state')."""
+    interpret = _interp(interpret)
     shape = x.shape
     if shape[-1] % cblock:
         raise ValueError(

@@ -71,6 +71,21 @@ DEFAULT_CONFIGS = [
 ]
 
 
+def corpus_configs() -> list[str]:
+    """The FULL corpus: every loadable project file (the golden fixture's
+    walk, tests/test_corpus_golden.py) plus every SMF dump — 105 files."""
+    skip = {"invalid-project.json", "test.grv",
+            "instruments-have-no-inputs.json5"}
+    rels: list[str] = []
+    for base in [REF / "projects", REF / "test-data"]:
+        for p in sorted(base.rglob("*.json")) + sorted(base.rglob("*.json5")):
+            if p.name not in skip and "midi" not in p.parts:
+                rels.append(str(p.relative_to(REF)))
+    rels += [str(p.relative_to(REF))
+             for p in sorted((REF / "test-data/midi").glob("*.mid"))]
+    return rels
+
+
 def measure(rel: str) -> dict:
     from groove_tpu.compiler.song import compile_midi_file, compile_song
     from groove_tpu.engine.render import Renderer
@@ -107,12 +122,21 @@ def measure(rel: str) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=None)
+    ap.add_argument("--all", action="store_true",
+                    help="run the FULL corpus (94 projects + 11 SMFs)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     import jax
     platform = jax.devices()[0].platform
-    configs = args.configs.split(",") if args.configs else DEFAULT_CONFIGS
+    if args.configs:
+        configs = args.configs.split(",")
+    elif args.all:
+        configs = corpus_configs()
+    else:
+        configs = DEFAULT_CONFIGS
     rows = []
+    jpath = Path(args.out).with_suffix(".json") if args.out \
+        else Path(_REPO) / "f64_matrix.json"
     for rel in configs:
         print(f"== {rel}", file=sys.stderr, flush=True)
         try:
@@ -123,6 +147,9 @@ def main() -> int:
             row = {"config": rel, "error": f"{type(e).__name__}: {e}"}
         rows.append(row)
         print(json.dumps(row), flush=True)
+        # incremental checkpoint (full-corpus runs take a while)
+        jpath.write_text(json.dumps(
+            {"platform": platform, "rows": rows}, indent=1))
 
     md = [
         "# F64_MATRIX — corpus song-level residuals vs the f64 reference",
@@ -141,7 +168,17 @@ def main() -> int:
         else:
             md.append(f"| {r['config']} | {r['frames']} | {r['ref_peak']} "
                       f"| **{r['max_abs_dbfs']}** | {r['rms_dbfs']} |")
-    md.append("")
+    ok = [r for r in rows if "error" not in r]
+    worst = max((r["max_abs_dbfs"] for r in ok), default=0.0)
+    n_over = sum(1 for r in ok if r["max_abs_dbfs"] > -80.0)
+    md += [
+        "",
+        f"**{len(ok)}/{len(rows)} rows measured** "
+        f"({len(rows) - len(ok)} errors enumerated above); "
+        f"worst max-abs **{worst} dBFS**; rows above the −80 dBFS bar: "
+        f"**{n_over}**.",
+        "",
+    ]
     out = Path(args.out) if args.out else Path(_REPO) / "F64_MATRIX.md"
     out.write_text("\n".join(md))
     print(f"wrote {out}", file=sys.stderr)

@@ -63,6 +63,10 @@ def _wave(kind, phase, width=0.5):
         return np.where(f < 0.5, 4.0 * f - 1.0, 3.0 - 4.0 * f)
     if kind in ("none", "debug-zero"):
         return np.zeros_like(phase)
+    if kind == "debug-max":
+        return np.ones_like(phase)
+    if kind == "debug-min":
+        return -np.ones_like(phase)
     raise NotImplementedError(f"f64 reference: waveform {kind!r}")
 
 
@@ -436,18 +440,37 @@ def _render_sampler(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
 def _render_fm(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
     """Single-operator FM, f64 over the engine's f32 phase arguments
     (host note_freqs carrier rows — fm._voices_at freqs); envelopes and
-    the modulation sum evaluate in f64."""
+    the modulation sum evaluate in f64.
+
+    Automated ratio/depth/beta (round-5, VERDICT r4 item 2; params are
+    Control targets, settings/src/patches.rs:691-715): the per-note
+    block-held curves come from the engine's own fm._note_curve slicing,
+    and an automated-ratio modulator phase shares the engine's f32
+    64-block regrouped cumsum (fm.modulator_phase, evaluated eagerly);
+    the depth/beta curves then scale the modulation sum in f64."""
+    import jax.numpy as jnp
+
     from groove_tpu.models import fm as fm_model
     from groove_tpu.models.voices import note_freqs, span_for
 
     p = dev.voice
     notes = dev.notes
-    if any(nm in dev.automation for nm in ("ratio", "depth", "beta")):
-        raise NotImplementedError("f64 reference: automated FM params")
     gate = (notes.off_frames - notes.on_frames).astype(np.float64)
     span = min(span_for(int(gate.max()), fm_model.tail_seconds(p),
                         int(sr)), -(-n // 128) * 128)
-    php = fm_model.host_phases(p, notes.keys, span, sr)
+    # per-note block-held automation curves, the engine's own slicing
+    # (fm.render_notes cur) — integer gathers of host block data
+    cur64: dict[str, np.ndarray] = {}
+    cur32: dict[str, np.ndarray] = {}
+    for nm in ("ratio", "depth", "beta"):
+        if nm in dev.automation:
+            c = np.asarray(fm_model._note_curve(
+                jnp.asarray(dev.automation[nm], jnp.float32),
+                notes.on_frames, span), np.float32)
+            cur32[nm] = c
+            cur64[nm] = c.astype(np.float64)
+    php = None if "ratio" in cur32 else fm_model.host_phases(
+        p, notes.keys, span, sr)
     if php is not None:
         # the engine's host mod-1-reduced phase tables — exact shares
         mod_ph32 = php["phm"]
@@ -455,8 +478,11 @@ def _render_fm(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
     else:
         f_c = note_freqs(np.asarray(notes.keys))[:, None]   # [n, 1] f32
         t32 = np.arange(span, dtype=np.float32)[None, :] / np.float32(sr)
-        # engine op order (fm._voices_at): (ratio * f_c) * t, f32
-        mod_ph32 = (np.float32(p.ratio) * f_c) * t32
+        # engine formula (fm.modulator_phase), shared eagerly in f32
+        mod_ph32 = np.asarray(fm_model.modulator_phase(
+            p, jnp.asarray(f_c), jnp.asarray(t32),
+            None if "ratio" not in cur32 else jnp.asarray(cur32["ratio"]),
+            sr), np.float32)
         car_ph32 = f_c * t32
 
     t = np.arange(span, dtype=np.float64)[None, :] / sr
@@ -464,10 +490,12 @@ def _render_fm(dev: DeviceIR, n: int, sr: float) -> np.ndarray:
     me, ce = p.modulator_envelope, p.carrier_envelope
     mod_env = _adsr(t, gate_s, me.attack, me.decay, me.sustain, me.release)
     car_env = _adsr(t, gate_s, ce.attack, ce.decay, ce.sustain, ce.release)
+    depth_v = cur64.get("depth", p.depth)
+    beta_v = cur64.get("beta", p.beta)
     mod = np.sin(2.0 * np.pi * mod_ph32.astype(np.float64)) \
-        * mod_env * p.depth
+        * mod_env * depth_v
     carrier = np.sin(2.0 * np.pi * car_ph32.astype(np.float64)
-                     + p.beta * mod)
+                     + beta_v * mod)
     vels = np.asarray(notes.vels, np.float64)
     rows = carrier * car_env * (vels[:, None] / 127.0)
     mono = np.zeros(n + span)
@@ -689,8 +717,56 @@ def _apply_effect(dev: DeviceIR, x: np.ndarray, n: int, sr: float,
     if k == "chorus":
         if any(nm in dev.automation or (dev.uvid, nm) in overrides
                for nm in ("delay-seconds", "voices")):
-            raise NotImplementedError(
-                "f64 reference: automated chorus taps")
+            # automated taps (round-5, VERDICT r4 item 2; EffectSettings
+            # params, settings/src/effects.rs:17-56): mirror
+            # delayfx.chorus_tap_curves/chorus_automated — the tap
+            # positions are INTEGER math (round of an f32 product, then
+            # integer div), exact in numpy; the tap sum runs in f64
+            from groove_tpu.engine.render import SIDECHAIN_SECONDS_MAX
+            from groove_tpu.ops.delayfx import chorus_curve_max_voices
+
+            ov_v = overrides.get((dev.uvid, "voices"))
+            if ov_v is not None:
+                voices_b = np.asarray(ov_v, np.float32)[::BLOCK]
+                maxv = max(1, int(dev.params.get("voices", 1)))
+            elif "voices" in dev.automation:
+                voices_b = np.asarray(PB("voices", 1.0), np.float32)
+                maxv = chorus_curve_max_voices(dev.automation["voices"])
+            else:
+                voices_b, maxv = None, None
+            ov_d = overrides.get((dev.uvid, "delay-seconds"))
+            if ov_d is not None:
+                delay_b = np.clip(np.asarray(ov_d, np.float32)[::BLOCK],
+                                  0.0, SIDECHAIN_SECONDS_MAX)
+            elif "delay-seconds" in dev.automation:
+                delay_b = np.asarray(PB("delay-seconds", 0.0), np.float32)
+            else:
+                delay_b = np.float32(dev.params.get("delay-seconds", 0.0))
+            # chorus_tap_curves' integer curves (np.round == jnp.round:
+            # both round half to even)
+            d_b = np.round(np.asarray(delay_b, np.float32)
+                           * np.float32(sr)).astype(np.int64)
+            if d_b.ndim == 0:
+                d_up = np.full(n, int(d_b), np.int64)
+            else:
+                d_up = np.repeat(d_b, BLOCK)[:n]
+            if voices_b is not None:
+                v_b = np.clip(np.round(voices_b).astype(np.int64), 1, maxv)
+                v_up = np.repeat(v_b, BLOCK)[:n]
+                n_taps = int(maxv)
+            else:
+                n_taps = max(1, int(dev.params.get("voices", 1)))
+                v_up = np.full(n, n_taps, np.int64)
+            base = np.arange(n, dtype=np.int64)
+            wet = np.zeros_like(x)
+            for v in range(n_taps):
+                idx = base - (v * d_up) // v_up
+                valid = ((idx >= 0) & (v < v_up)).astype(np.float64)
+                wet = wet + np.take(x, np.clip(idx, 0, n - 1),
+                                    axis=-1) * valid
+            wet = wet / v_up.astype(np.float64)
+            wd = P("wet-dry-mix", 1.0)
+            return x * (1.0 - wd) + wet * wd
         voices = max(1, int(dev.params.get("voices", 1)))
         total_d = int(round(float(dev.params.get("delay-seconds", 0.0))
                             * sr))
@@ -741,11 +817,81 @@ def _apply_effect(dev: DeviceIR, x: np.ndarray, n: int, sr: float,
     # filter coefficients are the ENGINE'S OWN host numpy f32 bits
     # (engine/render.host_effect_filter_coefs — the same arrays the jitted
     # program consumes as shipped inputs, on every backend), then the
-    # recurrences evaluate serially in f64
+    # recurrences evaluate serially in f64. SIDECHAIN-overridden filters
+    # (round-5, VERDICT r4 item 2; a sidechain may target any controllable
+    # param, projects/demos/controllers/sidechain.json:113-120) design
+    # their coefficients from THIS renderer's own f64-derived control
+    # curve cast to f32 (semantics, not shared bits — the engine derives
+    # its control from its f32 signals in-trace), mirroring the engine's
+    # PB [::BLOCK] block-rate recovery and the same iir design formulas.
     if k.startswith("filter-"):
         from groove_tpu.engine.render import host_effect_filter_coefs
+        from groove_tpu.ops import iir as iir_ops
 
         nb = -(-n // BLOCK)
+        ov_names = ("cutoff", "q", "passband-ripple", "bandwidth",
+                    "db-gain")
+        if any((dev.uvid, nm) in overrides for nm in ov_names):
+
+            def PBf(name, default):
+                ov = overrides.get((dev.uvid, name))
+                if ov is not None:
+                    return np.asarray(ov, np.float32)[::BLOCK]
+                if name in dev.automation:
+                    c = np.asarray(dev.automation[name], np.float32)
+                    if len(c) < nb:
+                        c = np.pad(c, (0, nb - len(c)), mode="edge")
+                    return c[:nb]
+                return np.full((nb,), dev.params.get(name, default),
+                               np.float32)
+
+            cutoff = PBf("cutoff", 1000.0)
+            if k == "filter-low-pass-24db":
+                q = np.maximum(PBf("passband-ripple", 0.707),
+                               np.float32(1e-3))
+                gain32, secs32 = iir_ops.lp24_sections(cutoff, q, sr)
+                y = x * _upsample(
+                    np.broadcast_to(np.asarray(gain32, np.float32),
+                                    (nb,)).astype(np.float64), n)[None, :]
+                for sec in secs32:
+                    coefs = tuple(_upsample(
+                        np.broadcast_to(np.asarray(c, np.float32),
+                                        (nb,)).astype(np.float64), n)
+                        for c in sec)
+                    y = np.stack([_tdf2_serial(y[0], coefs),
+                                  _tdf2_serial(y[1], coefs)])
+                return y
+            mk = {
+                "filter-low-pass-12db": iir_ops.rbj_low_pass,
+                "filter-high-pass-12db": iir_ops.rbj_high_pass,
+                "filter-all-pass-12db": iir_ops.rbj_all_pass,
+            }.get(k)
+            if mk is not None:
+                co = mk(cutoff, np.maximum(PBf("q", 0.707),
+                                           np.float32(1e-3)), sr)
+            elif k == "filter-band-pass-12db":
+                co = iir_ops.rbj_band_pass(
+                    cutoff, np.maximum(PBf("bandwidth", 1.0),
+                                       np.float32(1e-3)), sr)
+            elif k == "filter-band-stop-12db":
+                co = iir_ops.rbj_band_stop(
+                    cutoff, np.maximum(PBf("bandwidth", 1.0),
+                                       np.float32(1e-3)), sr)
+            elif k == "filter-peaking-eq-12db":
+                co = iir_ops.rbj_peaking_eq(
+                    cutoff, np.maximum(PBf("q", 1.0), np.float32(1e-3)),
+                    PBf("db-gain", 0.0), sr)
+            elif k == "filter-low-shelf-12db":
+                co = iir_ops.rbj_low_shelf(cutoff, PBf("db-gain", 0.0), sr)
+            elif k == "filter-high-shelf-12db":
+                co = iir_ops.rbj_high_shelf(cutoff, PBf("db-gain", 0.0), sr)
+            else:
+                raise NotImplementedError(f"f64 reference: effect {k!r}")
+            coefs = tuple(_upsample(
+                np.broadcast_to(np.asarray(c, np.float32),
+                                (nb,)).astype(np.float64), n) for c in co)
+            return np.stack([_tdf2_serial(x[0], coefs),
+                             _tdf2_serial(x[1], coefs)])
         designed = host_effect_filter_coefs(dev, nb, sr)
         if designed is None:
             raise NotImplementedError(f"f64 reference: effect {k!r}")
@@ -822,11 +968,6 @@ def render_f64(compiled: CompiledSong) -> np.ndarray:
     c = compiled
     n = c.n_frames
     sr = float(c.sample_rate)
-    sidechain_targets = {tgt for _, tgt, _ in c.sidechain}
-    for dev in c.devices.values():
-        if dev.kind.startswith("filter-") and dev.uvid in sidechain_targets:
-            raise NotImplementedError(
-                "f64 reference: sidechain-driven filter coefficients")
     sidechain_by_src: dict = {}
     for src, tgt, pname in c.sidechain:
         sidechain_by_src.setdefault(src, []).append((tgt, pname))
