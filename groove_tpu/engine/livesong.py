@@ -101,6 +101,7 @@ class LiveSongRenderer(StreamingRenderer):
         self.frame = 0                    # next block start (rebases, see
         #                                   render_block; ages stay exact)
         self._abs_frame = 0               # absolute frames, never rebased
+        self._inflight = None             # render_block_pipelined's handle
         self._device = device or _live_device()
         with jax.default_device(self._device):
             super().__init__(compiled, segment_frames=self.block_frames)
@@ -347,6 +348,30 @@ class LiveSongRenderer(StreamingRenderer):
         """Next stereo block [block_frames, 2] through the whole graph.
         xs goes to the jit call as raw numpy (the call's own arg transfer
         is cheaper than a per-leaf device_put at this cadence)."""
+        return np.asarray(self._dispatch_block())
+
+    def render_block_pipelined(self) -> np.ndarray:
+        """Depth-1 pipelined pull (VERDICT r4 item 6): DISPATCH block b+1
+        before FETCHING block b, so b's host readback overlaps b+1's
+        device compute and the ~24 ms tunnel round trip is paid once per
+        block instead of serializing dispatch and fetch (the measured
+        ~31 ms/block floor at both 1024 and 4096 frames said the plain
+        loop was RTT-serialized). JAX dispatch is asynchronous — the jit
+        call returns a device future; only np.asarray blocks.
+
+        Costs exactly ONE extra block of note-to-audio latency: a MIDI
+        event arriving while block b plays lands in block b+2 (the next
+        DISPATCHED block), i.e. latency <= 2*block/sr + RTT. The audio
+        STREAM is bitwise the unpipelined one (same state chain, same
+        blocks, different fetch timing — pinned by tests/test_livesong)."""
+        if self._inflight is None:
+            self._inflight = self._dispatch_block()
+        prev, self._inflight = self._inflight, self._dispatch_block()
+        return np.asarray(prev)
+
+    def _dispatch_block(self):
+        """Advance one block and return the DEVICE audio handle (async —
+        callers fetch with np.asarray when they need the bytes)."""
         nb = self.block_frames
         with self._lock:
             if self.play_song and self.frame >= self.plan_frames:
@@ -373,7 +398,7 @@ class LiveSongRenderer(StreamingRenderer):
                     for k in ("on", "off"):
                         a = pool[k]
                         a[a < FAR] -= shift
-        return np.asarray(audio)
+        return audio
 
 
 class LiveSongService:

@@ -77,8 +77,21 @@ def _kernel(counts_ref, slots_ref, starts_ref, shifts_ref, limits_ref,
     y_ref[:, :] = acc_s[:, :C]
 
 
+def accumulate_oneshots_pallas(table_padded, counts, slots, starts, shifts,
+                               limits, vels, n_frames: int,
+                               interpret: bool | None = None):
+    """Public wrapper: resolves interpret=None -> pallas_iir's
+    FORCE_INTERPRET (the CI suite's route to running the shipped kernels
+    through the interpreter on CPU), OUTSIDE the jit cache so a flag flip
+    can never serve a stale compile."""
+    from groove_tpu.ops.pallas_iir import _interp
+    return _accumulate_oneshots_jit(
+        table_padded, counts, slots, starts, shifts, limits, vels,
+        n_frames=n_frames, interpret=_interp(interpret))
+
+
 @functools.partial(jax.jit, static_argnames=("n_frames", "interpret"))
-def accumulate_oneshots_pallas(
+def _accumulate_oneshots_jit(
     table_padded,   # [slots, 2, row_len] f32 (row_len = 128-multiple + 64)
     counts,         # [nchunks] int32 hits per chunk
     slots,          # [nchunks, M] int32

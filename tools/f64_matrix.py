@@ -71,6 +71,50 @@ DEFAULT_CONFIGS = [
 ]
 
 
+# Rows whose CPU max-abs sits above the -80 dBFS bar, with the measured
+# root cause. Two classes: (a) DISCONTINUITY KNIFE-EDGES — the engine (f32)
+# and the reference (f64) evaluate a step function of nearly-identical
+# signals, so an input difference of ~1e-7 at a threshold flips isolated
+# samples by the full step height; max-abs is the wrong metric there (the
+# rms column shows the typical sample), and both outputs are valid renders
+# of the semantics. (b) the deep-corner cascade, where the CPU test
+# backend's fallback genuinely floors — the SHIPPED TPU kernel is pinned
+# on-chip (FIDELITY_TPU.md) and structurally in CI via the Pallas
+# interpreter (tests/test_pallas_golden.py).
+NOTES = {
+    "projects/demos/effects/limiter_sine_min-0.400_max-0.600.json":
+        "knife-edge: limiter sign(x)*clip(|x|,min,max) JUMPS by 2*min "
+        "across x=0; a sine sample landing within ~1e-7 of a zero "
+        "crossing flips sign between the f32 and f64 evaluations "
+        "(isolated samples; rms -41)",
+    "projects/demos/effects/limiter_sine_min-0.100_max-0.900.json":
+        "knife-edge: same limiter sign discontinuity, smaller min "
+        "(isolated samples; rms -53)",
+    "projects/demos/controllers/sidechain.json":
+        "knife-edge: compressor threshold driven by a sidechain control "
+        "derived from each renderer's OWN signal (semantics, not shared "
+        "bits); a block-rate crossing flip gates a short region. "
+        "On-chip: -129.2 (FIDELITY r4)",
+    "projects/default.json5":
+        "knife-edge: static compressor threshold crossing flips one "
+        "block, gain diverges ~1.7e-4 over the release region (rms -99)",
+    "projects/demos/instruments/welsh-octave-switch.json":
+        "deep corner: cascade parked at the 25 Hz floor with q 5.33; the "
+        "CPU serial fallback floors here, the shipped TPU kernel "
+        "measures -81.2 on-chip (FIDELITY_TPU.md)",
+    "test-data/midi/clouds.mid":
+        "edge samples: oversize pitch-LFO note batches keep traced "
+        "cumsum phases; XLA fusion shifts saw/pulse edges by 1 ulp "
+        "(isolated samples; rms -72)",
+    "test-data/midi/jingle_bells.mid":
+        "edge samples: same oversize-batch traced-phase class "
+        "(isolated samples; rms -72)",
+    "test-data/midi/d-gonnamakeyousweat.mid":
+        "edge samples: same oversize-batch traced-phase class "
+        "(isolated samples; rms -77)",
+}
+
+
 def corpus_configs() -> list[str]:
     """The FULL corpus: every loadable project file (the golden fixture's
     walk, tests/test_corpus_golden.py) plus every SMF dump — 105 files."""
@@ -124,20 +168,28 @@ def main() -> int:
     ap.add_argument("--configs", default=None)
     ap.add_argument("--all", action="store_true",
                     help="run the FULL corpus (94 projects + 11 SMFs)")
+    ap.add_argument("--from-json", default=None,
+                    help="re-render the markdown from a prior run's "
+                         "checkpoint JSON (no measuring)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    import jax
-    platform = jax.devices()[0].platform
+    if args.from_json:
+        prior = json.loads(Path(args.from_json).read_text())
+        platform, preset_rows = prior["platform"], prior["rows"]
+    else:
+        import jax
+        platform = jax.devices()[0].platform
+        preset_rows = None
     if args.configs:
         configs = args.configs.split(",")
     elif args.all:
         configs = corpus_configs()
     else:
         configs = DEFAULT_CONFIGS
-    rows = []
+    rows = preset_rows if preset_rows is not None else []
     jpath = Path(args.out).with_suffix(".json") if args.out \
         else Path(_REPO) / "f64_matrix.json"
-    for rel in configs:
+    for rel in configs if preset_rows is None else []:
         print(f"== {rel}", file=sys.stderr, flush=True)
         try:
             row = measure(rel)
@@ -170,15 +222,29 @@ def main() -> int:
                       f"| **{r['max_abs_dbfs']}** | {r['rms_dbfs']} |")
     ok = [r for r in rows if "error" not in r]
     worst = max((r["max_abs_dbfs"] for r in ok), default=0.0)
-    n_over = sum(1 for r in ok if r["max_abs_dbfs"] > -80.0)
+    over = [r for r in ok if r["max_abs_dbfs"] > -80.0]
     md += [
         "",
         f"**{len(ok)}/{len(rows)} rows measured** "
         f"({len(rows) - len(ok)} errors enumerated above); "
         f"worst max-abs **{worst} dBFS**; rows above the −80 dBFS bar: "
-        f"**{n_over}**.",
+        f"**{len(over)}**.",
         "",
     ]
+    noted = [r for r in over if r["config"] in NOTES]
+    if noted:
+        md += ["## Rows above the bar — measured root causes", ""]
+        for r in sorted(noted, key=lambda r: r["max_abs_dbfs"],
+                        reverse=True):
+            md.append(f"- `{r['config']}` ({r['max_abs_dbfs']} max / "
+                      f"{r['rms_dbfs']} rms): {NOTES[r['config']]}")
+        md.append("")
+    unnoted = [r for r in over if r["config"] not in NOTES]
+    if unnoted:
+        md += ["## Rows above the bar — UNEXPLAINED", ""]
+        for r in unnoted:
+            md.append(f"- `{r['config']}`: {r['max_abs_dbfs']} dBFS")
+        md.append("")
     out = Path(args.out) if args.out else Path(_REPO) / "F64_MATRIX.md"
     out.write_text("\n".join(md))
     print(f"wrote {out}", file=sys.stderr)

@@ -32,7 +32,8 @@ os.environ.setdefault(
 import numpy as np
 
 
-def measure(compiled, device, block: int, n_blocks: int) -> dict:
+def measure(compiled, device, block: int, n_blocks: int,
+            pipelined: bool = False) -> dict:
     from groove_tpu.engine.livesong import LiveSongRenderer
 
     r = LiveSongRenderer(compiled, n_voices=8, device=device,
@@ -43,18 +44,21 @@ def measure(compiled, device, block: int, n_blocks: int) -> dict:
     for ch in chans:
         r.note_on(ch, 60, 100)
         r.note_on(ch, 64, 90)
-    r.render_block()  # compile
+    pull = r.render_block_pipelined if pipelined else r.render_block
+    pull()  # compile (+ primes the pipeline in pipelined mode)
     t0 = time.perf_counter()
     out = None
     for _ in range(n_blocks):
-        out = r.render_block()
+        out = pull()
     dt = time.perf_counter() - t0
     assert out is not None and float(np.abs(out).max()) >= 0.0
     sr = compiled.sample_rate
     audio_s = n_blocks * block / sr
     return {
         "block": block,
-        "latency_ms": round(1000.0 * block / sr, 1),
+        "pipelined": pipelined,
+        # pipelined mode holds one extra in-flight block
+        "latency_ms": round(1000.0 * block * (2 if pipelined else 1) / sr, 1),
         "xrt": round(audio_s / dt, 2),
         "block_ms": round(1000.0 * dt / n_blocks, 2),
     }
@@ -81,10 +85,11 @@ def main() -> int:
     rows = []
     for b in (int(x) for x in args.blocks.split(",")):
         n = max(4, int(args.seconds * sr / b))
-        row = measure(compiled, tpu, b, n)
-        row["device"] = str(tpu)
-        rows.append(row)
-        print(row, flush=True)
+        for pipelined in (False, True):
+            row = measure(compiled, tpu, b, n, pipelined=pipelined)
+            row["device"] = str(tpu)
+            rows.append(row)
+            print(row, flush=True)
     # CPU 64-frame baseline (the interactive path the engine keeps)
     cpu = _live_device()
     row = measure(compiled, cpu, 64, int(1.0 * sr / 64))
@@ -103,11 +108,21 @@ def main() -> int:
         "machine's ~24 ms device tunnel, hence the lookahead blocks; the",
         "CPU row is the low-latency interactive path the engine keeps.",
         "",
-        "| device | block | note-to-audio latency | xRT | ms/block |",
-        "|---|---|---|---|---|",
+        "Pipelined rows dispatch block b+1 before fetching block b",
+        "(engine/livesong.render_block_pipelined): the fetch overlaps the",
+        "next block's device compute, paying the tunnel RTT once per",
+        "block instead of serializing dispatch and readback — at the cost",
+        "of one extra block of note-to-audio latency (reflected in the",
+        "latency column).",
+        "",
+        "| device | block | pipelined | note-to-audio latency | xRT "
+        "| ms/block |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
-        md.append(f"| {r['device']} | {r['block']} | {r['latency_ms']} ms "
+        md.append(f"| {r['device']} | {r['block']} "
+                  f"| {'yes' if r.get('pipelined') else 'no'} "
+                  f"| {r['latency_ms']} ms "
                   f"| **{r['xrt']}** | {r['block_ms']} |")
     md.append("")
     ok = [r for r in rows if "TPU" in r["device"].upper() and r["xrt"] > 1.2]

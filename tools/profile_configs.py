@@ -35,7 +35,10 @@ DEFAULT_CONFIGS = [
 
 def measure(fn, inputs, reps=32, runs=3):
     """Steady-state seconds per call of fn(inputs)->array, via an in-program
-    fori_loop of `reps` perturbed evaluations."""
+    fori_loop of `reps` perturbed evaluations. Returns
+    (per_render_median_s, compile_s, stats) where stats carries the full
+    per-run distribution (median/min/max/n — VERDICT r4 item 4: publish
+    spread, not single samples)."""
     pert_keys = [k for k in inputs if k.endswith("vels")]
 
     def many(inp0):
@@ -62,7 +65,11 @@ def measure(fn, inputs, reps=32, runs=3):
         t0 = time.perf_counter()
         float(many_fn(inputs))
         times.append(time.perf_counter() - t0)
-    return max(min(times) - rtt, 1e-9) / reps, compile_s
+    per = sorted(max(t - rtt, 1e-9) / reps for t in times)
+    med = per[len(per) // 2] if runs % 2 else \
+        0.5 * (per[runs // 2 - 1] + per[runs // 2])
+    stats = {"median": med, "min": per[0], "max": per[-1], "n": runs}
+    return med, compile_s, stats
 
 
 def main():
@@ -83,10 +90,13 @@ def main():
             compiled = compile_song(SongSettings.from_project_file(proj))
         r = Renderer(compiled)
         audio_s = compiled.n_frames / compiled.sample_rate
-        per_render, compile_s = measure(r._render, r.inputs, reps=args.reps)
+        per_render, compile_s, st = measure(r._render, r.inputs,
+                                            reps=args.reps, runs=5)
         name = os.path.basename(proj)
         print(f"{name}: audio={audio_s:.2f}s n_frames={compiled.n_frames} "
-              f"render={per_render*1e3:.3f}ms xRT={audio_s/per_render:.0f} "
+              f"render={per_render*1e3:.3f}ms "
+              f"xRT={audio_s/per_render:.0f} (median of {st['n']}; "
+              f"best {audio_s/st['min']:.0f} / worst {audio_s/st['max']:.0f}) "
               f"(compile {compile_s:.1f}s)")
         if args.breakdown:
             n = compiled.n_frames
@@ -102,7 +112,7 @@ def main():
                 else:
                     continue
                 try:
-                    t, _ = measure(sub, r.inputs, reps=args.reps, runs=2)
+                    t, _, _ = measure(sub, r.inputs, reps=args.reps, runs=2)
                     print(f"    {uvid} ({dev.kind}): {t*1e3:.3f}ms")
                 except Exception as e:  # noqa: BLE001
                     print(f"    {uvid} ({dev.kind}): FAILED {e}")
