@@ -185,7 +185,9 @@ class LiveSongRenderer(StreamingRenderer):
     # ---- live instrument rendering ----------------------------------------
 
     def _render_instrument_seg(self, inputs, dev: DeviceIR, xs, t0, n: int,
-                               state=None, new_state=None):
+                               state=None, new_state=None,
+                               sliced_merged=None):
+        # sliced_merged is always None here (live pools never slice)
         u = dev.uvid
         sr = float(self.c.sample_rate)
         if self.play_song:

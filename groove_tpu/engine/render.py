@@ -326,6 +326,7 @@ class Renderer:
                     # traced program consumes verbatim
                     hc = welsh_model.host_osc_constants(
                         d.voice, k[li], None if pv is None else pv[li])
+                    hc.update(welsh_model.host_gate_seconds(gate[li], sr))
                     tabs = welsh_model.host_filter_tables(
                         d.voice, gate[li], int(span), sr)
                     if tabs is not None:
@@ -335,6 +336,9 @@ class Renderer:
                         int(span), sr)
                     if php is not None:
                         hc.update(php)
+                    lvt = welsh_model.host_lfo_table(d.voice, int(span), sr)
+                    if lvt is not None:
+                        hc.update(lvt)
                     for name, arr in hc.items():
                         self.inputs[f"{b}/hc/{name}"] = arr
                     members.append((d.uvid, int(li.size)))

@@ -204,7 +204,9 @@ class EngineService:
         self._q.put(Command("ensure-compiled", (box, done)))
         if not done.wait(timeout) or not box.get("ok"):
             return None
-        return self.compiled
+        # the worker's snapshot, NOT self.compiled: a queued open/load
+        # processed after done.set() could have swapped it (ADVICE r4)
+        return box.get("compiled")
 
     def rendered_samples(self, loop_iterations: Optional[int] = None,
                          device: Optional[str] = None,
@@ -333,6 +335,10 @@ class EngineService:
                         # a raise above leaves it unset and the caller
                         # gets None instead of a stale CompiledSong
                         box["ok"] = self.compiled is not None
+                        # SNAPSHOT on the worker (ADVICE r4): a queued
+                        # open/load processed between done.set() and the
+                        # caller's read could swap self.compiled under it
+                        box["compiled"] = self.compiled
                     finally:
                         done.set()
                 elif cmd.kind == "render-out":

@@ -185,6 +185,18 @@ class StreamingRenderer:
     # renderer the bitwise segmentation invariance is unaffected).
     WELSH_SLICED = False
 
+    # Merge ALL sliced (device, bucket) cascade jobs into ONE stream-
+    # kernel launch per segment (_render_sliced_merged). Measured
+    # on-chip (jingle_bells, S=16384, forced-sliced): per-device
+    # launches 14.7x realtime, merged 9.0x — the concatenate/split/
+    # state-scatter traffic around the merged launch costs more than
+    # the per-launch serial floors it saves (the kernels were already
+    # VPU-issue-bound, not launch-bound, at these row counts). Kept
+    # behind this flag with the per-row bitwise guarantee intact
+    # (row-batch independence, ops/pallas_iir R sweep) in case a
+    # future workload IS launch-bound (hundreds of welsh devices).
+    WELSH_SLICE_MERGE = False
+
     def __init__(self, compiled: CompiledSong, segment_frames: int = 65536):
         assert segment_frames % BLOCK == 0 and segment_frames >= BLOCK
         self.c = compiled
@@ -432,6 +444,8 @@ class StreamingRenderer:
                     hc = welsh_model.host_osc_constants(
                         dev.voice, keys_a[idx],
                         None if prev_a is None else prev_a[idx])
+                    hc.update(welsh_model.host_gate_seconds(
+                        gate[idx], float(c.sample_rate)))
                     tabs = welsh_model.host_filter_tables(
                         dev.voice, gate[idx].astype(np.int64), int(span),
                         float(c.sample_rate))
@@ -443,6 +457,10 @@ class StreamingRenderer:
                         int(span), float(c.sample_rate))
                     if php is not None:
                         hc.update(php)
+                    lvt = welsh_model.host_lfo_table(
+                        dev.voice, int(span), float(c.sample_rate))
+                    if lvt is not None:
+                        hc.update(lvt)
                     for name, arr in hc.items():
                         self.inputs[f"{b}/hc/{name}"] = arr
                 elif dev.kind in ("fm-synthesizer", "envelope"):
@@ -687,10 +705,12 @@ class StreamingRenderer:
         return hc or None
 
     def _render_instrument_seg(self, inputs, dev: DeviceIR, xs, t0, n: int,
-                               state=None, new_state=None):
+                               state=None, new_state=None,
+                               sliced_merged=None):
         # state/new_state are unused here; the live subclass
         # (engine/livesong.LiveSongRenderer) carries per-voice welsh state
-        # through them
+        # through them. sliced_merged: {(uvid, bucket) -> mono [n]} from
+        # the segment's merged cascade launch (_render_sliced_merged)
         u = dev.uvid
         sr = float(self.c.sample_rate)
         if dev.kind == "oscillator":
@@ -731,6 +751,12 @@ class StreamingRenderer:
 
             if dev.kind in ("welsh", "welsh-raw") and u in self._sliced \
                     and state is not None:
+                if sliced_merged is not None and (u, j) in sliced_merged:
+                    # cascade ran in the segment's MERGED launch
+                    # (_render_sliced_merged); state was scattered there
+                    mono = sliced_merged[(u, j)]
+                    out = out + jnp.stack([mono, mono])
+                    continue
                 # SLICED: render exactly this segment's slice of every
                 # active note, cascade state carried per note. Padded
                 # batch rows are remapped to the bucket's scratch state
@@ -1099,6 +1125,86 @@ class StreamingRenderer:
         warn(f"unknown effect kind {k}; passthrough")
         return x
 
+    def _render_sliced_merged(self, inputs, xs, t0, n: int, state,
+                              new_state):
+        """ONE fused cascade launch per segment for ALL sliced-welsh
+        (device, bucket) jobs (VERDICT r4 item 5): the stream kernel's
+        serial phases (64-step in-block prefixes + the block chain) are a
+        per-LAUNCH floor — Pallas grid steps run sequentially — so
+        per-(device, bucket) launches pay it up to devices x buckets
+        times per segment (jingle_bells: 8 welsh devices), while one
+        merged launch over the concatenated rows pays it once. Rows are
+        per-note data: concatenation never changes a row's math, and the
+        kernels are verified bitwise batch-shape-independent
+        (ops/pallas_iir R sweep), so the per-row bits equal the
+        per-device launches'. Pallas backends only — the XLA fallback's
+        scan codegen is batch-shape-sensitive at the ulp level (see the
+        serial cap pinning above), and CPU is not the path being
+        optimized. Jobs group by carried-state layout ('p4' plain /
+        'p20' refined — different kernels). Returns {(uvid, bucket) ->
+        mono [n]} with per-note state already scattered into new_state,
+        or None (nothing sliced / non-Pallas backend)."""
+        from groove_tpu.ops import iir as iir_ops
+
+        if not self.WELSH_SLICE_MERGE or not self._sliced or state is None \
+                or not iir_ops._pallas_available():
+            return None
+        sr = float(self.c.sample_rate)
+        nb_seg = n // BLOCK
+        groups: dict[str, list] = {}
+        for u in self.c.order:
+            if u not in self._sliced:
+                continue
+            dev = self.c.devices[u]
+            for j in range(len(self._spans[u])):
+                b = f"{u}/b{j}"
+                idx = xs[f"{b}/idx"]
+                m = xs[f"{b}/m"]
+                keys = jnp.take(inputs[f"{b}/keys"], idx, axis=0)
+                vels = jnp.take(inputs[f"{b}/vels"], idx, axis=0) * m
+                on = jnp.take(inputs[f"{b}/on"], idx, axis=0)
+                gate = jnp.take(inputs[f"{b}/gate"], idx, axis=0)
+                ids = jnp.take(inputs[f"{b}/ids"], idx, axis=0)
+                count = len(self._bucket_on[u][j])
+                slot = jnp.where(m > 0, idx, count).astype(jnp.int32)
+                age0 = (jnp.asarray(t0, jnp.int32) - on).astype(jnp.int32)
+                prefix = f"{b}/wf/"
+                fst = {k[len(prefix):]: state[k][slot]
+                       for k in state if k.startswith(prefix)}
+                y, secs_b, ctx = welsh_model.render_notes_slice_pre(
+                    dev.voice, keys, vels, gate, age0, n, sr,
+                    inputs[f"{b}/tfull"], inputs[f"{b}/tbfull"],
+                    note_ids=ids, host_ctl=self._hc_seg(inputs, b, idx))
+                layout = "p20" if "p20" in fst else "p4"
+                rows = y.shape[0]
+                secs_full = tuple(
+                    tuple(jnp.broadcast_to(jnp.asarray(cf, jnp.float32),
+                                           (rows, nb_seg)) for cf in sec)
+                    for sec in secs_b)
+                groups.setdefault(layout, []).append(
+                    (u, j, dev, m, slot, prefix, y, secs_full, fst, ctx))
+        out: dict = {}
+        for layout, items in groups.items():
+            ycat = jnp.concatenate([it[6] for it in items], axis=0)
+            secscat = tuple(
+                tuple(jnp.concatenate([it[7][s][cf] for it in items],
+                                      axis=0) for cf in range(5))
+                for s in range(2))
+            stcat = {layout: jnp.concatenate(
+                [it[8][layout] for it in items], axis=0)}
+            y2, st2 = welsh_model.cascade_slices(
+                ycat, secscat, stcat, None)
+            lo = 0
+            for (u, j, dev, m, slot, prefix, y, _, fst, ctx) in items:
+                hi = lo + y.shape[0]
+                mono_rows = welsh_model.finish_slice(
+                    dev.voice, y2[lo:hi], ctx)
+                new_state[prefix + layout] = \
+                    state[prefix + layout].at[slot].set(st2[layout][lo:hi])
+                out[(u, j)] = jnp.sum(mono_rows * m[:, None], axis=0)
+                lo = hi
+        return out
+
     def _step_impl(self, state, xs, inputs, n: int):
         c = self.c
         t0 = xs["t0"]
@@ -1112,11 +1218,14 @@ class StreamingRenderer:
         for src, aux, amount in c.sends:
             sends_by_aux.setdefault(aux, []).append((src, amount))
 
+        sliced_merged = self._render_sliced_merged(
+            inputs, xs, t0, n, state, new_state)
         for uvid in c.order:
             dev = c.devices[uvid]
             if dev.role == "instrument" or dev.kind == "calculator":
                 outputs[uvid] = self._render_instrument_seg(
-                    inputs, dev, xs, t0, n, state=state, new_state=new_state)
+                    inputs, dev, xs, t0, n, state=state, new_state=new_state,
+                    sliced_merged=sliced_merged)
                 continue
             sources = c.sinks.get(uvid, [])
             acc = jnp.zeros((2, n), jnp.float32)

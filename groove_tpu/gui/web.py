@@ -480,6 +480,16 @@ def make_server(gui: WebGui, port: int = 0) -> ThreadingHTTPServer:
                     chunk(_chunk_to_i2(part).tobytes())
             except (BrokenPipeError, ConnectionResetError):
                 pass  # listener closed the <audio> element
+            except Exception as e:  # noqa: BLE001
+                # the 200 + chunked headers are already on the wire: a
+                # second response head (do_GET's 500 handler) would be
+                # malformed HTTP on this connection. Log and terminate
+                # the chunked body instead (ADVICE r4).
+                gui.model._on_event("error", f"live stream: {e}")
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except OSError:
+                    pass
 
         def do_GET(self):
             try:

@@ -145,9 +145,28 @@ def _crosses_serial(a1: np.ndarray, a2: np.ndarray) -> bool:
 # host_osc_constants/host_filter_tables/host_pitch_phases/fm.host_phases
 # cannot be chunked on one path and passed whole on the other. Keys:
 # f1/f2/rsync/rgl (host_osc_constants), fidx (host_filter_tables),
-# ph1/ph2 (host_pitch_phases), phm/phc (fm.host_phases).
+# ph1/ph2 (host_pitch_phases), phm/phc (fm.host_phases), gs (host
+# gate-seconds rows — see host_gate_seconds).
 HOST_CTL_PER_NOTE = ("f1", "f2", "rsync", "rgl", "fidx", "ph1", "ph2",
-                     "phm", "phc")
+                     "phm", "phc", "gs")
+
+
+def host_gate_seconds(gate_frames, sample_rate: float) -> dict:
+    """HOST per-note gate-seconds rows {"gs": [n] f32} — np.float32(gate)
+    / np.float32(sr), the SAME f32 division that builds the host time
+    base t (render_notes_parts), so at note age j == gate the envelope
+    comparison t < gate_s sees EXACTLY EQUAL bits. The in-trace divide it
+    replaces is the documented hazard: XLA rewrites x/sr into a
+    reciprocal multiply under fusion, shifting gate_s one ulp off the
+    literal time base — and for release-0 patches the amp envelope is a
+    STEP at note-off, so that ulp flips the cut sample between full
+    amplitude and zero (jingle_bells measured isolated ±0.44 spikes vs
+    the f64 reference at exactly the 64-aligned note-off frames of its
+    release-0 GM patches). The f64 reference evaluates its envelope on
+    these same f32 bits (cast to f64), so the knife edge lands on the
+    same sample in both."""
+    return {"gs": (np.asarray(gate_frames, np.float32)
+                   / np.float32(sample_rate))}
 
 
 def host_osc_constants(params: WelshVoiceParams, keys,
@@ -227,6 +246,40 @@ def _host_lfo_values(lfo, t, span: int, sample_rate: float,
         return (vals[cyc] * np.float32(lfo.depth)).astype(np.float32)
     return (_host_wave(lfo.waveform.kind, lphase, lfo.waveform.pulse_width)
             * np.float32(lfo.depth)).astype(np.float32)
+
+
+#: LFO routings whose value feeds PER-SAMPLE terms (the pulse-width edge
+#: position and the amp scale) rather than only phases/coefficients
+#: (pitch ships whole phase tables; filter-cutoff/resonance ship
+#: coefficient tables — host_pitch_phases / host_filter_tables)
+_LFO_SAMPLE_ROUTINGS = ("amplitude", "cutoff-amp", "pulse-width",
+                        "pw-osc1", "pw-osc2")
+
+
+def host_lfo_table(params: WelshVoiceParams, span: int, sample_rate: float,
+                   noise_seed: int = 0) -> dict | None:
+    """HOST per-sample LFO value table {"lv": [span] f32} for routings
+    whose value enters the signal math per sample (amplitude scale,
+    pulse-width edge position) — or None when no such routing is active.
+
+    The LFO restarts at note-on, so its value is a function of NOTE AGE
+    alone: one [span] row serves every note (the whole-window paths index
+    it by the shared time base; the sliced path GATHERS it at absolute
+    note ages, like t_full). Why host bits: the traced evaluation fuses
+    (width + 0.5*lfo) / (1 + lfo) chains with fma contraction that
+    rounds ~1 ulp away from any eager evaluation — a pulse edge landing
+    within that ulp of the width FLIPS, and a resonant cascade rings the
+    flipped sample up (clouds.mid measured a 5.2 absolute spike vs the
+    f64 reference through exactly this path). The f64 reference consumes
+    the same table, so the comparison isolates evaluation again."""
+    lfo = params.lfo
+    if not (lfo.routing in _LFO_SAMPLE_ROUTINGS and lfo.frequency > 0.0
+            and lfo.depth != 0.0):
+        return None
+    t = (np.arange(span, dtype=np.float32)
+         / np.float32(sample_rate))[None, :]
+    lv = _host_lfo_values(lfo, t, span, sample_rate, noise_seed)
+    return {"lv": np.broadcast_to(lv, (1, span))[0].copy()}
 
 
 #: element cap for shipping host pitch-LFO phase tables ([n, span] f32 —
@@ -671,15 +724,23 @@ def render_notes_parts(
     t = jnp.asarray(np.arange(span, dtype=np.float32)[None, :]
                     / np.float32(sample_rate))  # [1, span]
     base_freq = note_freqs(keys)[:, None]  # [n, 1]
-    gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
+    hc0 = host_ctl or {}
+    # gate seconds: HOST rows when shipped (host_gate_seconds — the
+    # in-trace divide shifts 1 ulp off the literal time base under XLA's
+    # reciprocal-multiply rewrite, flipping release-0 cut samples)
+    gate_s = jnp.asarray(hc0["gs"], jnp.float32)[:, None] if "gs" in hc0 \
+        else jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
 
     lfo = params.lfo
     lfo_value = _make_lfo_value(lfo, _sh_cycles(lfo, span, sample_rate),
                                 noise_seed, wrap=False)
-    lfo_val = lfo_value(t)  # [1, span] (pitch/amp/pw routings, sample rate)
     routing = lfo.routing
 
     hc = host_ctl or {}
+    # per-sample LFO value: host table when shipped (host_lfo_table —
+    # kills the traced fma drift that flips pulse edges), traced else
+    lfo_val = jnp.asarray(hc["lv"], jnp.float32)[None, :] if "lv" in hc \
+        else lfo_value(t)  # [1, span]
     pitch_modulated = routing in ("pitch", "pitch-osc2")
     glide_on = params.glide > 0.0 \
         and (prev_keys is not None or "rgl" in hc)
@@ -1006,17 +1067,24 @@ def render_notes_slice_pre(
     t_blk = jnp.asarray(tb_full)[jnp.clip(bk, 0, nb_total - 1)]
 
     base_freq = note_freqs(keys)[:, None]                 # [n, 1]
-    gate_s = jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
+    hc0 = host_ctl or {}
+    # host gate-seconds rows when shipped (see render_notes_parts)
+    gate_s = jnp.asarray(hc0["gs"], jnp.float32)[:, None] if "gs" in hc0 \
+        else jnp.asarray(gate_frames, jnp.float32)[:, None] / sample_rate
 
     lfo = params.lfo
     # S&H bank sized from the WHOLE window (slice-invariant)
     lfo_value = _make_lfo_value(lfo, _sh_cycles(lfo, span, sample_rate),
                                 noise_seed, wrap=False)
-    lfo_val = lfo_value(t)
     routing = lfo.routing
     # pitch modulation is excluded by can_slice (cumsum phases)
 
     hc = host_ctl or {}
+    # per-sample LFO value: GATHER the host table at absolute note ages
+    # when shipped (bitwise the whole path's values — same table, same
+    # indices as the t gather above), traced else
+    lfo_val = jnp.asarray(hc["lv"], jnp.float32)[
+        jnp.clip(age, 0, span - 1)] if "lv" in hc else lfo_value(t)
 
     def osc_freq(osc, fixed_hz, name):
         if name in hc:
@@ -1307,7 +1375,10 @@ def live_window_block(
     # (engine/livesong block_frames), and coefficients pinned to the
     # block START would degrade the reference's per-handle_work update
     # (orchestrator.rs:631-708). At n == 64 this is exactly the old
-    # block-start behavior.
+    # block-start behavior. n must be 64-aligned (ADVICE r4: the
+    # truncating grid would silently drop the tail's coefficients);
+    # engine/livesong asserts the same at construction.
+    assert n % 64 == 0, f"live welsh block must be a 64-multiple, got {n}"
     nb = max(1, n // 64)
     t_blk = t_abs[:, ::64][:, :nb]
     cutoff_hz, q = _filter_controls(params, t_blk, gate_s, lfo_value)
@@ -1404,7 +1475,9 @@ def live_render_block(
                        (V, block))
 
     # filter coefficients at the 64-frame control cadence within the
-    # block (see live_window_block)
+    # block (see live_window_block; same 64-alignment contract)
+    assert block % 64 == 0, \
+        f"live welsh block must be a 64-multiple, got {block}"
     nb = max(1, block // 64)
     t_blk0 = t_abs[:, ::64][:, :nb]
     cutoff_hz, q = _filter_controls(params, t_blk0, gate_s, lfo_value)

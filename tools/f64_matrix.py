@@ -102,17 +102,17 @@ NOTES = {
         "deep corner: cascade parked at the 25 Hz floor with q 5.33; the "
         "CPU serial fallback floors here, the shipped TPU kernel "
         "measures -81.2 on-chip (FIDELITY_TPU.md)",
-    "test-data/midi/clouds.mid":
-        "edge samples: oversize pitch-LFO note batches keep traced "
-        "cumsum phases; XLA fusion shifts saw/pulse edges by 1 ulp "
-        "(isolated samples; rms -72)",
-    "test-data/midi/jingle_bells.mid":
-        "edge samples: same oversize-batch traced-phase class "
-        "(isolated samples; rms -72)",
-    "test-data/midi/d-gonnamakeyousweat.mid":
-        "edge samples: same oversize-batch traced-phase class "
-        "(isolated samples; rms -77)",
 }
+# Historical (fixed in round 5, kept for the record): the SMF rows
+# clouds/-3.7, d-gonnamakeyousweat/-17.8 and jingle_bells/-21.8 were
+# isolated full-amplitude spikes at 64-aligned NOTE-OFF frames of
+# release-0 GM patches — the amp envelope is a STEP there, and the
+# engine's in-trace gate/sr divide sat one ulp off the host time base
+# under XLA's reciprocal-multiply rewrite, flipping the cut sample
+# between full and zero (welsh.host_gate_seconds now ships the division
+# as host bits and the f64 reference evaluates its envelope on the same
+# f32 time bits). Measured after the fix: jingle_bells -82.5,
+# d-gonnamakeyousweat -106.8.
 
 
 def corpus_configs() -> list[str]:

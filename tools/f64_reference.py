@@ -171,7 +171,14 @@ def _render_welsh(dev: DeviceIR, span: int, sr: float) -> np.ndarray:
                   and lfo.depth != 0.0)
     lfo_value = welsh_model._make_lfo_value(
         lfo, welsh_model._sh_cycles(lfo, span, sr), 0, wrap=False)
-    lfo_val = np.asarray(lfo_value(jnp.asarray(t32)), np.float32)
+    # per-sample LFO value: the engine's HOST table when one ships
+    # (host_lfo_table — exact shares), eager formula otherwise
+    lvt = welsh_model.host_lfo_table(p, span, sr)
+    if lvt is not None:
+        lfo_val = np.broadcast_to(lvt["lv"][None, :], (1, span)).astype(
+            np.float32)
+    else:
+        lfo_val = np.asarray(lfo_value(jnp.asarray(t32)), np.float32)
     pitch_mod = lfo_active and routing in ("pitch", "pitch-osc2")
     glide_on = p.glide > 0.0 and prev is not None
     rgl32 = hc.get("rgl")
@@ -327,10 +334,20 @@ def _welsh_tail(dev, p, span, sr, shape, ph1, ph2, routing, lfo_active,
     for sec in secs:
         y = _tdf2_serial_notes(y, sec)
 
-    t = np.arange(span, dtype=np.float64)[None, :] / sr
-    gate_s = gate[:, None] / sr
+    # ENVELOPE time bases are the ENGINE'S f32 bits cast to f64 (the host
+    # time table + host_gate_seconds rows): a release-0 amp envelope is a
+    # STEP at note-off, and f32-vs-f64 time quantization (~2e-6 s at
+    # minute scale) would put the cut on different samples — full-scale
+    # isolated residuals at every note-off of such patches (jingle_bells
+    # measured ±0.44). Sharing the bits pins the knife edge to the same
+    # sample; elsewhere the envelope is continuous and the time
+    # quantization costs ~ulp(t) * slope.
+    t_env = (np.arange(span, dtype=np.float32)
+             / np.float32(sr)).astype(np.float64)[None, :]
+    gate_s = welsh_model.host_gate_seconds(
+        gate_i, sr)["gs"].astype(np.float64)[:, None]
     ae = p.amp_envelope
-    a_env = _adsr(t, gate_s, ae.attack, ae.decay, ae.sustain, ae.release)
+    a_env = _adsr(t_env, gate_s, ae.attack, ae.decay, ae.sustain, ae.release)
     amp = a_env * (vels[:, None] / 127.0)
     if lfo_active and routing in ("amplitude", "cutoff-amp"):
         amp = amp * (1.0 + lfo64)
