@@ -948,6 +948,30 @@ def slice_time_bases(span: int, sample_rate: float):
     return t_full, tb_full
 
 
+def slice_rows(table, age0, S: int, span: int):
+    """Per-row contiguous window fetch: row i gets table[age0_i + j] for
+    j in [0, S), with ZERO fill outside [0, span) — the slice path's
+    replacement for `table[clip(age, 0, span-1)]` gathers.
+
+    Why: a [rows, S] one-hot gather measured 1174 us on-chip vs 18 us
+    for vmapped dynamic_slice out of a zero-padded copy (65x — gathers
+    index element-by-element on TPU, slices are contiguous DMA copies);
+    the gathers were ~97%% of the forced-sliced step's time
+    (DECISIONS.md 'Sliced stream cost attribution').
+
+    Bits: in-window elements are the SAME table entries bit for bit.
+    Out-of-window positions read the ZERO padding instead of the old
+    clamped-edge values — safe because every consumer masks
+    out-of-window samples (`valid` zeroes osc_out before the cascade and
+    amp after it), so those values never reach the output."""
+    S = int(S)
+    table = jnp.asarray(table)
+    z = jnp.zeros((S,), table.dtype)
+    tp = jnp.concatenate([z, table, z])
+    start = jnp.clip(jnp.asarray(age0, jnp.int32), -S, span) + S
+    return jax.vmap(lambda a: jax.lax.dynamic_slice(tp, (a,), (S,)))(start)
+
+
 def slice_state_init(count: int, mode) -> dict:
     """Carried cascade state for `count` note slots plus one SCRATCH slot
     (index `count`) that padded batch rows read/write so they can never
@@ -1061,7 +1085,7 @@ def render_notes_slice_pre(
     ar = jnp.arange(S, dtype=jnp.int32)
     age = age0[:, None] + ar[None, :]                     # [n, S]
     valid = (age >= 0) & (age < span)
-    t = jnp.asarray(t_full)[jnp.clip(age, 0, span - 1)]   # [n, S] gather
+    t = slice_rows(t_full, age0, S, span)                 # [n, S] windows
     bk = (age0 // cblock)[:, None] + jnp.arange(nb_seg)[None, :]
     validb = (bk >= 0) & (bk < nb_total)
     t_blk = jnp.asarray(tb_full)[jnp.clip(bk, 0, nb_total - 1)]
@@ -1080,11 +1104,11 @@ def render_notes_slice_pre(
     # pitch modulation is excluded by can_slice (cumsum phases)
 
     hc = host_ctl or {}
-    # per-sample LFO value: GATHER the host table at absolute note ages
-    # when shipped (bitwise the whole path's values — same table, same
-    # indices as the t gather above), traced else
-    lfo_val = jnp.asarray(hc["lv"], jnp.float32)[
-        jnp.clip(age, 0, span - 1)] if "lv" in hc else lfo_value(t)
+    # per-sample LFO value: the host table windowed at absolute note
+    # ages when shipped (bitwise the whole path's in-window values —
+    # same table, same positions as t above), traced else
+    lfo_val = slice_rows(hc["lv"], age0, S, span) if "lv" in hc \
+        else lfo_value(t)
 
     def osc_freq(osc, fixed_hz, name):
         if name in hc:
@@ -1107,7 +1131,14 @@ def render_notes_slice_pre(
             jax.random.fold_in(jax.random.PRNGKey(noise_seed), which),
             note_ids, span,
         )
-        return jnp.take_along_axis(nz, jnp.clip(age, 0, span - 1), axis=1)
+        # per-row window via padded dynamic_slice (same 65x gather-vs-
+        # slice reasoning as slice_rows; out-of-window zeros are masked)
+        z = jnp.zeros((nz.shape[0], S), nz.dtype)
+        tp = jnp.concatenate([z, nz, z], axis=1)
+        start = jnp.clip(age0, -S, span) + S
+        return jax.vmap(
+            lambda row, a: jax.lax.dynamic_slice(row, (a,), (S,))
+        )(tp, start)
 
     o1_active = params.oscillator_1.waveform.kind != "none"
     f1 = osc_freq(params.oscillator_1, None, "f1")
