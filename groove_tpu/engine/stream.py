@@ -252,15 +252,21 @@ class StreamingRenderer:
     # estimates in _slice_wins count the same cascade samples, so all
     # other constants cancel). CPU: ~2x (the doubled phase-2 serial
     # rolls; measured win 3-5x at 16384-frame segments matches the
-    # model — DECISIONS 'Sliced welsh on TPU'). TPU: ~24x — measured
-    # on-chip (jingle_bells): forced-sliced at S=16384 ran 10.2x
-    # realtime vs unsliced 34.9x while the c=2 model predicted a ~3x
-    # WIN, i.e. the real constant is ~2*3*3.9 ≈ 24. The gap is the
-    # 64-grid serial scan: its depth S/64 is serial regardless of how
-    # few rows are live, and the VPU batches the unsliced path's
-    # adaptive whole-window rows far more densely than the sliced
-    # kernel's carried-state grids.
-    SLICE_COST_TPU = 24.0
+    # model — DECISIONS 'Sliced welsh on TPU'). TPU: ~6x — round 4
+    # measured ~24 (forced-sliced S=16384: 10.2x vs unsliced 34.9x),
+    # but that cost was the slice MACHINERY, not the kernel (the
+    # cascade is ~3% of sliced time — DECISIONS 'Sliced stream cost
+    # attribution'): replacing the per-sample one-hot gathers of the
+    # host time/LFO/noise tables with padded dynamic-slice windows
+    # (welsh.slice_rows; 1174us -> 18us per [10,16384] fetch) made
+    # forced-sliced at S=16384 measure 57.4x vs unsliced 33.5x and at
+    # S=65536 50.7x vs 75.9x (jingle_bells, on-chip). Fitting the
+    # _slice_wins work model to those steady-state ratios gives
+    # c_eff = 3.6 (S=16384) / 1.7 (S=65536); 6 adds margin for the
+    # per-segment fixed costs the model omits (batch assembly, state
+    # traffic) so the router stays conservative toward unsliced and
+    # never routes a loss under the tunnel's ~30% run-to-run spread.
+    SLICE_COST_TPU = 6.0
     SLICE_COST_CPU = 2.0
 
     def _slice_cost(self) -> float:

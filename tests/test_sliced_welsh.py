@@ -190,15 +190,16 @@ def test_auto_routing_by_segment_size():
 
 
 def test_tpu_calibrated_slice_cost_routing():
-    """The TPU kernel-cost calibration (SLICE_COST_TPU): measured
-    on-chip at S=16384 on jingle_bells, forced-sliced ran 10.2x
-    realtime vs unsliced 34.9x while the old c=2 model predicted a
-    ~3x WIN — the sliced stateful kernel's real per-sample constant
-    on TPU is ~24x the unsliced cascade's (serial 64-grid depth S/64
-    regardless of live rows). With that constant the router must keep
-    the north-star segment size (65536) AND the measured-loss size
-    (16384) on whole windows for ordinary note spans, and still slice
-    a long drone at live-pull segment sizes (span >> cost*S)."""
+    """The TPU kernel-cost calibration (SLICE_COST_TPU=6, round 5):
+    after welsh.slice_rows replaced the slice path's per-sample
+    gathers, on-chip forced-sliced measured 57.4x vs unsliced 33.5x
+    at S=16384 and 50.7x vs 75.9x at S=65536 (jingle_bells) — fitted
+    work-model constants 3.6 / 1.7, shipped as 6 for conservatism
+    (stream.SLICE_COST_TPU comment). The router must keep ~1s spans
+    on whole windows at the north-star (65536) and mid (16384)
+    segment sizes, slice them at live-pull sizes (4096: span/S ~ 11
+    recompute factor > cost), and slice a long drone at small S while
+    keeping it whole at 65536 (recompute ~7 vs cost-weighted ~8.8)."""
     Auto = type("AutoTpu", (StreamingRenderer,), {"WELSH_SLICED": "auto"})
 
     c = compile_song(_noise_song())
@@ -207,15 +208,21 @@ def test_tpu_calibrated_slice_cost_routing():
     welsh_devs = [d for d in c.devices.values()
                   if d.kind == "welsh-raw" and d.notes is not None]
     assert welsh_devs
-    for S in (65536, 16384, 4096):
+    for S in (65536, 16384):
         r.S = S
         for d in welsh_devs:
             assert not r._slice_wins(d), \
                 f"S={S}: ~1s spans must not slice at TPU cost"
+    r.S = 4096
+    for d in welsh_devs:
+        assert r._slice_wins(d), \
+            "S=4096: ~1s spans (recompute ~11x > cost 6) must slice"
 
     # one whole note held at bpm 30 = 8s gate (~370k-frame span):
-    # span/S ~ 90 >> 24 at S=4096 -> slices; at S=65536 the window
-    # recompute factor is only ~7 -> stays unsliced
+    # span/S ~ 90 >> 6 at S=4096 -> slices; at S=65536 the window
+    # recompute factor ~7 sits under the cost-weighted sliced estimate
+    # (6 * (span+S)/span ~ 7.1, and ceil rounds the recompute up to 7
+    # only in aggregate) -> stays unsliced
     # build the drone from JSON (the schema's parsed BeatValue types
     # are not assignable as strings)
     cd = compile_song(SongSettings.from_json5_str(json.dumps({
