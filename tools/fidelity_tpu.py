@@ -15,11 +15,14 @@ all designed HOST-side in numpy f32 and shipped into the jitted
 programs as data (welsh.host_osc_constants/host_filter_tables/
 host_pitch_phases, render.host_effect_filter_coefs) — so the
 comparison isolates the engine's parallel/blocked/Pallas evaluation,
-not backend transcendental ulps. Controls the engine still derives in
-the trace (oversize pitch-LFO batches, LFO-driven filter coefficients)
-are shared via eager evaluation, which on the TPU rounds ~1e-5 away
-from the traced values — rows dominated by those are flagged in the
-table notes.
+not backend transcendental ulps. As of round 5 EVERY fidelity-
+sensitive control family is host-designed (chunked pitch-phase tables
+with no size bail-out, LFO-driven filter coefficient tables, per-span
+LFO value rows, gate-seconds rows), so no trace-derived control
+remains — the round-4 flagged rows (oversize pitch-LFO batches,
+LFO-driven coefficients) measured −77.9/−79.2 then and ≤−127 after
+the migration (DECISIONS.md "LFO-driven filter coefficients
+host-side" / "Sine range reduction").
 
 Writes FIDELITY_TPU.md (human table) and fidelity_tpu.json (machine
 row per config: max-abs and rms residual in dBFS relative to the f64
@@ -59,6 +62,12 @@ DEFAULT_CONFIGS = [
     "test-data/kitchen-sink.json",
     "test-data/perf-1.json",
     "projects/demos/instruments/welsh-octave-switch.json",
+    # round-5 fidelity tail: the three corpus rows that sat at
+    # -77.9/-79.2/-79.8 while pitch-LFO phases and LFO-driven filter
+    # coefficients were trace-derived; pinned on-chip post-migration.
+    "projects/demos/instruments/welsh-test-lfo-pitch.json",
+    "projects/demos/instruments/welsh-didgeridoo.json",
+    "projects/demos/instruments/envelope-adsr-linear.json",
 ]
 
 BAR_DB = -80.0
