@@ -73,7 +73,15 @@ def main():
     # (fori_loop) so neither the host dispatch path nor the tunnel's ~24 ms
     # round trip is counted per render. Each iteration perturbs one input
     # infinitesimally so XLA cannot hoist the loop-invariant render.
-    reps = 32
+    # reps is sized so one timed call (~0.2 s at the round-4 median of
+    # ~0.8 ms/render) is >> the ~24-32 ms tunnel RTT: at the old reps=32
+    # the loop barely exceeded ONE round trip, so the rtt subtraction
+    # below removed most of the signal and the headline inherited the
+    # tunnel's minute-to-minute drift (the round-4 bench-vs-profile
+    # 6041-vs-4532 spread). Kept a FIXED constant (not adaptive) so the
+    # compiled program is deterministic and the persistent compile cache
+    # (tools/prewarm.py) always hits.
+    reps = 256
     # perturb EVERY velocity-like input so no instrument's render is
     # loop-invariant (hoistable) — /vels feeds the generic paths, /hvels
     # the Pallas drum path

@@ -36,7 +36,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-stream", action="store_true")
     ap.add_argument("--skip-render", action="store_true")
+    ap.add_argument("--skip-bench", action="store_true")
     args = ap.parse_args()
+
+    if not args.skip_bench:
+        # bench.py's measurement program (jit of the reps-loop) is a
+        # DIFFERENT XLA program from the plain render below — warming
+        # only jit__render still left BENCH_r04's 20-min warm-up wedge.
+        import subprocess
+        t0 = time.time()
+        subprocess.run([sys.executable,
+                        str(pathlib.Path(__file__).parent.parent
+                            / "bench.py")], check=True)
+        print(f"bench program: {time.time() - t0:.1f}s", flush=True)
 
     import numpy as np
 

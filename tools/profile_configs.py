@@ -33,26 +33,32 @@ DEFAULT_CONFIGS = [
 ]
 
 
-def measure(fn, inputs, reps=32, runs=3):
+def measure(fn, inputs, reps=32, runs=3, max_reps=8192):
     """Steady-state seconds per call of fn(inputs)->array, via an in-program
     fori_loop of `reps` perturbed evaluations. Returns
     (per_render_median_s, compile_s, stats) where stats carries the full
     per-run distribution (median/min/max/n — VERDICT r4 item 4: publish
-    spread, not single samples)."""
+    spread, not single samples).
+
+    The in-program rep count GROWS (x4) until one timed call takes at
+    least ~6x the measured host<->device round trip: the tunnel RTT here
+    is ~24-32 ms, so a sub-ms render timed with a fixed small loop
+    measures the LINK, not the chip (the round-4 kitchen-sink
+    1299-vs-1855 discrepancy was exactly this — t - rtt of a loop that
+    barely exceeded one RTT). With the loop >= 6x RTT the subtraction
+    is a <20% correction instead of the whole signal."""
     pert_keys = [k for k in inputs if k.endswith("vels")]
 
-    def many(inp0):
-        def body(i, acc):
-            inp = dict(inp0)
-            for k in pert_keys:
-                inp[k] = inp0[k] + 1e-6 * i.astype(jnp.float32)
-            return acc + jnp.sum(jnp.abs(fn(inp)))
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    def make(n_reps):
+        def many(inp0):
+            def body(i, acc):
+                inp = dict(inp0)
+                for k in pert_keys:
+                    inp[k] = inp0[k] + 1e-6 * i.astype(jnp.float32)
+                return acc + jnp.sum(jnp.abs(fn(inp)))
+            return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0))
+        return jax.jit(many)
 
-    many_fn = jax.jit(many)
-    t0 = time.perf_counter()
-    float(many_fn(inputs))
-    compile_s = time.perf_counter() - t0
     tiny = jax.jit(lambda x: x + 1.0)
     float(tiny(jnp.float32(0)))
     rtt = min(
@@ -60,15 +66,32 @@ def measure(fn, inputs, reps=32, runs=3):
             time.perf_counter())
         for i in range(5)
     )
-    times = []
-    for _ in range(runs):
+
+    compile_s = 0.0
+    while True:
+        many_fn = make(reps)
+        t0 = time.perf_counter()
+        float(many_fn(inputs))  # compile + first execution
+        compile_s += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(many_fn(inputs))
+        first = time.perf_counter() - t0
+        if first >= 6.0 * rtt or reps >= max_reps:
+            break
+        # grow at least enough to clear the bar in one more hop
+        grow = max(4, int((8.0 * rtt) / max(first, 1e-4)))
+        reps = min(max_reps, reps * min(grow, 64))
+
+    times = [first]
+    for _ in range(runs - 1):
         t0 = time.perf_counter()
         float(many_fn(inputs))
         times.append(time.perf_counter() - t0)
     per = sorted(max(t - rtt, 1e-9) / reps for t in times)
     med = per[len(per) // 2] if runs % 2 else \
         0.5 * (per[runs // 2 - 1] + per[runs // 2])
-    stats = {"median": med, "min": per[0], "max": per[-1], "n": runs}
+    stats = {"median": med, "min": per[0], "max": per[-1], "n": runs,
+             "reps": reps, "rtt_s": rtt}
     return med, compile_s, stats
 
 
@@ -96,7 +119,8 @@ def main():
         print(f"{name}: audio={audio_s:.2f}s n_frames={compiled.n_frames} "
               f"render={per_render*1e3:.3f}ms "
               f"xRT={audio_s/per_render:.0f} (median of {st['n']}; "
-              f"best {audio_s/st['min']:.0f} / worst {audio_s/st['max']:.0f}) "
+              f"best {audio_s/st['min']:.0f} / worst {audio_s/st['max']:.0f}; "
+              f"loop reps={st['reps']}, rtt={st['rtt_s']*1e3:.1f}ms) "
               f"(compile {compile_s:.1f}s)")
         if args.breakdown:
             n = compiled.n_frames
