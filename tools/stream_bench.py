@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--modes", default="unsliced,unsliced-i16",
                     help="comma list: unsliced | sliced, with optional "
                          "-i16 suffix for device-side quantization")
+    ap.add_argument("--passes", type=int, default=3,
+                    help="steady-state passes per mode (median + range "
+                         "published; the tunnel's fetch throughput drifts "
+                         "minute-to-minute)")
     args = ap.parse_args()
 
     from groove_tpu.compiler.song import compile_midi_file, compile_song
@@ -76,13 +80,21 @@ def main() -> None:
 
         out = run()
         t2 = time.perf_counter()
-        out = run()
-        t3 = time.perf_counter()
+        steady = []
+        for _ in range(max(1, args.passes)):
+            ts = time.perf_counter()
+            out = run()
+            steady.append(time.perf_counter() - ts)
+        steady.sort()
+        med = steady[len(steady) // 2] if len(steady) % 2 else \
+            0.5 * (steady[len(steady) // 2 - 1] + steady[len(steady) // 2])
         wide = out.astype("int32") if quant else out  # |int16 -32768| wraps
         peak = float(abs(wide).max()) / (32767.0 if quant else 1.0)
         print(f"  {mode}: init {t1 - t0:.1f}s, first pass {t2 - t1:.1f}s, "
-              f"steady {t3 - t2:.2f}s = {audio_s / (t3 - t2):.1f}x realtime "
-              f"(peak {peak:.3f})", flush=True)
+              f"steady {med:.2f}s = {audio_s / med:.1f}x realtime "
+              f"(median of {len(steady)}; best {audio_s / steady[0]:.1f}x / "
+              f"worst {audio_s / steady[-1]:.1f}x; peak {peak:.3f})",
+              flush=True)
 
 
 if __name__ == "__main__":
