@@ -188,7 +188,7 @@ def main() -> int:
         configs = DEFAULT_CONFIGS
     rows = preset_rows if preset_rows is not None else []
     jpath = Path(args.out).with_suffix(".json") if args.out \
-        else Path(_REPO) / "f64_matrix.json"
+        else Path(_REPO) / "F64_MATRIX.json"
     for rel in configs if preset_rows is None else []:
         print(f"== {rel}", file=sys.stderr, flush=True)
         try:
